@@ -1,0 +1,126 @@
+"""Graph build — documents corpus -> deduplicated pages + edges tables.
+
+This is the Spark re-derivation of the reference's entire import pipeline
+(App.run -> HtmlOnlyCrawler.visit -> GraphImporter.addPage/addLinks,
+SURVEY.md §3 entry point 1). The mutex/queue/transaction machinery
+disappears: the build is one immutable dataflow whose stages are
+
+  scan corpus -> extract hrefs (S2) -> normalize (C1-C5) -> filter (F1-F3)
+  -> dedup pages (J1 get-or-create) -> dedup edges (J3) -> degree agg (A3)
+
+Semantics replicated from the reference:
+- URL uniqueness / get-or-create (TransactionalGraphImporter.java:206-212):
+  one pages row per URL; link targets never fetched become rows with null
+  content (the UNKNOWN sentinel, PageNode.java:25, BatchGraphImporter.java:284).
+- Content upgrade, never downgrade (AbstractObservableGraphImporter.java:95-105):
+  re-fetching a URL updates content; a later link to it never erases content.
+  Batch form: per url take the highest-`seq` non-null content.
+- Edge dedup (AbstractObservableGraphImporter.java:116-123): at most one
+  (src,dst) row; self-loops are legal and kept once.
+- Degree counters (PageNode.java:215-227): in_degree/out_degree maintained
+  per endpoint; long (a 10^9-edge graph overflows int).
+
+Scale design (north_rule: partitioning/shuffle/skew explicit):
+- Everything before the first groupBy is narrow (scan -> explode -> filter).
+- Page dedup is one hash aggregate on url; edge dedup one on (src,dst);
+  AQE splits skewed reduce partitions (hub dsts) automatically and the
+  degree aggregate is partial-agg'd map-side before the shuffle.
+- At cluster scale, write `pages` bucketed by url and `edges` bucketed by
+  src so every downstream join/iteration reuses the layout (see algos/).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webgraph.extract import extract_raw_links, with_url
+from webgraph.filters import should_visit, split_crawlable
+from webgraph.urls import clean_url, extract_domain, page_type
+
+
+class GraphTables(NamedTuple):
+    pages: DataFrame  # url, domain, type, content, in_degree, out_degree, fb/tw
+    edges: DataFrame  # src, dst (deduplicated)
+    errors: DataFrame  # error_type, url, message, ts
+
+
+def build_graph(
+    docs: DataFrame,
+    domains_to_crawl: Sequence[str],
+    subdomains_to_ignore: Sequence[str] = (),
+) -> GraphTables:
+    """Full build. `docs` has the input_hint shape (repo, path, commit,
+    lang, content, seq); see webgraph.corpus."""
+    docs_u = with_url(docs)
+
+    # The crawler only ever *visits* URLs that pass shouldVisit
+    # (HtmlOnlyCrawler.java:76-114), so fetched rows are filtered too.
+    fetched = docs_u.filter(
+        should_visit(F.col("url"), domains_to_crawl, subdomains_to_ignore)
+    )
+
+    # Idempotent refetch: latest non-null content per URL wins (J1 + the
+    # updatePageContent rule). One hash aggregate, no self-join.
+    fetched_pages = fetched.groupBy("url").agg(
+        F.max_by(
+            F.col("content"), F.struct(F.col("content").isNotNull(), F.col("seq"))
+        ).alias("content")
+    )
+
+    raw_links = extract_raw_links(docs_u.select("lang", "content", "repo", "path"))
+    cleaned = raw_links.select(
+        F.col("src"), clean_url(F.col("dst_raw")).alias("dst")
+    )
+    kept_links, errors = split_crawlable(
+        cleaned, "dst", domains_to_crawl, subdomains_to_ignore
+    )
+    # J3 edge dedup. Map-side partial dedup happens inside the hash agg.
+    edges = kept_links.select("src", "dst").dropDuplicates(["src", "dst"])
+
+    # Link-only pages: dsts never fetched (J1 get-or-create via left_anti).
+    link_only = (
+        edges.select(F.col("dst").alias("url"))
+        .distinct()
+        .join(fetched_pages.select("url"), "url", "left_anti")
+        .withColumn("content", F.lit(None).cast("string"))
+    )
+    all_pages = fetched_pages.unionByName(link_only)
+
+    # A3 degree maintenance as two aggregates + left joins; coalesce to 0
+    # exactly like fresh nodes start at 0 (populateNewPageNode).
+    out_deg = edges.groupBy(F.col("src").alias("url")).agg(
+        F.count("*").alias("out_degree")
+    )
+    in_deg = edges.groupBy(F.col("dst").alias("url")).agg(
+        F.count("*").alias("in_degree")
+    )
+    pages = (
+        all_pages.join(in_deg, "url", "left")
+        .join(out_deg, "url", "left")
+        .select(
+            F.col("url"),
+            extract_domain(F.col("url")).alias("domain"),
+            page_type(F.col("url")).alias("type"),
+            F.col("content"),
+            F.coalesce(F.col("in_degree"), F.lit(0)).cast("long").alias("in_degree"),
+            F.coalesce(F.col("out_degree"), F.lit(0)).cast("long").alias("out_degree"),
+            F.lit(None).cast("int").alias("facebook_total_count"),
+            F.lit(None).cast("int").alias("twitter_count"),
+        )
+    )
+    return GraphTables(pages=pages, edges=edges, errors=errors)
+
+
+def root_page(pages: DataFrame, root_url: str) -> DataFrame:
+    """ROOT_PAGE_REFERENCE analog (BatchGraphImporter.java:314-323): the
+    reference-node hop degenerates to a point filter (J4)."""
+    return pages.filter(F.col("url") == F.lit(root_url))
+
+
+def graph_counts(g: GraphTables) -> dict[str, int]:
+    """A1/A2 global counters (AbstractObservableGraphImporter.java:26-27)."""
+    return {"pages": g.pages.count(), "links": g.edges.count()}

@@ -1,0 +1,60 @@
+"""SparkSession construction tuned for the link-graph workload.
+
+The reference hand-tunes its execution (thread pools, queue bounds, index
+caches — SURVEY.md §4); here the equivalent knobs are Spark confs. All graph
+jobs share the same session recipe so bench and tests run identical plans.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults sized for the sandbox (local[32], 128 GiB). On a real cluster the
+# same builder is used with master/shuffle-partitions supplied by spark-submit.
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "webgraph",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard config.
+
+    Scale-relevant settings:
+    - AQE on (runtime coalescing, skew-join splitting — hub pages in web
+      graphs are power-law skewed, BatchGraphImporter.java:100-103's index
+      cache was the reference's answer to the same hotspot).
+    - Arrow enabled for every pandas-UDF boundary (input_hint bans per-row
+      Python).
+    - shuffle partitions sized to core count locally; on a cluster this is
+      overridden to ~2-3x total cores via spark-submit --conf.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Iterative algos build many plans; keep the driver responsive.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", os.environ.get("WEBGRAPH_UI", "false"))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
