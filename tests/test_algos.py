@@ -1,0 +1,168 @@
+"""Iterative analytics vs pure-Python oracles (BASELINE.json correctness
+gates): PageRank allclose 1e-6, components/labels exact, triangles exact;
+dangling-node, self-loop, two-component and checkpoint-resume cases."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.oracles import (
+    components_oracle,
+    label_propagation_oracle,
+    pagerank_oracle,
+    triangle_oracle,
+)
+from webgraph.algos import (
+    connected_components,
+    encode_graph,
+    label_propagation,
+    pagerank,
+    triangle_count,
+)
+from webgraph.algos.triangles import triangle_count_per_vertex
+from webgraph.build import build_graph
+from webgraph.corpus import fixture_docs, synthetic_corpus
+
+DOMAINS = ["alpha.example.com", "beta.example.com", "example.com"]
+
+
+def _encoded(spark, fixture=None, n_pages=None, seed=42):
+    docs = (
+        fixture_docs(spark, fixture)
+        if fixture
+        else synthetic_corpus(spark, n_pages=n_pages, n_sites=5, seed=seed)
+    )
+    g = build_graph(docs, DOMAINS)
+    return encode_graph(g.edges)
+
+
+def _edge_list(eg):
+    return [(r["src"], r["dst"]) for r in eg.edges.collect()]
+
+
+def _vertex_set(eg):
+    return {r["vid"] for r in eg.vertices.collect()}
+
+
+def _assert_pagerank_matches(eg, tol=1e-6):
+    ranks, metrics = pagerank(eg, tol=tol, collect_skew=False)
+    got = {r["vid"]: r["rank"] for r in ranks.collect()}
+    want = pagerank_oracle(_edge_list(eg), _vertex_set(eg), tol=tol)
+    assert set(got) == set(want)
+    keys = sorted(got)
+    assert np.allclose(
+        [got[k] for k in keys], [want[k] for k in keys], atol=1e-6
+    ), "pagerank mismatch"
+    # probability mass conserved
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    return metrics
+
+
+@pytest.mark.parametrize("fixture", ["star_in", "chain_backlink", "dangling", "self_loop"])
+def test_pagerank_fixtures(spark, fixture):
+    eg = _encoded(spark, fixture=fixture)
+    metrics = _assert_pagerank_matches(eg)
+    assert metrics[-1]["delta_l1"] < 1e-6
+
+
+def test_pagerank_synthetic_graph(spark):
+    eg = _encoded(spark, n_pages=300)
+    _assert_pagerank_matches(eg)
+
+
+def test_pagerank_salted_equals_unsalted(spark):
+    eg = _encoded(spark, n_pages=200)
+    r1, _ = pagerank(eg, max_iter=5, tol=0, collect_skew=False)
+    r2, _ = pagerank(eg, max_iter=5, tol=0, salt_buckets=8, collect_skew=False)
+    a = {r["vid"]: r["rank"] for r in r1.collect()}
+    b = {r["vid"]: r["rank"] for r in r2.collect()}
+    ks = sorted(a)
+    assert np.allclose([a[k] for k in ks], [b[k] for k in ks], atol=1e-12)
+
+
+def test_connected_components_exact(spark):
+    eg = _encoded(spark, fixture="two_components")
+    labels, metrics = connected_components(eg, collect_skew=False)
+    got = {r["vid"]: r["component"] for r in labels.collect()}
+    want = components_oracle(_edge_list(eg), _vertex_set(eg))
+    assert got == want
+    assert len(set(got.values())) == 2
+    assert metrics[-1]["changed"] == 0
+
+
+def test_connected_components_synthetic(spark):
+    eg = _encoded(spark, n_pages=300)
+    labels, _ = connected_components(eg, collect_skew=False)
+    got = {r["vid"]: r["component"] for r in labels.collect()}
+    want = components_oracle(_edge_list(eg), _vertex_set(eg))
+    assert got == want
+
+
+def test_label_propagation_exact(spark):
+    for fixture in ["triangle", "two_components", "star_in"]:
+        eg = _encoded(spark, fixture=fixture)
+        labels, _ = label_propagation(eg)
+        got = {r["vid"]: r["label"] for r in labels.collect()}
+        want = label_propagation_oracle(_edge_list(eg), _vertex_set(eg))
+        assert got == want, fixture
+
+
+def test_triangle_count(spark):
+    eg = _encoded(spark, fixture="triangle")
+    want = triangle_oracle(_edge_list(eg))
+    assert want == 1
+    assert triangle_count(eg, degree_ordered=False) == 1
+    assert triangle_count(eg, degree_ordered=True) == 1
+    per_v = {
+        r["vid"]: r["triangles"]
+        for r in triangle_count_per_vertex(eg).collect()
+    }
+    assert sorted(per_v.values()) == [0, 1, 1, 1]
+
+
+def test_triangle_count_synthetic(spark):
+    eg = _encoded(spark, n_pages=200)
+    want = triangle_oracle(_edge_list(eg))
+    assert triangle_count(eg, degree_ordered=True) == want
+    assert triangle_count(eg, degree_ordered=False) == want
+
+
+def test_self_loop_does_not_break_anything(spark):
+    eg = _encoded(spark, fixture="self_loop")
+    assert triangle_count(eg) == 0
+    labels, _ = connected_components(eg, collect_skew=False)
+    comps = {r["component"] for r in labels.collect()}
+    assert len(comps) == 1
+
+
+def test_pagerank_checkpoint_resume(spark, tmp_path):
+    eg = _encoded(spark, n_pages=120)
+    full, _ = pagerank(eg, max_iter=8, tol=0, collect_skew=False)
+    want = {r["vid"]: r["rank"] for r in full.collect()}
+
+    # run 4 iters, then resume for 4 more from the manifest
+    d = str(tmp_path / "ck")
+    pagerank(eg, max_iter=4, tol=0, checkpoint_dir=d, collect_skew=False)
+    resumed, metrics = pagerank(
+        eg, max_iter=8, tol=0, checkpoint_dir=d, resume=True, collect_skew=False
+    )
+    got = {r["vid"]: r["rank"] for r in resumed.collect()}
+    ks = sorted(want)
+    assert np.allclose([got[k] for k in ks], [want[k] for k in ks], atol=1e-12)
+    assert metrics[0]["iteration"] == 4  # resumed, not restarted
+    # manifest carries per-iteration lineage + metrics (north_rule)
+    from webgraph.checkpoint import CheckpointManager
+
+    entries = CheckpointManager(d, "pagerank").entries()
+    assert [e["iteration"] for e in entries] == list(range(8))
+    assert all("messages" in e["metrics"] for e in entries)
+
+
+def test_metrics_shape(spark):
+    eg = _encoded(spark, n_pages=150)
+    _, metrics = pagerank(eg, max_iter=3, tol=0, collect_skew=True)
+    m0 = metrics[0]
+    assert {"iteration", "wall_sec", "messages", "edges_per_sec", "delta_l1"} <= set(m0)
+    assert "edges_skew_ratio" in m0  # skew sampled on first iteration

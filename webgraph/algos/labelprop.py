@@ -1,0 +1,90 @@
+"""Label propagation (community detection) — synchronous, deterministic.
+
+Init: label(v) = vid. Iteration: v adopts the most frequent label among its
+(undirected) neighbors; ties break to the smallest label (deterministic —
+north_rule requires reproducible convergence, and async/random LPA is not).
+Fixpoint when zero labels change or max_iter.
+
+Physical plan per iteration:
+  1. sym_edges ⋈ labels on src                   — stationary big side.
+  2. groupBy(dst, label).count()                 — frequency table.
+  3. max_by over struct(count, -label) per dst   — argmax with min-label
+     tie-break in ONE hash agg (no window/sort).
+  4. join with current labels; count changes; checkpoint.
+
+Synchronous LPA can 2-cycle on bipartite structures; the driver detects a
+non-decreasing changed-count plateau and stops, reporting convergence state
+in the metrics (standard practice; tests pin exact labels on fixtures).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webgraph.algos.common import EncodedGraph, symmetrize
+from webgraph.checkpoint import CheckpointManager
+from webgraph.metrics import iteration_metrics
+
+
+def label_propagation(
+    g: EncodedGraph,
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> tuple[DataFrame, list[dict]]:
+    """Returns (labels DataFrame ``(vid, label)``, iteration metrics)."""
+    spark = g.edges.sparkSession
+    sym = symmetrize(g.edges).persist()
+    num_msgs = sym.count()
+
+    ckpt = CheckpointManager(checkpoint_dir, "labelprop") if checkpoint_dir else None
+    labels = g.vertices.select("vid", F.col("vid").alias("label"))
+    start_iter = 0
+    if ckpt and resume:
+        loaded = ckpt.load_latest(spark)
+        if loaded is not None:
+            labels, start_iter = loaded
+            start_iter += 1
+
+    metrics: list[dict] = []
+    prev_changed = None
+    for it in range(start_iter, max_iter):
+        t0 = time.time()
+        freq = (
+            sym.join(labels, sym.src == labels.vid, "inner")
+            .groupBy(sym.dst.alias("vid"), F.col("label"))
+            .agg(F.count("*").alias("n"))
+        )
+        # argmax(n) with min-label tie-break, single aggregate:
+        best = freq.groupBy("vid").agg(
+            F.max_by("label", F.struct(F.col("n"), -F.col("label"))).alias("nbr_label")
+        )
+        new_labels = labels.join(best, "vid", "left").select(
+            "vid", F.coalesce(F.col("nbr_label"), F.col("label")).alias("label")
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "prev"), "vid", "inner")
+            .filter(F.col("label") != F.col("prev"))
+            .count()
+        )
+        wall = time.time() - t0
+        m = iteration_metrics(it, wall, messages=num_msgs, changed=changed)
+        metrics.append(m)
+
+        if ckpt:
+            labels = ckpt.commit(new_labels, it, m)
+        else:
+            labels = new_labels.localCheckpoint(eager=True)
+
+        if changed == 0:
+            break
+        if prev_changed is not None and changed >= prev_changed and it >= 4:
+            # oscillation plateau (bipartite 2-cycle): stop deterministically
+            m["plateau_stop"] = True
+            break
+        prev_changed = changed
+
+    return labels, metrics

@@ -1,0 +1,150 @@
+"""PageRank — join + hash-aggregate gather-scatter with dangling mass,
+convergence control, per-iteration checkpoint + metrics (J6/A9, north_rule).
+
+Formulation (standard power iteration, damping d):
+
+    r'(v) = (1-d)/N + d * ( sum_{u->v} r(u)/outdeg(u) + dangling_mass/N )
+
+where dangling_mass = sum of r(u) over outdeg(u)=0 vertices — exactly the
+reference's link-only UNKNOWN-content pages (BatchGraphImporter.java:284).
+
+Physical plan per iteration (designed before written, .explain-verified):
+  1. contribs = edges_w ⋈ ranks on src      — the ONLY big shuffle; edges_w
+     (src, dst, w=1/outdeg) is built once, repartitioned by src, persisted:
+     iterations re-shuffle only the small ranks frame to meet it.
+  2. groupBy(dst).sum(contrib)              — hash agg; map-side partial
+     aggregation collapses hub dsts before the shuffle, so power-law
+     in-degree skew compresses at the mappers. AQE skew-join handles src
+     skew in step 1; salt_buckets adds deterministic two-level agg on top
+     for pathological hubs.
+  3. left join onto the full vertex set     — vertices with no in-links
+     still get the base term.
+  4. L1 delta agg; driver loop stops at tol.
+Every iteration commits ranks to the checkpoint manifest (resume-able,
+lineage truncated); without a checkpoint_dir it localCheckpoints instead.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webgraph.algos.common import EncodedGraph
+from webgraph.checkpoint import CheckpointManager
+from webgraph.metrics import iteration_metrics, partition_skew
+
+
+def pagerank(
+    g: EncodedGraph,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 40,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    salt_buckets: int = 0,
+    collect_skew: bool = True,
+) -> tuple[DataFrame, list[dict]]:
+    """Returns (ranks DataFrame ``(vid, rank)``, per-iteration metrics).
+
+    `tol` is the L1 delta threshold; with damping d the iteration contracts
+    by factor d per step, so reaching L1 < tol(1-d)/(1+d)-ish guarantees
+    per-vertex closeness; we iterate to L1 < tol directly and tests assert
+    allclose(1e-6) against a dense numpy oracle.
+    """
+    spark = g.edges.sparkSession
+    n = g.num_vertices
+    num_edges = g.edges.count()
+
+    out_deg = g.edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # Weighted edges: built once, the stationary big side of every join.
+    edges_w = (
+        g.edges.join(out_deg, "src", "inner")
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .persist()
+    )
+    edges_w.count()
+
+    # Dangling vertices: outdeg == 0 (left_anti against srcs).
+    dangling = (
+        g.vertices.select("vid").join(
+            g.edges.select(F.col("src").alias("vid")).distinct(), "vid", "left_anti"
+        )
+    ).persist()
+
+    ckpt = CheckpointManager(checkpoint_dir, "pagerank") if checkpoint_dir else None
+    metrics: list[dict] = []
+    start_iter = 0
+
+    ranks = g.vertices.select("vid", F.lit(1.0 / n).alias("rank"))
+    if ckpt and resume:
+        loaded = ckpt.load_latest(spark)
+        if loaded is not None:
+            ranks, start_iter = loaded
+            start_iter += 1
+
+    skew = {}
+    if collect_skew:
+        skew = {f"edges_{k}": v for k, v in partition_skew(edges_w).items()}
+
+    for it in range(start_iter, max_iter):
+        t0 = time.time()
+        contribs = edges_w.join(ranks, edges_w.src == ranks.vid, "inner").select(
+            edges_w.src.alias("_src"),
+            edges_w.dst.alias("vid"),
+            (F.col("w") * F.col("rank")).alias("c"),
+        )
+        if salt_buckets > 1:
+            # Deterministic two-level aggregation for pathological hubs:
+            # bucket a hub dst's incoming rows by hash(src) so no single
+            # reduce key carries the whole hub; final agg re-combines.
+            salted = contribs.withColumn(
+                "_s", F.pmod(F.xxhash64("_src"), F.lit(salt_buckets))
+            )
+            summed = (
+                salted.groupBy("vid", "_s")
+                .agg(F.sum("c").alias("p"))
+                .groupBy("vid")
+                .agg(F.sum("p").alias("contrib"))
+            )
+        else:
+            summed = contribs.groupBy("vid").agg(F.sum("c").alias("contrib"))
+
+        dangling_mass = (
+            ranks.join(dangling, "vid", "left_semi").agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        base = (1.0 - damping) / n + damping * dangling_mass / n
+        new_ranks = (
+            g.vertices.select("vid")
+            .join(summed, "vid", "left")
+            .select(
+                "vid",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+        )
+
+        delta = (
+            new_ranks.join(ranks.withColumnRenamed("rank", "prev"), "vid", "inner")
+            .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))))
+            .collect()[0][0]
+        )
+        wall = time.time() - t0
+        m = iteration_metrics(
+            it, wall, messages=num_edges, delta=delta,
+            extra={**(skew if it == start_iter else {}), "dangling_mass": dangling_mass},
+        )
+        metrics.append(m)
+
+        if ckpt:
+            ranks = ckpt.commit(new_ranks, it, m)
+        else:
+            ranks = new_ranks.localCheckpoint(eager=True)
+
+        if delta < tol:
+            break
+
+    return ranks, metrics

@@ -1,0 +1,81 @@
+"""Per-iteration checkpoint/resume with lineage metadata (S7, north_rule).
+
+The reference's durability story is "batch mode: crash = restart from
+scratch; transactional mode: ACID per chunk; resume = keep the crawl
+frontier + db dir" (App.java:67-69, 177-182; SURVEY §2.1 S7). Here each
+iteration of an iterative algorithm commits an immutable snapshot:
+
+    <dir>/<name>/iter=<k>/           parquet state (ranks / labels)
+    <dir>/<name>/_manifest.jsonl     one line per committed iteration:
+                                     {iteration, path, rows, metrics, wall}
+
+A snapshot directory is written with an atomic rename-free protocol:
+parquet write to the final path, manifest line appended only after the
+write action returns (Spark's commit protocol makes the parquet dir
+all-or-nothing). Resume = read the last manifest line, load its path.
+On a cluster this maps 1:1 onto Iceberg snapshot commits (the same
+program with `.writeTo(...).createOrReplace()`); parquet-backed here
+because the sandbox has no Iceberg runtime jar.
+
+Checkpointing every iteration also truncates DataFrame lineage — the
+known failure mode of iterative DataFrame loops is exponential plan
+growth (SURVEY §4 item 3); reading back the parquet cuts the plan to a
+scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CheckpointManager:
+    def __init__(self, root: str, name: str):
+        self.dir = os.path.join(root, name)
+        os.makedirs(self.dir, exist_ok=True)
+        self.manifest = os.path.join(self.dir, "_manifest.jsonl")
+
+    def path(self, iteration: int) -> str:
+        return os.path.join(self.dir, f"iter={iteration}")
+
+    def commit(
+        self,
+        df: DataFrame,
+        iteration: int,
+        metrics: dict[str, Any] | None = None,
+    ) -> DataFrame:
+        """Write the iteration state, append the manifest line, and return
+        a lineage-free re-read of the state."""
+        t0 = time.time()
+        p = self.path(iteration)
+        df.write.mode("overwrite").parquet(p)
+        line = {
+            "iteration": iteration,
+            "path": p,
+            "wall_sec": round(time.time() - t0, 3),
+            "metrics": metrics or {},
+        }
+        with open(self.manifest, "a") as f:
+            f.write(json.dumps(line) + "\n")
+        return df.sparkSession.read.parquet(p)
+
+    def entries(self) -> list[dict[str, Any]]:
+        if not os.path.exists(self.manifest):
+            return []
+        with open(self.manifest) as f:
+            return [json.loads(ln) for ln in f if ln.strip()]
+
+    def latest(self) -> dict[str, Any] | None:
+        entries = self.entries()
+        return entries[-1] if entries else None
+
+    def load_latest(self, spark: SparkSession) -> tuple[DataFrame, int] | None:
+        """Resume point: (state DataFrame, iteration) of the newest commit."""
+        last = self.latest()
+        if last is None:
+            return None
+        return spark.read.parquet(last["path"]), last["iteration"]
