@@ -33,6 +33,17 @@ def get_spark(
     - shuffle partitions sized to core count locally; on a cluster this is
       overridden to ~2-3x total cores via spark-submit --conf.
     """
+    # Make the webgraph package importable in executor Python workers.
+    # Driver-side sys.path edits don't propagate to workers; in local mode
+    # workers inherit the env, so export PYTHONPATH before the JVM starts.
+    # On a real cluster this is spark-submit --py-files webgraph.zip.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_parent}{os.pathsep}{existing}" if existing else pkg_parent
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
