@@ -1,38 +1,42 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry():      flagship query (top-50 by in-degree over the derived link
+              graph — the reference README's headline query,
+              README.md:107-112) at sf0.001.
+queries():    one entry per implemented operator family from SURVEY.md §2,
+              implemented in webgraph.contract.
+oracle_sql(): DuckDB-equivalent SQL for every query (iterative algorithms
+              are verified via unrolled fixed-iteration SQL). Non-SQL ops
+              (MinHash-LSH, SimHash — probabilistic sketches) are verified
+              by pytest oracles instead and appear in queries() without an
+              oracle entry.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from webgraph.contract import q_g_top50_in_degree
+
+    return q_g_top50_in_degree(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from webgraph.contract import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fns[0] for name, fns in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from webgraph.contract import QUERIES
+
+    return {name: fns[1]() for name, fns in QUERIES.items() if fns[1] is not None}

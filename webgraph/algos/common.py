@@ -66,6 +66,26 @@ def encode_graph(
     return EncodedGraph(vertices=verts, edges=e, num_vertices=n)
 
 
+def from_int_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> EncodedGraph:
+    """Wrap an already-integer-keyed edge table as an EncodedGraph (vid ≡
+    the integer key, no dictionary encode). Used when the upstream data
+    carries numeric ids (e.g. the driver's TPC-H-derived graphs)."""
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).distinct()
+    verts = (
+        e.select(F.col("src").alias("vid"))
+        .unionByName(e.select(F.col("dst").alias("vid")))
+        .distinct()
+        .withColumn("url", F.col("vid").cast("string"))
+        .persist()
+    )
+    n = verts.count()
+    e = e.persist()
+    e.count()
+    return EncodedGraph(vertices=verts, edges=e, num_vertices=n)
+
+
 def symmetrize(edges: DataFrame) -> DataFrame:
     """Undirected view: both directions, self-loops dropped, deduplicated.
     Used by CC / LP / triangles (link direction is a crawl artifact there)."""

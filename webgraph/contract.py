@@ -1,0 +1,656 @@
+"""Driver-contract queries: Spark implementations + DuckDB oracle SQL.
+
+Backs ``__spark_entry__.py``. Each query is one operator family from
+SURVEY.md §2 exercised over the driver's testdata tables
+(/root/testdata/sf*/: region nation customer supplier part orders lineitem
+events documents embeddings). The link graph for the graph operators is
+derived *deterministically in pure SQL* from lineitem —
+
+    edges := SELECT DISTINCT l_orderkey % 500 AS src, l_partkey % 500 AS dst
+
+— so the identical derivation runs on both engines and the iterative
+algorithms' outputs are SQL-verifiable (PageRank via unrolled fixed-k
+power iterations, CC via unrolled min-label rounds, LP via unrolled
+frequency-argmax rounds).
+
+Floating-point outputs are emitted as integer micro-units
+(CAST(ROUND(x*1e6) AS BIGINT)) on BOTH sides: the driver's value-hash
+comparison then never touches float formatting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from webgraph.algos import connected_components, label_propagation, pagerank
+from webgraph.algos.common import from_int_edges
+from webgraph.algos.triangles import triangle_count
+from webgraph.filters import should_visit
+from webgraph.urls import extract_domain, extract_host, page_type
+
+N_NODES = 500
+PR_ITERS = 5
+CC_ITERS = 12
+LP_ITERS = 3
+DAMPING = 0.85
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- graph --
+
+EDGES_SQL = (
+    f"SELECT DISTINCT l_orderkey % {N_NODES} AS src, "
+    f"l_partkey % {N_NODES} AS dst FROM lineitem"
+)
+SYM_SQL = (
+    "SELECT src, dst FROM e WHERE src <> dst "
+    "UNION SELECT dst, src FROM e WHERE src <> dst"
+)
+VERTS_SQL = "SELECT src AS vid FROM e UNION SELECT dst AS vid FROM e"
+
+
+
+def _unrolled(parts: list[str]) -> str:
+    """Join unrolled-iteration CTEs with MATERIALIZED hints: chained CTEs
+    referenced more than once otherwise re-inline exponentially in DuckDB
+    (measured: 12 min-label rounds = 2^12 re-evaluations, ~17 min -> 0.3 s
+    materialized)."""
+    return "\n".join(parts).replace(" AS (SELECT", " AS MATERIALIZED (SELECT")
+
+
+def derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") % N_NODES).alias("src"),
+        (F.col("l_partkey") % N_NODES).alias("dst"),
+    ).distinct()
+
+
+def q_g_edge_count(spark, sf_dir):
+    return derived_edges(spark, sf_dir).agg(F.count("*").alias("n_edges"))
+
+
+def o_g_edge_count():
+    return f"WITH e AS ({EDGES_SQL}) SELECT COUNT(*) AS n_edges FROM e"
+
+
+def q_g_in_degree(spark, sf_dir):
+    return (
+        derived_edges(spark, sf_dir)
+        .groupBy(F.col("dst").alias("vid"))
+        .agg(F.count("*").alias("in_degree"))
+    )
+
+
+def o_g_in_degree():
+    return (
+        f"WITH e AS ({EDGES_SQL}) "
+        "SELECT dst AS vid, COUNT(*) AS in_degree FROM e GROUP BY dst"
+    )
+
+
+def q_g_top50_in_degree(spark, sf_dir):
+    return (
+        q_g_in_degree(spark, sf_dir)
+        .orderBy(F.desc("in_degree"), F.asc("vid"))
+        .limit(50)
+    )
+
+
+def o_g_top50_in_degree():
+    return (
+        f"WITH e AS ({EDGES_SQL}) "
+        "SELECT dst AS vid, COUNT(*) AS in_degree FROM e GROUP BY dst "
+        "ORDER BY in_degree DESC, vid ASC LIMIT 50"
+    )
+
+
+def q_g_reciprocal_edges(spark, sf_dir):
+    e = derived_edges(spark, sf_dir)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return (
+        e.join(rev, ["src", "dst"], "left_semi")
+        .filter(F.col("src") < F.col("dst"))
+        .agg(F.count("*").alias("reciprocal_pairs"))
+    )
+
+
+def o_g_reciprocal_edges():
+    return (
+        f"WITH e AS ({EDGES_SQL}) "
+        "SELECT COUNT(*) AS reciprocal_pairs FROM e a "
+        "WHERE a.src < a.dst AND EXISTS "
+        "(SELECT 1 FROM e b WHERE b.src = a.dst AND b.dst = a.src)"
+    )
+
+
+def q_g_pagerank(spark, sf_dir):
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    ranks, _ = pagerank(
+        g, damping=DAMPING, tol=0.0, max_iter=PR_ITERS, collect_skew=False
+    )
+    return ranks.select(
+        "vid", F.round(F.col("rank") * 1e6).cast("long").alias("rank_e6")
+    )
+
+
+def o_g_pagerank():
+    d = DAMPING
+    parts = [
+        f"WITH e AS ({EDGES_SQL}),",
+        f"v AS ({VERTS_SQL}),",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),",
+        "outd AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY src),",
+        "r0 AS (SELECT vid, (SELECT 1e0/n FROM nn) AS rank FROM v),",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        p = i - 1
+        parts += [
+            f"d{i} AS (SELECT COALESCE(SUM(rank), 0e0) AS dm FROM r{p} "
+            f"WHERE vid NOT IN (SELECT src FROM e)),",
+            f"c{i} AS (SELECT e.dst AS vid, SUM(r.rank / o.deg) AS contrib "
+            f"FROM e JOIN r{p} r ON e.src = r.vid JOIN outd o ON e.src = o.src "
+            f"GROUP BY e.dst),",
+            f"r{i} AS (SELECT v.vid, (SELECT {1.0 - d}e0/n FROM nn) "
+            f"+ {d}e0 * ((SELECT dm FROM d{i}) / (SELECT n FROM nn) "
+            f"+ COALESCE(c.contrib, 0e0)) AS rank "
+            f"FROM v LEFT JOIN c{i} c USING (vid)),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT vid, CAST(ROUND(rank * 1000000e0) AS BIGINT) AS rank_e6 FROM r{PR_ITERS}"
+    )
+    return _unrolled(parts)
+
+
+def q_g_components(spark, sf_dir):
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    labels, _ = connected_components(g, max_iter=CC_ITERS, collect_skew=False)
+    return labels.select("vid", "component")
+
+
+def o_g_components():
+    parts = [
+        f"WITH e AS ({EDGES_SQL}),",
+        f"sym AS ({SYM_SQL}),",
+        f"v AS ({VERTS_SQL}),",
+        "l0 AS (SELECT vid, vid AS component FROM v),",
+    ]
+    for i in range(1, CC_ITERS + 1):
+        p = i - 1
+        parts += [
+            f"m{i} AS (SELECT s.dst AS vid, MIN(l.component) AS nm "
+            f"FROM sym s JOIN l{p} l ON s.src = l.vid GROUP BY s.dst),",
+            f"l{i} AS (SELECT l.vid, LEAST(l.component, COALESCE(m.nm, l.component)) "
+            f"AS component FROM l{p} l LEFT JOIN m{i} m USING (vid)),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT vid, component FROM l{CC_ITERS}")
+    return _unrolled(parts)
+
+
+def q_g_label_propagation(spark, sf_dir):
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    labels, _ = label_propagation(g, max_iter=LP_ITERS)
+    return labels.select("vid", "label")
+
+
+def o_g_label_propagation():
+    parts = [
+        f"WITH e AS ({EDGES_SQL}),",
+        f"sym AS ({SYM_SQL}),",
+        f"v AS ({VERTS_SQL}),",
+        "l0 AS (SELECT vid, vid AS label FROM v),",
+    ]
+    for i in range(1, LP_ITERS + 1):
+        p = i - 1
+        parts += [
+            f"f{i} AS (SELECT s.dst AS vid, l.label, COUNT(*) AS n "
+            f"FROM sym s JOIN l{p} l ON s.src = l.vid GROUP BY s.dst, l.label),",
+            f"b{i} AS (SELECT vid, label FROM (SELECT vid, label, ROW_NUMBER() OVER "
+            f"(PARTITION BY vid ORDER BY n DESC, label ASC) AS rn FROM f{i}) t "
+            f"WHERE rn = 1),",
+            f"l{i} AS (SELECT l.vid, COALESCE(b.label, l.label) AS label "
+            f"FROM l{p} l LEFT JOIN b{i} b USING (vid)),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT vid, label FROM l{LP_ITERS}")
+    return _unrolled(parts)
+
+
+def q_g_triangles(spark, sf_dir):
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    n = triangle_count(g, degree_ordered=True)
+    return spark.createDataFrame([(n,)], "triangles long")
+
+
+def o_g_triangles():
+    return (
+        f"WITH e AS ({EDGES_SQL}), "
+        "und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b "
+        "FROM e WHERE src <> dst) "
+        "SELECT COUNT(*) AS triangles FROM und e1 "
+        "JOIN und e2 ON e1.b = e2.a "
+        "JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"
+    )
+
+
+# ------------------------------------------------------- url functions --
+
+URL_EXPR_SQL = (
+    "CASE WHEN doc_id % 5 = 0 "
+    "THEN 'https://www.' || source || '.example.com/' "
+    "ELSE 'https://' || source || '.example.com/p/' || CAST(doc_id % 7 AS VARCHAR) END"
+)
+
+
+def _doc_urls(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    url = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit("https://www."), F.col("source"), F.lit(".example.com/")),
+    ).otherwise(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/p/"),
+            (F.col("doc_id") % 7).cast("string"),
+        )
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def q_u_url_functions(spark, sf_dir):
+    df = _doc_urls(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        extract_host(F.col("url")).alias("host"),
+        extract_domain(F.col("url")).alias("domain"),
+        page_type(F.col("url")).alias("type"),
+    )
+
+
+def o_u_url_functions():
+    return (
+        "SELECT doc_id, source || '.example.com' AS host, source AS domain, "
+        "CASE WHEN doc_id % 5 = 0 THEN 'home' ELSE 'page' END AS type "
+        "FROM documents"
+    )
+
+
+def q_f_media_filter(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/f/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 10 == 0, F.lit(".png")).otherwise(F.lit(".html")),
+    )
+    kept = docs.select("doc_id", url.alias("url")).filter(
+        should_visit(F.col("url"), ["example.com"])
+    )
+    return kept.select("doc_id")
+
+
+def o_f_media_filter():
+    return "SELECT doc_id FROM documents WHERE doc_id % 10 <> 0"
+
+
+# ----------------------------------------------------------------- text --
+
+
+def q_t_lang_counts(spark, sf_dir):
+    return load(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count("*").alias("n")
+    )
+
+
+def o_t_lang_counts():
+    return "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang"
+
+
+def q_t_token_count(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+
+
+def o_t_token_count():
+    return (
+        "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens "
+        "FROM documents"
+    )
+
+
+def q_t_quality(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    alpha = F.length(F.regexp_replace(F.lower(text), "[^a-z]", ""))
+    total = F.length(text)
+    n_tokens = F.size(F.split(F.trim(text), r"\s+"))
+    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    return docs.select(
+        "doc_id",
+        F.round(F.lit(10000) * alpha / total).cast("long").alias("alpha_e4"),
+        F.round(F.lit(10000) * nonspace / n_tokens).cast("long").alias("tok_len_e4"),
+    )
+
+
+def o_t_quality():
+    return (
+        "SELECT doc_id, "
+        "CAST(ROUND(10000 * length(regexp_replace(lower(text), '[^a-z]', '', 'g')) "
+        "/ CAST(length(text) AS DOUBLE)) AS BIGINT) AS alpha_e4, "
+        "CAST(ROUND(10000 * length(regexp_replace(text, '\\s', '', 'g')) "
+        "/ CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)) AS BIGINT) "
+        "AS tok_len_e4 FROM documents"
+    )
+
+
+def q_t_fingerprint(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def o_t_fingerprint():
+    return (
+        "SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp "
+        "FROM documents"
+    )
+
+
+def q_t_exact_dedup(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text"))).alias("n_unique"),
+    )
+
+
+def o_t_exact_dedup():
+    return (
+        "SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique "
+        "FROM documents"
+    )
+
+
+def q_t_ngram_similar_pairs(spark, sf_dir):
+    """Exact n-gram (word-trigram) Jaccard near-dup pairs, top-20."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tok")
+    ).filter(F.size("tok") >= 3)
+    tris = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tok") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.col("tok").getItem(i),
+                    F.col("tok").getItem(i + 1),
+                    F.col("tok").getItem(i + 2),
+                ),
+            )
+        ).alias("tri"),
+    ).distinct()
+    sz = tris.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = tris.select(F.col("doc_id").alias("a"), "tri")
+    b = tris.select(F.col("doc_id").alias("b"), "tri")
+    common = (
+        a.join(b, "tri")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    j = (
+        common.join(sz.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+        .join(sz.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.lit(1e6) * F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+            )
+            .cast("long")
+            .alias("jaccard_e6"),
+        )
+    )
+    return j.orderBy(F.desc("jaccard_e6"), F.asc("a"), F.asc("b")).limit(20)
+
+
+def o_t_ngram_similar_pairs():
+    return """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tok FROM documents
+), eligible AS (
+  SELECT doc_id, tok FROM toks WHERE len(tok) >= 3
+), idx AS (
+  SELECT doc_id, tok, unnest(range(1, len(tok) - 1)) AS i FROM eligible
+), tris AS (
+  SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS tri FROM idx
+), sz AS (
+  SELECT doc_id, COUNT(*) AS n FROM tris GROUP BY doc_id
+), pair AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
+  FROM tris x JOIN tris y ON x.tri = y.tri AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b,
+  CAST(ROUND(1000000e0 * common / CAST(sa.n + sb.n - common AS DOUBLE)) AS BIGINT) AS jaccard_e6
+FROM pair JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+ORDER BY jaccard_e6 DESC, a ASC, b ASC LIMIT 20
+"""
+
+
+# ----------------------------------------------------------- embeddings --
+
+
+def q_e_cosine_topk(spark, sf_dir, query_id: int = 0, k: int = 20):
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == query_id).collect()[0]["embedding"]
+    ]
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    ed = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(ed, qlit, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(ed, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    nq = sum(x * x for x in qvec) ** 0.5
+    cos = dot / (na * F.lit(nq))
+    return (
+        emb.filter(F.col("vec_id") != query_id)
+        .select("vec_id", cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round(F.col("cos") * 1e6).cast("long").alias("cos_e6"))
+    )
+
+
+def o_e_cosine_topk(query_id: int = 0, k: int = 20):
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = {query_id})
+SELECT vec_id,
+  CAST(ROUND(1000000e0 * list_cosine_similarity(embedding::DOUBLE[], (SELECT qe FROM q))) AS BIGINT) AS cos_e6
+FROM embeddings WHERE vec_id <> {query_id}
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], (SELECT qe FROM q)) DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------- events --
+
+
+def q_s_event_hourly(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+        "event_type",
+    ).agg(F.count("*").alias("n"))
+
+
+def o_s_event_hourly():
+    return (
+        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, "
+        "event_type, COUNT(*) AS n FROM events GROUP BY 1, 2"
+    )
+
+
+def q_s_sessions(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("gap").isNull() | (F.col("gap") > 1800), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_sessions")
+    )
+
+
+def o_s_sessions():
+    return """
+WITH x AS (
+  SELECT user_id, ts,
+    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events
+)
+SELECT user_id,
+  CAST(SUM(CASE WHEN pts IS NULL OR epoch(ts) - epoch(pts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM x GROUP BY user_id
+"""
+
+
+# ------------------------------------------------------------ relational --
+
+
+def q_r_pricing_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity") * 100).cast("long").alias("sum_qty_c"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+            )
+            .cast("long")
+            .alias("sum_disc_price_c"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def o_r_pricing_summary():
+    return """
+SELECT l_returnflag, l_linestatus,
+  CAST(ROUND(100e0 * SUM(l_quantity)) AS BIGINT) AS sum_qty_c,
+  CAST(ROUND(100e0 * SUM(l_extendedprice * (1 - l_discount))) AS BIGINT) AS sum_disc_price_c,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_r_top_order_per_customer(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey", "o_orderkey", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey")
+    )
+
+
+def o_r_top_order_per_customer():
+    return """
+SELECT o_custkey, o_orderkey FROM (
+  SELECT o_custkey, o_orderkey,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) t WHERE rn = 1
+"""
+
+
+def q_r_customer_nation_revenue(spark, sf_dir):
+    """Broadcast-dim join chain: orders ⋈ customer ⋈ nation, grouped."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice") * 100).cast("long").alias("revenue_c"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def o_r_customer_nation_revenue():
+    return """
+SELECT n_name,
+  CAST(ROUND(100e0 * SUM(o_totalprice)) AS BIGINT) AS revenue_c,
+  COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+QUERIES = {
+    "g_edge_count": (q_g_edge_count, o_g_edge_count),
+    "g_in_degree": (q_g_in_degree, o_g_in_degree),
+    "g_top50_in_degree": (q_g_top50_in_degree, o_g_top50_in_degree),
+    "g_reciprocal_edges": (q_g_reciprocal_edges, o_g_reciprocal_edges),
+    "g_pagerank": (q_g_pagerank, o_g_pagerank),
+    "g_components": (q_g_components, o_g_components),
+    "g_label_propagation": (q_g_label_propagation, o_g_label_propagation),
+    "g_triangles": (q_g_triangles, o_g_triangles),
+    "u_url_functions": (q_u_url_functions, o_u_url_functions),
+    "f_media_filter": (q_f_media_filter, o_f_media_filter),
+    "t_lang_counts": (q_t_lang_counts, o_t_lang_counts),
+    "t_token_count": (q_t_token_count, o_t_token_count),
+    "t_quality": (q_t_quality, o_t_quality),
+    "t_fingerprint": (q_t_fingerprint, o_t_fingerprint),
+    "t_exact_dedup": (q_t_exact_dedup, o_t_exact_dedup),
+    "t_ngram_similar_pairs": (q_t_ngram_similar_pairs, o_t_ngram_similar_pairs),
+    "e_cosine_topk": (q_e_cosine_topk, o_e_cosine_topk),
+    "s_event_hourly": (q_s_event_hourly, o_s_event_hourly),
+    "s_sessions": (q_s_sessions, o_s_sessions),
+    "r_pricing_summary": (q_r_pricing_summary, o_r_pricing_summary),
+    "r_top_order_per_customer": (q_r_top_order_per_customer, o_r_top_order_per_customer),
+    "r_customer_nation_revenue": (q_r_customer_nation_revenue, o_r_customer_nation_revenue),
+}

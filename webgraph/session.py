@@ -54,6 +54,10 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
+        # UTC everywhere: timestamp semantics must agree with external
+        # oracles (DuckDB naive timestamps are epoch-based) and be
+        # host-TZ-independent at cluster scale.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Iterative algos build many plans; keep the driver responsive.
