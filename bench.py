@@ -1,0 +1,126 @@
+"""Per-round benchmark. Prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": <sf>, ...extras}
+
+Two parts:
+1. Headline contract queries at $SPARK_GRAFT_SF_DIR (default
+   /root/testdata/sf0.1) — the driver-table workload.
+2. The primary BASELINE.json metric: edges-processed/sec per PageRank
+   iteration on a synthetic hub-skewed web graph built end-to-end from a
+   documents corpus (extract -> filter -> dedup -> encode -> iterate).
+   Size via $SPARK_GRAFT_BENCH_PAGES (default 200k pages, ~1.6M raw links).
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+tools/scaling_bench.py, which writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from webgraph.session import get_spark  # noqa: E402
+
+
+def run_bench(
+    sf_dir: str,
+    cpus: int,
+    bench_pages: int,
+    pr_iters: int = 5,
+    spark=None,
+) -> dict:
+    from pyspark.sql import functions as F
+
+    from webgraph.algos import encode_graph, pagerank
+    from webgraph.build import build_graph
+    from webgraph.contract import QUERIES
+    from webgraph.corpus import synthetic_corpus
+
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(
+            app_name="webgraph-bench",
+            master=f"local[{cpus}]",
+            shuffle_partitions=max(cpus, 8),
+        )
+
+    timings: dict[str, float] = {}
+    headline = [
+        "g_top50_in_degree",
+        "g_pagerank",
+        "g_components",
+        "g_triangles",
+        "t_ngram_similar_pairs",
+        "e_cosine_topk",
+        "s_sessions",
+        "r_pricing_summary",
+        "r_customer_nation_revenue",
+    ]
+    for name in headline:
+        fn = QUERIES[name][0]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        assert n >= 0
+
+    # --- primary metric: web-graph PageRank throughput -------------------
+    t0 = time.time()
+    docs = synthetic_corpus(
+        spark,
+        n_pages=bench_pages,
+        n_sites=max(10, bench_pages // 20000),
+        links_per_page=8,
+        seed=42,
+        partitions=cpus * 2,
+    )
+    g = build_graph(docs, ["example.com"])
+    eg = encode_graph(g.edges, partitions=cpus * 2)
+    t_build = time.time() - t0
+    timings["web_graph_build"] = round(t_build, 3)
+
+    ranks, metrics = pagerank(
+        eg, tol=0.0, max_iter=pr_iters, collect_skew=False
+    )
+    # materialized per-iteration via localCheckpoint; sum the iteration walls
+    iter_secs = [m["wall_sec"] for m in metrics]
+    n_edges = metrics[0]["messages"]
+    # steady-state throughput: drop the warm-up iteration
+    steady = iter_secs[1:] or iter_secs
+    eps_iter = n_edges / (sum(steady) / len(steady))
+    timings["pagerank_iterations"] = round(sum(iter_secs), 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "edges_processed_per_sec_per_pagerank_iteration",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "edges_per_sec_per_iteration": round(eps_iter),
+        "graph_edges": int(n_edges),
+        "graph_vertices": int(eg.num_vertices),
+        "pagerank_iters": len(iter_secs),
+        "iter_sec": iter_secs,
+        "cpus": cpus,
+    }
+    if own_session:
+        spark.stop()
+    return result
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    bench_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000"))
+    result = run_bench(sf_dir, cpus, bench_pages)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

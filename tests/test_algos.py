@@ -162,7 +162,10 @@ def test_pagerank_checkpoint_resume(spark, tmp_path):
 
 def test_metrics_shape(spark):
     eg = _encoded(spark, n_pages=150)
-    _, metrics = pagerank(eg, max_iter=3, tol=0, collect_skew=True)
+    _, metrics = pagerank(eg, max_iter=3, collect_skew=True)
     m0 = metrics[0]
     assert {"iteration", "wall_sec", "messages", "edges_per_sec", "delta_l1"} <= set(m0)
     assert "edges_skew_ratio" in m0  # skew sampled on first iteration
+    # fixed-iteration mode (tol<=0) skips the delta pass entirely
+    _, fast = pagerank(eg, max_iter=2, tol=0, collect_skew=False)
+    assert all("delta_l1" not in m for m in fast)

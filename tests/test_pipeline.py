@@ -1,0 +1,261 @@
+"""Training-data pipeline operators: text analysis, dedup (exact /
+MinHash-LSH / SimHash / n-gram Jaccard / embedding), similarity search,
+multimodal plumbing, streaming. Oracles are pure-Python recomputations."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from webgraph import dedup, similarity, text
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog and runs away fast"),
+    (1, "the quick brown fox jumps over the lazy dog and runs away quickly"),
+    (2, "a completely different document about spark and data processing"),
+    (3, "the quick brown fox jumps over the lazy dog and runs away fast"),  # dup of 0
+    (4, "der schnelle braune fuchs springt und der hund ist nicht mit"),
+    (5, "el zorro que salta sobre el perro con los gatos de la casa"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_shingles(s, n=3):
+    t = s.lower().split()
+    return {" ".join(t[i : i + n]) for i in range(max(1, len(t) - n + 1))}
+
+
+def _py_jaccard(a, b, n=3):
+    sa, sb = _py_shingles(a, n), _py_shingles(b, n)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [0, 3]
+    kept = dedup.exact_dedup(docs)
+    assert kept.count() == 5
+    assert kept.filter(F.col("doc_id") == 3).count() == 0  # min-id kept
+
+
+def test_ngram_jaccard_matches_python_oracle(docs):
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    for (ia, ta), (ib, tb) in itertools.combinations(DOCS, 2):
+        want = _py_jaccard(ta, tb)
+        if want > 0:
+            assert abs(got[(ia, ib)] - want) < 1e-12, (ia, ib)
+        else:
+            assert (ia, ib) not in got
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    # the near-dup pair (0,1) and exact dup (0,3)/(1,3) must be found;
+    # verify stage guarantees jaccard values are EXACT
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs and abs(pairs[(0, 1)] - _py_jaccard(DOCS[0][1], DOCS[1][1])) < 1e-12
+    # precision: nothing below threshold
+    assert all(j >= 0.5 for j in pairs.values())
+    assert (0, 2) not in pairs
+
+
+def test_simhash_near_pairs(docs):
+    sigs = dedup.simhash(docs)
+    got = {r["id"]: r["simhash"] for r in sigs.collect()}
+    assert got[0] == got[3]  # identical docs -> identical signature
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    near, far = ham(got[0], got[1]), ham(got[0], got[2])
+    assert near < far  # near-dups closer in hamming space than unrelated
+
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(sigs, max_hamming=near, bands=32).collect()
+    }
+    assert pairs[(0, 3)] == 0
+    assert pairs[(0, 1)] == near  # candidate retrieval found the near pair
+    assert (0, 2) not in pairs  # unrelated pair beyond the threshold
+
+
+def test_embedding_near_dup_and_topk(spark):
+    import math
+    import random
+
+    rnd = random.Random(7)
+    base = [rnd.uniform(-1, 1) for _ in range(16)]
+    rows = []
+    for i in range(40):
+        if i < 3:  # 3 near-dups of base
+            v = [x + rnd.uniform(-0.01, 0.01) for x in base]
+        else:
+            v = [rnd.uniform(-1, 1) for _ in range(16)]
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    pairs = {
+        (r["a"], r["b"]) for r in dedup.embedding_near_dup_pairs(emb, threshold=0.99).collect()
+    }
+    assert {(0, 1), (0, 2), (1, 2)} <= pairs
+
+    # brute-force top-k vs python oracle
+    q = spark.createDataFrame([(0, [float(x) for x in base])], "q_id long, q_vec array<float>")
+    got = [
+        r["vec_id"]
+        for r in similarity.brute_force_topk(emb, q, k=3).collect()
+    ]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    fr = {i: cos([float(x) for x in v], base) for i, v in rows}
+    want = sorted(fr, key=lambda i: (-fr[i], i))[:3]
+    assert got == want
+
+    # IVF path: query near the dup cluster must recover the cluster
+    indexed, cents = similarity.build_ivf_index(emb, n_centroids=4)
+    ivf = [r["vec_id"] for r in similarity.ivf_topk(indexed, cents, base, k=3, nprobe=2).collect()]
+    assert set(ivf) & {0, 1, 2}
+
+
+def test_language_detection(docs):
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select(
+            "doc_id", text.detect_language(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert got[0] == "en" and got[1] == "en"
+    assert got[4] == "de"
+    assert got[5] == "es"
+
+
+def test_quality_features_and_filter(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and it was a good day for all of us"),
+            (1, "x"),  # too short
+            (2, "000 111 222 333 444 555 666 777 888 999 000 111"),  # no alpha
+        ],
+        "doc_id long, text string",
+    )
+    kept = [r["doc_id"] for r in text.quality_filter(df, min_tokens=5).collect()]
+    assert kept == [0]
+    feats = text.quality_features(df).filter(F.col("doc_id") == 0).collect()[0]
+    assert feats["n_tokens"] == 16
+    assert 0 < feats["stopword_ratio"] < 1
+    assert feats["alpha_ratio"] > 0.7
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(0, "hello world, it's 2026!")], "i long, text string")
+    r = df.select(
+        text.token_count(F.col("text")).alias("ws"),
+        text.bpe_token_count(F.col("text")).alias("bpe"),
+    ).collect()[0]
+    assert r["ws"] == 4
+    # hello/world/,/it/'/s/2026/! = 8
+    assert r["bpe"] == 8
+
+
+def test_fingerprints(docs):
+    fps = docs.select("doc_id", text.fingerprint(F.col("text")).alias("fp")).collect()
+    got = {r["doc_id"]: r["fp"] for r in fps}
+    assert got[0] == got[3] and got[0] != got[1]
+    rw = docs.select(
+        "doc_id", text.rolling_fingerprints(F.col("text"), 4).alias("rf")
+    ).collect()
+    by_id = {r["doc_id"]: r["rf"] for r in rw}
+    # shared 4-token windows between the two near-dup docs
+    assert set(by_id[0]) & set(by_id[1])
+
+
+def test_multimodal_plumbing(spark):
+    from webgraph import multimodal as mm
+
+    assets = mm.synthetic_assets(spark, n=32)
+    stats = {r["media_class"]: r["n_assets"] for r in mm.media_stats(assets).collect()}
+    assert stats == {"image": 16, "video": 8, "audio": 8}
+
+    imgs = mm.decode_images(assets).collect()
+    assert len(imgs) == 16
+    r0 = imgs[0]
+    assert 64 <= r0["width"] <= 2048 and r0["channels"] == 3
+    assert len(r0["embedding"]) == 16
+    # determinism across runs
+    again = mm.decode_images(mm.synthetic_assets(spark, n=32)).collect()
+    assert {r["asset_id"]: r["sha256"] for r in imgs} == {
+        r["asset_id"]: r["sha256"] for r in again
+    }
+
+    frames = mm.sample_video_frames(assets).collect()
+    assert frames and all(f["ts_ms"] == f["frame_idx"] * 1000 for f in frames)
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    from webgraph import streaming as st
+
+    src = str(tmp_path / "events_in")
+    ev = spark.createDataFrame(
+        [
+            (1, "2026-01-01 10:05:00", 1, "click", 1.0, "{}"),
+            (2, "2026-01-01 10:15:00", 1, "click", 2.0, "{}"),
+            (3, "2026-01-01 11:05:00", 2, "view", 1.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ev.write.parquet(src)
+
+    stream = st.read_event_stream(spark, src)
+    assert stream.isStreaming
+    counts = st.windowed_event_counts(stream, "1 hour", "2 hours")
+    st.run_to_memory_sink(counts, "win_counts")
+    rows = {
+        (str(r["window_start"]), r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert rows[("2026-01-01 10:00:00", "click")] == 2
+    assert rows[("2026-01-01 11:00:00", "view")] == 1
+
+
+def test_streaming_incremental_edge_merge(spark, tmp_path):
+    from webgraph import streaming as st
+    from webgraph.corpus import DOC_COLUMNS, fixture_docs
+
+    in_dir = str(tmp_path / "docs_in")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    fixture_docs(spark, "star_in").write.parquet(in_dir)
+
+    docs_stream = (
+        spark.readStream.schema(
+            "repo string, path string, commit string, lang string, content string, seq long"
+        ).parquet(in_dir)
+    )
+    q = st.incremental_edge_merge(
+        spark, docs_stream, state, ["alpha.example.com"], ck
+    )
+    q.awaitTermination()
+    edges = spark.read.parquet(f"{state}/edges")
+    assert edges.count() == 4  # the 4 star edges, deduplicated
+
+    # second batch: same docs again -> still 4 (idempotent merge)
+    fixture_docs(spark, "star_in").select(DOC_COLUMNS).write.mode("append").parquet(in_dir)
+    q2 = st.incremental_edge_merge(spark, docs_stream, state, ["alpha.example.com"], ck)
+    q2.awaitTermination()
+    assert spark.read.parquet(f"{state}/edges").count() == 4

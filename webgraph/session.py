@@ -63,6 +63,12 @@ def get_spark(
         # Iterative algos build many plans; keep the driver responsive.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", os.environ.get("WEBGRAPH_UI", "false"))
+        # Local-mode driver IS the executor: size its heap for the sandbox
+        # (default 1g OOMs on bench-scale graphs). Ignored if a JVM already
+        # exists; spark-submit --driver-memory overrides on a cluster.
+        .config(
+            "spark.driver.memory", os.environ.get("WEBGRAPH_DRIVER_MEM", "32g")
+        )
     )
     if master is not None:
         builder = builder.master(master)

@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (task brief): brute-force
+cosine top-k as the exact baseline; IVF (coarse-quantizer buckets) as the
+scale path.
+
+Representation: `array<float>` columns; all math is done in double via
+built-in higher-order functions (zip_with / aggregate) — JVM-side, no
+Python. For 100 TB-scale corpora the IVF path bounds each query's work to
+`nprobe` partitions of the corpus instead of a full scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact top-k neighbors for every query row: broadcast the (small)
+    query set against the corpus, window-rank per query.
+
+    Returns (q_id, vec_id, cos, rank). The corpus side streams once; with
+    Q queries the cross join is |corpus| x Q rows — fine for batch scoring
+    (Q small), replaced by IVF for large Q."""
+    c = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    q = queries.select(F.col(q_id_col), _as_double(F.col(q_vec_col)).alias("_qv"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        q_id_col,
+        id_col,
+        (dot(F.col("_v"), F.col("_qv")) / (l2_norm(F.col("_v")) * l2_norm(F.col("_qv")))).alias(
+            "cos"
+        ),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(q_id_col, "rank")
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer.
+
+    Init: centroids = the rows whose xxhash64(id) mod ... picks a stable
+    pseudo-random sample. Each iteration: assign (broadcast centroids,
+    argmin distance, built-ins) -> recompute means (posexplode + groupBy).
+    Driver holds only the k x dim centroid list (tiny)."""
+    base = emb.select(_as_double(F.col(vec_col)).alias("v")).persist()
+    cents = [
+        [float(x) for x in r["v"]]
+        for r in base.orderBy(F.xxhash64(F.col("v").cast("string"), F.lit(seed)))
+        .limit(n_centroids)
+        .collect()
+    ]
+    for _ in range(iters):
+        assigned = base.withColumn("c", _nearest_centroid(F.col("v"), cents))
+        means = (
+            assigned.select("c", F.posexplode("v").alias("pos", "val"))
+            .groupBy("c", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("c")
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("c", F.transform("pm", lambda s: s.getField("m")).alias("centroid"))
+            .collect()
+        )
+        new = {r["c"]: [float(x) for x in r["centroid"]] for r in means}
+        cents = [new.get(i, cents[i]) for i in range(n_centroids)]
+    base.unpersist()
+    return cents
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    best_idx = F.lit(0)
+    best_d = F.lit(float("inf"))
+    for i, c in enumerate(centroids):
+        clit = F.array(*[F.lit(x) for x in c])
+        d = F.aggregate(
+            F.zip_with(vec, clit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        cond = d < best_d
+        best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
+        best_d = F.when(cond, d).otherwise(best_d)
+    return best_idx
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Assign every vector to its nearest centroid bucket. At scale the
+    returned frame is written partitioned by `bucket` so a query scans
+    only its nprobe buckets (partition pruning does the rest)."""
+    cents = kmeans_centroids(emb, n_centroids, vec_col=vec_col, seed=seed)
+    indexed = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _nearest_centroid(_as_double(F.col(vec_col)), cents).alias("bucket"),
+    )
+    return indexed, cents
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only the `nprobe` buckets whose centroids
+    are closest to the query. Returns (vec_id, cos) desc."""
+    import math
+
+    def d2(c):
+        return sum((x - y) ** 2 for x, y in zip(c, query_vec))
+
+    probe = sorted(range(len(centroids)), key=lambda i: d2(centroids[i]))[:nprobe]
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = math.sqrt(sum(x * x for x in query_vec))
+    v = _as_double(F.col(vec_col))
+    cos = dot(v, qlit) / (l2_norm(v) * F.lit(qn))
+    return (
+        indexed.filter(F.col("bucket").isin(*probe))
+        .select(id_col, cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )

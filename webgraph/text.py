@@ -1,0 +1,173 @@
+"""Text analysis for large-scale corpus pipelines (task brief: language-ID,
+quality scoring, token counting, fingerprinting).
+
+All Column-in/Column-out built-ins — no Python in the hot path; these run
+inside whole-stage codegen over a 100 TB documents table with only the
+`text` column read (column pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker sets (function-word n-grams): the classic
+# low-cost language-ID heuristic. Real pipelines swap in fastText/CLD3 via
+# a pandas UDF; the Spark-side shape (score-per-language -> argmax) is the
+# same.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "that", "with"),
+    "de": ("der", "die", "und", "ist", "nicht", "mit"),
+    "es": ("el", "la", "que", "de", "los", "con"),
+    "fr": ("le", "la", "les", "est", "que", "dans"),
+    "pt": ("o", "a", "que", "de", "os", "com"),
+}
+
+# BPE-ish tokenizer regex: words, numbers, or single non-space symbols —
+# the shape GPT-style byte-pair pretokenizers use.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that with as"
+).split()
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (array)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Pretokenizer-style count: words + numbers + symbols counted
+    separately (approximates BPE token budgets within ~1.3x)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)).cast("long")
+
+
+def _count_markers(text_lc: Column, words: tuple[str, ...]) -> Column:
+    padded = F.concat(F.lit(" "), text_lc, F.lit(" "))
+    c = F.lit(0)
+    for w in words:
+        # occurrences of ' w ' — cheap containment count via length diff
+        c = c + (
+            F.length(padded)
+            - F.length(F.regexp_replace(padded, rf"(?<=\s){w}(?=\s)", ""))
+        ) / len(w)
+    return c.cast("long")
+
+
+def language_scores(text: Column) -> Column:
+    """Map<lang, marker-hits> for the heuristic language-ID."""
+    lc = F.lower(text)
+    return F.map_from_arrays(
+        F.array(*[F.lit(k) for k in LANG_MARKERS]),
+        F.array(*[_count_markers(lc, ws) for ws in LANG_MARKERS.values()]),
+    )
+
+
+def detect_language(text: Column, default: str = "und") -> Column:
+    """argmax over marker hits; 'und' when no marker fires. Deterministic
+    tie-break by language code order in LANG_MARKERS."""
+    lc = F.lower(text)
+    scores = [(k, _count_markers(lc, ws)) for k, ws in LANG_MARKERS.items()]
+    best = F.lit(default)
+    best_score = F.lit(0).cast("long")
+    for k, s in scores:  # later langs win only on strictly greater score
+        cond = s > best_score
+        best = F.when(cond, F.lit(k)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append standard quality-filter features (Gopher/C4-style):
+    length, token count, mean token length, alpha ratio, stopword ratio,
+    punctuation ratio, max line length, digit ratio."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_char = F.length(t)
+    stop_hits = F.size(
+        F.filter(toks, lambda w: F.lower(w).isin(*STOPWORDS))
+    )
+    lines = F.split(t, "\n")
+    return (
+        df.withColumn("n_chars_", n_char.cast("long"))
+        .withColumn("n_tokens", n_tok.cast("long"))
+        .withColumn(
+            "mean_token_len",
+            F.length(F.regexp_replace(t, r"\s", "")) / F.greatest(n_tok, F.lit(1)),
+        )
+        .withColumn(
+            "alpha_ratio",
+            F.length(F.regexp_replace(F.lower(t), "[^a-z]", ""))
+            / F.greatest(n_char, F.lit(1)),
+        )
+        .withColumn("stopword_ratio", stop_hits / F.greatest(n_tok, F.lit(1)))
+        .withColumn(
+            "punct_ratio",
+            F.length(F.regexp_replace(t, r"[^.,;:!?'\"]", ""))
+            / F.greatest(n_char, F.lit(1)),
+        )
+        .withColumn(
+            "digit_ratio",
+            F.length(F.regexp_replace(t, r"[^0-9]", ""))
+            / F.greatest(n_char, F.lit(1)),
+        )
+        .withColumn(
+            "max_line_len",
+            F.array_max(F.transform(lines, F.length)).cast("long"),
+        )
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 1_000_000,
+    min_mean_token_len: float = 2.0,
+    max_mean_token_len: float = 12.0,
+    min_alpha_ratio: float = 0.5,
+    min_stopword_ratio: float = 0.0,
+) -> DataFrame:
+    """Gopher-style rule filter over quality_features; returns kept rows
+    with features attached."""
+    feats = quality_features(df, text_col)
+    return feats.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("mean_token_len") >= min_mean_token_len)
+        & (F.col("mean_token_len") <= max_mean_token_len)
+        & (F.col("alpha_ratio") >= min_alpha_ratio)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic 64-bit document fingerprint over normalized content
+    (whitespace-collapsed, lowercased) — the exact-dedup key."""
+    norm = F.lower(F.regexp_replace(text, r"\s+", " "))
+    return F.xxhash64(norm)
+
+
+def rolling_fingerprints(text: Column, window_tokens: int = 16) -> Column:
+    """Array of rolling window fingerprints (winnowing-style): hash of
+    every `window_tokens`-token window. Basis for containment / partial-dup
+    detection; built-ins only (transform over a token-index sequence)."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    idx = F.sequence(
+        F.lit(0), F.greatest(n - window_tokens, F.lit(0))
+    )
+    return F.when(n < window_tokens, F.array(F.xxhash64(F.concat_ws(" ", toks)))).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", F.slice(toks, i + 1, window_tokens))
+            ),
+        )
+    )
