@@ -1,0 +1,139 @@
+"""spark-submit entry point: the App.run pipeline (SURVEY §3 entry point 1).
+
+    spark-submit --py-files webgraph.zip -m webgraph ... , or locally:
+    python -m webgraph --root-url https://www.site-0.example.com/ \
+        --domains example.com --corpus /path/docs.parquet --out /tmp/graph
+
+Stages (each maps to a reference phase): config validation -> corpus scan
+(or synthetic generation) -> build pages/edges/errors -> enrichment ->
+analytics (PageRank/CC/LP/triangles) -> snapshot writes -> report
+(reportResults analog: counts, throughput, top home pages, failed URLs —
+App.java:342-436).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from webgraph.config import parse_args
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    corpus_path = None
+    out_dir = "./webgraph_out"
+    synth_pages = 0
+    rest: list[str] = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--corpus":
+            corpus_path = argv[i + 1]
+            i += 2
+        elif argv[i] == "--out":
+            out_dir = argv[i + 1]
+            i += 2
+        elif argv[i] == "--synthetic-pages":
+            synth_pages = int(argv[i + 1])
+            i += 2
+        else:
+            rest.append(argv[i])
+            i += 1
+    cfg = parse_args(rest)
+
+    from pyspark.sql import functions as F
+
+    from webgraph.algos import (
+        connected_components,
+        encode_graph,
+        label_propagation,
+        pagerank,
+        triangle_count,
+    )
+    from webgraph.build import build_graph, graph_counts
+    from webgraph.corpus import synthetic_corpus
+    from webgraph.enrich import enrich_pages
+    from webgraph.queries import home_pages_by_incoming_links
+    from webgraph.session import get_spark
+
+    t_start = time.time()
+    spark = get_spark(
+        app_name="webgraph-import",
+        shuffle_partitions=cfg.shuffle_partitions or cfg.parallelism,
+    )
+
+    if corpus_path:
+        docs = spark.read.parquet(corpus_path)
+    elif synth_pages:
+        docs = synthetic_corpus(spark, n_pages=synth_pages)
+    else:
+        print("error: need --corpus <path> or --synthetic-pages <n>", file=sys.stderr)
+        return 2
+    if cfg.max_pages > 0:
+        docs = docs.limit(cfg.max_pages)
+
+    g = build_graph(docs, cfg.domains_to_crawl, cfg.subdomains_to_ignore)
+    pages = enrich_pages(g.pages)
+
+    os.makedirs(out_dir, exist_ok=True)
+    pages.write.mode("overwrite").parquet(f"{out_dir}/pages")
+    g.edges.write.mode("overwrite").parquet(f"{out_dir}/edges")
+    g.errors.write.mode("overwrite").parquet(f"{out_dir}/errors")
+    pages = spark.read.parquet(f"{out_dir}/pages")
+    edges = spark.read.parquet(f"{out_dir}/edges")
+
+    eg = encode_graph(edges)
+    ck = cfg.checkpoint_dir or f"{out_dir}/checkpoints"
+    ranks, pr_metrics = pagerank(
+        eg,
+        damping=cfg.pagerank_damping,
+        tol=cfg.pagerank_tol,
+        max_iter=cfg.max_iterations,
+        checkpoint_dir=ck,
+        resume=cfg.resumable,
+    )
+    comps, cc_metrics = connected_components(
+        eg, max_iter=cfg.max_iterations, checkpoint_dir=ck, resume=cfg.resumable
+    )
+    labels, lp_metrics = label_propagation(eg, max_iter=min(cfg.max_iterations, 20))
+    triangles = triangle_count(eg)
+
+    ranks.join(eg.vertices, "vid").select("url", "rank").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/pagerank")
+    comps.join(eg.vertices, "vid").select("url", "component").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/components")
+    labels.join(eg.vertices, "vid").select("url", "label").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/labels")
+
+    # ---- reportResults analog (App.java:342-436) ----
+    counts = graph_counts(g._replace(pages=pages, edges=edges))
+    elapsed = time.time() - t_start
+    report = {
+        "pages": counts["pages"],
+        "links": counts["links"],
+        "pages_per_sec": round(counts["pages"] / elapsed, 2),
+        "elapsed_sec": round(elapsed, 2),
+        "triangles": triangles,
+        "components": comps.select("component").distinct().count(),
+        "pagerank_iterations": len(pr_metrics),
+        "pagerank_final_delta": pr_metrics[-1].get("delta_l1"),
+        "cc_iterations": len(cc_metrics),
+        "lp_iterations": len(lp_metrics),
+        "failed_urls": g.errors.count(),
+        "out_dir": out_dir,
+    }
+    print(json.dumps(report))
+    print("top home pages by incoming links:", file=sys.stderr)
+    for r in home_pages_by_incoming_links(pages).limit(10).collect():
+        print(f"  {r['in_degree']:>8}  {r['url']}", file=sys.stderr)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
