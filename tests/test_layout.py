@@ -1,0 +1,70 @@
+"""Layout/chunking (ListChunkerTest.java:15-111 arithmetic; S5 index-layout
+pruning) and enrichment observer statistics (GraphObserver counters)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from webgraph import layout
+from webgraph.build import build_graph
+from webgraph.corpus import fixture_docs
+from webgraph.enrich import DeterministicSocialClient, EnrichmentStats, enrich_pages
+
+DOMAINS = ["alpha.example.com", "beta.example.com"]
+
+
+@pytest.mark.parametrize(
+    "n,chunk,want",
+    [
+        (0, 20, 0),
+        (1, 20, 1),
+        (20, 20, 1),
+        (21, 20, 2),
+        (100, 20, 5),
+        (101, 20, 6),
+        (5, 1, 5),
+    ],
+)
+def test_chunk_arithmetic(n, chunk, want):
+    assert layout.num_chunks(n, chunk) == want
+
+
+def test_chunk_partitions_shape(spark):
+    df = spark.range(0, 100)
+    out = layout.chunk_partitions(df, rows_per_chunk=20, total_rows=100)
+    assert out.rdd.getNumPartitions() == 5
+
+
+def test_pages_indexed_layout_prunes(spark, tmp_path):
+    g = build_graph(fixture_docs(spark, "star_in"), DOMAINS)
+    path = str(tmp_path / "pages_idx")
+    layout.write_pages_indexed(g.pages, path, partitions=2)
+    re_read = spark.read.parquet(path)
+    # directory partitioning by type: a type filter prunes partitions
+    homes = re_read.filter(F.col("type") == "home")
+    assert homes.count() == 1
+    plan = homes.explain(extended=False) or ""
+    # and the data round-trips completely
+    assert re_read.count() == g.pages.count()
+    assert set(re_read.columns) == set(g.pages.columns)
+
+
+def test_enrichment_stats_counters(spark):
+    pages = build_graph(fixture_docs(spark, "star_in"), DOMAINS).pages
+    stats = EnrichmentStats(spark)
+    out = enrich_pages(pages, DeterministicSocialClient(), stats=stats)
+    out.collect()
+    d = stats.as_dict()
+    assert d["received"] == 5 and d["updated"] == 5
+    assert d["failed"] == 0
+
+    # failure path: counters record retries and final failure
+    stats2 = EnrichmentStats(spark)
+    out2 = enrich_pages(
+        pages, DeterministicSocialClient(fail_first=99), max_retries=2, stats=stats2
+    )
+    out2.collect()
+    d2 = stats2.as_dict()
+    assert d2["failed"] == d2["received"] > 0
+    assert d2["retried"] >= 1

@@ -90,11 +90,33 @@ class DeterministicSocialClient:
         )
 
 
+class EnrichmentStats:
+    """Observer statistics (GraphObserver.java:28-85 analog): per-pass
+    counters kept as Spark accumulators — received / updated / retried /
+    failed batches. Read after an action has materialized the pass."""
+
+    def __init__(self, spark):
+        sc = spark.sparkContext
+        self.received = sc.accumulator(0)
+        self.updated = sc.accumulator(0)
+        self.retried = sc.accumulator(0)
+        self.failed = sc.accumulator(0)
+
+    def as_dict(self) -> dict[str, int]:
+        return {
+            "received": self.received.value,
+            "updated": self.updated.value,
+            "retried": self.retried.value,
+            "failed": self.failed.value,
+        }
+
+
 def enrich_pages(
     pages: DataFrame,
     client: Callable[[pd.Series, dict], pd.DataFrame] | None = None,
     max_retries: int = 10,
     retry_sleep_sec: float = 0.0,
+    stats: EnrichmentStats | None = None,
 ) -> DataFrame:
     """One enrichment pass over un-annotated pages; returns updated pages.
 
@@ -115,14 +137,22 @@ def enrich_pages(
         for pdf in batches:
             if pdf.empty:
                 continue
+            if stats:
+                stats.received.add(len(pdf))
             for attempt in range(max_retries + 1):
                 try:
                     yield client(pdf["url"], state)
+                    if stats:
+                        stats.updated.add(len(pdf))
                     break
                 except ServiceUnavailableError:
                     if attempt == max_retries:
                         # exhausted: leave these rows un-enriched
+                        if stats:
+                            stats.failed.add(len(pdf))
                         break
+                    if stats:
+                        stats.retried.add(1)
                     if retry_sleep_sec:
                         time.sleep(retry_sleep_sec)
 
