@@ -135,12 +135,23 @@ def pagerank(
             )
         )
 
+        # Materialize the new state INSIDE the timed region — the
+        # checkpoint (or localCheckpoint) is what actually executes the
+        # iteration's join+aggregate job. (Measuring before it would time
+        # plan construction only.)
+        prev_ranks = ranks
+        if ckpt:
+            ranks = ckpt.write_state(new_ranks, it)
+        else:
+            ranks = new_ranks.localCheckpoint(eager=True)
+
         # Convergence delta only when a tolerance is set; fixed-iteration
         # runs (tol <= 0, the bench mode) skip the extra join+agg pass.
+        # Computed over the materialized state (cheap re-read).
         delta = None
         if tol > 0:
             delta = (
-                new_ranks.join(ranks.withColumnRenamed("rank", "prev"), "vid", "inner")
+                ranks.join(prev_ranks.withColumnRenamed("rank", "prev"), "vid", "inner")
                 .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))))
                 .collect()[0][0]
             )
@@ -150,11 +161,8 @@ def pagerank(
             extra=(skew if it == start_iter else {}),
         )
         metrics.append(m)
-
         if ckpt:
-            ranks = ckpt.commit(new_ranks, it, m)
-        else:
-            ranks = new_ranks.localCheckpoint(eager=True)
+            ckpt.log_entry(it, m)
 
         if delta is not None and delta < tol:
             break

@@ -42,26 +42,42 @@ class CheckpointManager:
     def path(self, iteration: int) -> str:
         return os.path.join(self.dir, f"iter={iteration}")
 
+    def write_state(self, df: DataFrame, iteration: int) -> DataFrame:
+        """Write the iteration state (this executes the iteration's job)
+        and return a lineage-free re-read. Manifest line is appended
+        separately via log_entry once the caller has final metrics."""
+        p = self.path(iteration)
+        df.write.mode("overwrite").parquet(p)
+        return df.sparkSession.read.parquet(p)
+
+    def log_entry(self, iteration: int, metrics: dict[str, Any] | None = None) -> None:
+        """Append the manifest line for a state written with write_state.
+        Only after this line exists is the iteration considered committed
+        (resume reads the manifest, so a crash between write_state and
+        log_entry re-runs the iteration — idempotent overwrite)."""
+        line = {
+            "iteration": iteration,
+            "path": self.path(iteration),
+            "metrics": metrics or {},
+        }
+        with open(self.manifest, "a") as f:
+            f.write(json.dumps(line) + "\n")
+
     def commit(
         self,
         df: DataFrame,
         iteration: int,
         metrics: dict[str, Any] | None = None,
     ) -> DataFrame:
-        """Write the iteration state, append the manifest line, and return
-        a lineage-free re-read of the state."""
+        """write_state + log_entry in one step (callers that already hold
+        their metrics, e.g. CC/LP whose convergence counts execute the
+        iteration before the write)."""
         t0 = time.time()
-        p = self.path(iteration)
-        df.write.mode("overwrite").parquet(p)
-        line = {
-            "iteration": iteration,
-            "path": p,
-            "wall_sec": round(time.time() - t0, 3),
-            "metrics": metrics or {},
-        }
-        with open(self.manifest, "a") as f:
-            f.write(json.dumps(line) + "\n")
-        return df.sparkSession.read.parquet(p)
+        out = self.write_state(df, iteration)
+        m = dict(metrics or {})
+        m["checkpoint_write_sec"] = round(time.time() - t0, 3)
+        self.log_entry(iteration, m)
+        return out
 
     def entries(self) -> list[dict[str, Any]]:
         if not os.path.exists(self.manifest):

@@ -654,3 +654,199 @@ QUERIES = {
     "r_top_order_per_customer": (q_r_top_order_per_customer, o_r_top_order_per_customer),
     "r_customer_nation_revenue": (q_r_customer_nation_revenue, o_r_customer_nation_revenue),
 }
+
+
+# ------------------------------------------- dedup / similarity / stream --
+# The LSH-based operators get EXACT DuckDB oracles via a duplicated-corpus
+# construction: run the probabilistic pipeline over documents UNION
+# (documents shifted by +10000 ids). Pairs at jaccard/cosine ~1.0 are
+# retrieved by LSH with probability 1 - (1-s^r)^b ~= 1 (identical items
+# share every band), and the exact-verify stage makes precision exact, so
+# the output equals the plain SQL "all pairs above threshold" — which
+# DuckDB computes exactly.
+
+DUP_SHIFT = 10_000
+
+
+def _dup_docs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = docs.select((F.col("doc_id") + DUP_SHIFT).alias("doc_id"), "text")
+    return docs.unionByName(shifted)
+
+
+def q_d_minhash_dup_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup detection (shingle -> sign -> band ->
+    bucket-join -> exact-Jaccard verify) over the duplicated corpus."""
+    from webgraph.dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(
+        _dup_docs(spark, sf_dir), threshold=0.9, num_hashes=32, bands=8
+    )
+    return pairs.select(
+        "a", "b", F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_e6")
+    )
+
+
+def o_d_minhash_dup_pairs():
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + {DUP_SHIFT}, text FROM documents
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tok FROM base
+), idx AS (
+  SELECT doc_id, tok,
+         unnest(range(1, GREATEST(len(tok) - 2, 1) + 1)) AS i
+  FROM toks
+), tris AS (
+  SELECT DISTINCT doc_id,
+    CASE WHEN len(tok) >= 3 THEN tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
+         ELSE array_to_string(tok, ' ') END AS tri
+  FROM idx
+), sz AS (
+  SELECT doc_id, COUNT(*) AS n FROM tris GROUP BY doc_id
+), pair AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
+  FROM tris x JOIN tris y ON x.tri = y.tri AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+), j AS (
+  SELECT a, b, common / CAST(sa.n + sb.n - common AS DOUBLE) AS jac
+  FROM pair JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+)
+SELECT a, b, CAST(ROUND(jac * 1000000e0) AS BIGINT) AS jaccard_e6
+FROM j WHERE jac >= 0.9
+"""
+
+
+def q_d_simhash_signatures(spark, sf_dir):
+    """SimHash 64-bit signatures (rows-only: xxhash64 has no DuckDB
+    equivalent; pytest verifies semantics against near/far oracles)."""
+    from webgraph.dedup import simhash
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash(docs).select(F.col("id").alias("doc_id"), "simhash")
+
+
+def q_e_near_dup_pairs(spark, sf_dir):
+    """Random-hyperplane LSH embedding near-dup over duplicated vectors."""
+    from webgraph.dedup import embedding_near_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shifted = emb.select((F.col("vec_id") + DUP_SHIFT).alias("vec_id"), "embedding")
+    dup = emb.unionByName(shifted)
+    pairs = embedding_near_dup_pairs(dup, threshold=0.9999)
+    return pairs.select(
+        "a", "b", F.round(F.col("cos") * 1e4).cast("long").alias("cos_e4")
+    )
+
+
+def o_e_near_dup_pairs():
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL SELECT vec_id + {DUP_SHIFT}, embedding::DOUBLE[] FROM embeddings
+)
+SELECT x.vec_id AS a, y.vec_id AS b,
+  CAST(ROUND(list_cosine_similarity(x.v, y.v) * 10000e0) AS BIGINT) AS cos_e4
+FROM base x JOIN base y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(x.v, y.v) >= 0.9999
+"""
+
+
+def q_t_bpe_token_count(spark, sf_dir):
+    from webgraph.text import bpe_token_count
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_token_count(F.col("text")).alias("bpe_tokens"))
+
+
+def o_t_bpe_token_count():
+    return (
+        "SELECT doc_id, len(regexp_extract_all(text, "
+        "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens FROM documents"
+    )
+
+
+def q_t_langid_counts(spark, sf_dir):
+    """Heuristic language-ID distribution (rows-only: the marker regex
+    uses lookbehind, unsupported by DuckDB's RE2; pytest pins semantics)."""
+    from webgraph.text import detect_language
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(detect_language(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_e_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (rows-only: approximate by design; pytest
+    checks recall against the brute-force baseline)."""
+    from webgraph.similarity import build_ivf_index, ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    indexed, cents = build_ivf_index(emb, n_centroids=4, iters=1)
+    out = ivf_topk(indexed, cents, qvec, k=10, nprobe=2)
+    return out.select(
+        "vec_id", F.round(F.col("cos") * 1e4).cast("long").alias("cos_e4")
+    )
+
+
+_STREAM_SINK_N = [0]
+
+
+def q_s_stream_hourly(spark, sf_dir):
+    """The SAME hourly aggregation as s_event_hourly, but executed through
+    Structured Streaming (file source -> watermarked tumbling window ->
+    AvailableNow drain into a memory sink). Tumbling 1h windows align to
+    epoch, so the oracle is the batch date_trunc SQL — the batch/streaming
+    unification made checkable."""
+    from webgraph.streaming import run_to_memory_sink, windowed_event_counts
+
+    _STREAM_SINK_N[0] += 1
+    sink = f"stream_hourly_{_STREAM_SINK_N[0]}"
+    # File-source streams need a directory; select just the events file
+    # from the sf dir via pathGlobFilter.
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(sf_dir)
+    )
+    counts = windowed_event_counts(stream, "1 hour", "2 hours")
+    run_to_memory_sink(counts, sink)
+    return spark.table(sink).select(
+        F.unix_timestamp("window_start").alias("hour_epoch"),
+        "event_type",
+        "n",
+        F.round(F.col("total_value") * 1e4).cast("long").alias("total_value_e4"),
+    )
+
+
+def o_s_stream_hourly():
+    return (
+        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, "
+        "event_type, COUNT(*) AS n, "
+        "CAST(ROUND(SUM(value) * 10000e0) AS BIGINT) AS total_value_e4 "
+        "FROM events GROUP BY 1, 2"
+    )
+
+
+QUERIES.update(
+    {
+        "d_minhash_dup_pairs": (q_d_minhash_dup_pairs, o_d_minhash_dup_pairs),
+        "d_simhash_signatures": (q_d_simhash_signatures, None),
+        "e_near_dup_pairs": (q_e_near_dup_pairs, o_e_near_dup_pairs),
+        "t_bpe_token_count": (q_t_bpe_token_count, o_t_bpe_token_count),
+        "t_langid_counts": (q_t_langid_counts, None),
+        "e_ivf_topk": (q_e_ivf_topk, None),
+        "s_stream_hourly": (q_s_stream_hourly, o_s_stream_hourly),
+    }
+)

@@ -121,6 +121,35 @@ def synthetic_corpus(
     )
 
 
+def synthetic_edges(
+    spark: SparkSession,
+    n_vertices: int,
+    n_edges: int,
+    n_hubs: int = 1024,
+    hub_fraction: int = 40,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Directly generate a hub-skewed (src:long, dst:long) edge table.
+
+    Same statistical shape as extracting `synthetic_corpus` (power-law
+    hubs, deterministic xxhash64 targets) but skips the HTML round-trip —
+    used for 10^8..10^9-edge PageRank benchmarks where corpus generation,
+    not the graph algorithm, would dominate the wall clock. Edges are NOT
+    deduplicated here (dedup is part of the measured pipeline when wanted).
+    """
+    df = spark.range(
+        0, n_edges, 1, partitions or spark.sparkContext.defaultParallelism
+    )
+    i = F.col("id")
+    src = F.pmod(F.xxhash64(i, F.lit(seed)), F.lit(n_vertices))
+    h = F.xxhash64(i, F.lit(seed + 1))
+    hub = F.pmod(h, F.lit(n_hubs))
+    anywhere = F.pmod(F.shiftright(h, 8), F.lit(n_vertices))
+    dst = F.when(F.pmod(h, F.lit(100)) < hub_fraction, hub).otherwise(anywhere)
+    return df.select(src.alias("src"), dst.alias("dst"))
+
+
 def _doc(repo: str, path: str, links: list[str], seq: int, extra: str = "") -> tuple:
     body = "".join(f'<a href="{u}">x</a>' for u in links) + extra
     content = f"<html><body>{body}</body></html>"

@@ -123,11 +123,12 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    iters: int = 5,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Assign every vector to its nearest centroid bucket. At scale the
     returned frame is written partitioned by `bucket` so a query scans
     only its nprobe buckets (partition pruning does the rest)."""
-    cents = kmeans_centroids(emb, n_centroids, vec_col=vec_col, seed=seed)
+    cents = kmeans_centroids(emb, n_centroids, iters=iters, vec_col=vec_col, seed=seed)
     indexed = emb.select(
         F.col(id_col),
         F.col(vec_col),
