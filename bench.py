@@ -95,6 +95,23 @@ def run_bench(
     eps_iter = n_edges / (sum(steady) / len(steady))
     timings["pagerank_iterations"] = round(sum(iter_secs), 3)
 
+    # --- headline throughput: 30M-edge direct graph (matches the
+    # BENCH/BASELINE.md scaling configuration) ---------------------------
+    from webgraph.algos.common import from_int_edges
+    from webgraph.corpus import synthetic_edges
+
+    big_edges = int(os.environ.get("SPARK_GRAFT_BENCH_EDGES", "30000000"))
+    t0 = time.time()
+    big = from_int_edges(
+        synthetic_edges(spark, n_vertices=big_edges // 12, n_edges=big_edges,
+                        partitions=cpus * 4)
+    )
+    timings["big_graph_prep"] = round(time.time() - t0, 3)
+    _, big_metrics = pagerank(big, tol=0.0, max_iter=4, collect_skew=False)
+    big_walls = [m["wall_sec"] for m in big_metrics]
+    big_steady = sorted(big_walls[1:])[len(big_walls[1:]) // 2]
+    timings["big_pagerank_iterations"] = round(sum(big_walls), 3)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "edges_processed_per_sec_per_pagerank_iteration",
@@ -102,11 +119,13 @@ def run_bench(
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
-        "edges_per_sec_per_iteration": round(eps_iter),
-        "graph_edges": int(n_edges),
-        "graph_vertices": int(eg.num_vertices),
-        "pagerank_iters": len(iter_secs),
-        "iter_sec": iter_secs,
+        "edges_per_sec_per_iteration": round(big.edges.count() / big_steady),
+        "graph_edges": int(big_metrics[0]["messages"]),
+        "graph_vertices": int(big.num_vertices),
+        "pagerank_iter_sec": big_walls,
+        "pipeline_edges_per_sec_per_iteration": round(eps_iter),
+        "pipeline_graph_edges": int(n_edges),
+        "pipeline_iter_sec": iter_secs,
         "cpus": cpus,
     }
     if own_session:

@@ -45,6 +45,8 @@ def pagerank(
     resume: bool = False,
     salt_buckets: int = 0,
     collect_skew: bool = True,
+    checkpoint_retain: int | None = None,
+    on_iteration=None,
 ) -> tuple[DataFrame, list[dict]]:
     """Returns (ranks DataFrame ``(vid, rank)``, per-iteration metrics).
 
@@ -66,14 +68,22 @@ def pagerank(
     )
     edges_w.count()
 
-    # Dangling vertices: outdeg == 0 (left_anti against srcs).
+    # Dangling vertices: outdeg == 0 (left_anti against srcs). Counted once;
+    # a graph with none (common after dedup of a well-linked corpus) skips
+    # the per-iteration mass aggregation entirely — the dominant fixed cost
+    # at high parallelism.
     dangling = (
         g.vertices.select("vid").join(
             g.edges.select(F.col("src").alias("vid")).distinct(), "vid", "left_anti"
         )
     ).persist()
+    n_dangling = dangling.count()
 
-    ckpt = CheckpointManager(checkpoint_dir, "pagerank") if checkpoint_dir else None
+    ckpt = (
+        CheckpointManager(checkpoint_dir, "pagerank", retain=checkpoint_retain)
+        if checkpoint_dir
+        else None
+    )
     metrics: list[dict] = []
     start_iter = 0
 
@@ -111,18 +121,26 @@ def pagerank(
         else:
             summed = contribs.groupBy("vid").agg(F.sum("c").alias("contrib"))
 
-        # Dangling mass folded into the same job as the rank update: a
-        # 1-row aggregate cross-joined (broadcast) instead of a separate
-        # collect() round-trip per iteration.
-        dm_df = (
-            ranks.join(dangling, "vid", "left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
-        )
-        new_ranks = (
-            g.vertices.select("vid")
-            .join(summed, "vid", "left")
-            .crossJoin(F.broadcast(dm_df))
-            .select(
+        base = g.vertices.select("vid").join(summed, "vid", "left")
+        if n_dangling == 0:
+            # No dangling mass: the base term is a literal — skips the
+            # per-iteration mass aggregate + broadcast entirely.
+            new_ranks = base.select(
+                "vid",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        else:
+            # Dangling mass folded into the same job as the rank update: a
+            # 1-row aggregate cross-joined (broadcast) instead of a separate
+            # collect() round-trip per iteration.
+            dm_df = (
+                ranks.join(dangling, "vid", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+            )
+            new_ranks = base.crossJoin(F.broadcast(dm_df)).select(
                 "vid",
                 (
                     F.lit((1.0 - damping) / n)
@@ -133,7 +151,6 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-        )
 
         # Materialize the new state INSIDE the timed region — the
         # checkpoint (or localCheckpoint) is what actually executes the
@@ -163,6 +180,10 @@ def pagerank(
         metrics.append(m)
         if ckpt:
             ckpt.log_entry(it, m)
+        if on_iteration is not None:
+            # observer hook (progress reporting, GC nudges in long bench
+            # loops, external metrics sinks); runs outside the timed region
+            on_iteration(m)
 
         if delta is not None and delta < tol:
             break

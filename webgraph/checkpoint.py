@@ -34,10 +34,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class CheckpointManager:
-    def __init__(self, root: str, name: str):
+    def __init__(self, root: str, name: str, retain: int | None = None):
+        """`retain`: keep only the newest N state directories (older
+        manifest entries stay for lineage/metrics history, but their data
+        is pruned — resume only ever needs the latest snapshot). None =
+        keep everything."""
         self.dir = os.path.join(root, name)
         os.makedirs(self.dir, exist_ok=True)
         self.manifest = os.path.join(self.dir, "_manifest.jsonl")
+        self.retain = retain
 
     def path(self, iteration: int) -> str:
         return os.path.join(self.dir, f"iter={iteration}")
@@ -62,6 +67,17 @@ class CheckpointManager:
         }
         with open(self.manifest, "a") as f:
             f.write(json.dumps(line) + "\n")
+        if self.retain is not None:
+            self._prune(keep_newest_than=iteration - self.retain)
+
+    def _prune(self, keep_newest_than: int) -> None:
+        import re
+        import shutil
+
+        for entry in os.listdir(self.dir):
+            m = re.fullmatch(r"iter=(\d+)", entry)
+            if m and int(m.group(1)) <= keep_newest_than:
+                shutil.rmtree(os.path.join(self.dir, entry), ignore_errors=True)
 
     def commit(
         self,

@@ -69,6 +69,19 @@ def get_spark(
         .config(
             "spark.driver.memory", os.environ.get("WEBGRAPH_DRIVER_MEM", "32g")
         )
+        # Shuffle/spill dir on tmpfs when available: /tmp here is a real
+        # disk and serializes shuffle I/O across cores (measured: PageRank
+        # scaling 2->8 cores capped at ~0.7 efficiency on disk). On a real
+        # cluster executors get node-local SSDs via spark.local.dir.
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "WEBGRAPH_LOCAL_DIR",
+                "/dev/shm/webgraph-spark"
+                if os.path.isdir("/dev/shm")
+                else "/tmp",
+            ),
+        )
     )
     if master is not None:
         builder = builder.master(master)
