@@ -1,0 +1,115 @@
+"""Physical-plan assertions: the optimizer contracts this engine relies on
+(task brief: '.explain the plan and iterate until it's the plan you'd
+want'). These tests fail if a future change silently degrades a plan —
+e.g. a filter stops pushing to the scan or top-k becomes a global sort."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from webgraph import queries as Q
+from webgraph.build import build_graph
+from webgraph.corpus import fixture_docs, synthetic_corpus
+
+
+def plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def parquet_graph(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("plans")
+    g = build_graph(synthetic_corpus(spark, 2000, seed=11), ["example.com"])
+    g.pages.write.parquet(str(d / "pages"))
+    g.edges.write.parquet(str(d / "edges"))
+    return (
+        spark.read.parquet(str(d / "pages")),
+        spark.read.parquet(str(d / "edges")),
+    )
+
+
+def test_point_lookup_pushes_filter_to_scan(parquet_graph):
+    pages, _ = parquet_graph
+    plan = plan_of(Q.page_by_url(pages, "https://www.site-0.example.com/"))
+    assert "PushedFilters" in plan
+    assert "EqualTo(url,https://www.site-0.example.com/)" in plan.replace("'", "")
+
+
+def test_column_pruning_reads_only_needed_columns(parquet_graph):
+    pages, _ = parquet_graph
+    plan = plan_of(pages.select("url", "in_degree").filter(F.col("in_degree") > 5))
+    # ReadSchema must not include content (the wide column)
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "content" not in read_schema
+    assert "url" in read_schema and "in_degree" in read_schema
+
+
+def test_topk_compiles_to_take_ordered_not_global_sort(parquet_graph):
+    pages, edges = parquet_graph
+    plan = plan_of(Q.top_pages_by_incoming_links(pages, edges, k=50))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_covers_scalar_pipeline(spark):
+    from webgraph.extract import with_url
+    from webgraph.urls import extract_domain
+
+    docs = fixture_docs(spark, "star_in")
+    df = with_url(docs).select(extract_domain(F.col("url")).alias("d"))
+    plan = plan_of(df, mode="simple")
+    # '*(n)' prefixes mark WholeStageCodegen stages in simple mode
+    assert "*(1)" in plan
+    # no Python evaluation anywhere in the scalar path
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_small_dim_join_broadcasts(parquet_graph, spark):
+    pages, edges = parquet_graph
+    # J5-style: tiny filtered page side joined to edges
+    plan = plan_of(Q.cross_domain_links(pages, edges, "site-0", threshold=1))
+    assert "BroadcastHashJoin" in plan or "broadcast" in plan.lower()
+
+
+def test_pagerank_iteration_reuses_cached_edges(spark):
+    """The stationary weighted-edge side must be an InMemoryTableScan in
+    the iteration plan — the layout-reuse that makes iterations cheap."""
+    from webgraph.algos import encode_graph
+    from webgraph.build import build_graph as bg
+
+    g = bg(fixture_docs(spark, "star_in"), ["alpha.example.com"])
+    eg = encode_graph(g.edges)
+    out_deg = eg.edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edges_w = (
+        eg.edges.join(out_deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .persist()
+    )
+    edges_w.count()
+    ranks = eg.vertices.select("vid", F.lit(0.2).alias("rank"))
+    it_plan = plan_of(
+        edges_w.join(ranks, edges_w.src == ranks.vid).groupBy(edges_w.dst).agg(
+            F.sum(F.col("w") * F.col("rank"))
+        ),
+        mode="simple",
+    )
+    assert "InMemoryTableScan" in it_plan
+    edges_w.unpersist()
+
+
+def test_enrichment_is_arrow_not_row_python(spark):
+    from webgraph.build import build_graph as bg
+    from webgraph.enrich import enrich_pages
+
+    pages = bg(fixture_docs(spark, "star_in"), ["alpha.example.com"]).pages
+    plan = plan_of(enrich_pages(pages), mode="simple")
+    # mapInPandas shows up as MapInPandas (Arrow); row-python would be
+    # BatchEvalPython
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
