@@ -850,3 +850,71 @@ QUERIES.update(
         "s_stream_hourly": (q_s_stream_hourly, o_s_stream_hourly),
     }
 )
+
+
+# ------------------------------------------------------- set ops / misc --
+
+
+def q_r_set_ops(spark, sf_dir):
+    """INTERSECT/EXCEPT surface (SURVEY §2.7 'absent in reference,
+    built-in here'): customers with orders in both priority classes minus
+    automobile-segment ones."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    auto = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return urgent.intersect(high).exceptAll(auto.distinct()).select("custkey")
+
+
+def o_r_set_ops():
+    return """
+SELECT custkey FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+) EXCEPT ALL
+SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+"""
+
+
+def q_g_triangles_per_vertex(spark, sf_dir):
+    """Per-vertex triangle attribution (J7 extension)."""
+    from webgraph.algos.triangles import triangle_count_per_vertex
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    return triangle_count_per_vertex(g).select("vid", "triangles")
+
+
+def o_g_triangles_per_vertex():
+    return f"""
+WITH e AS ({EDGES_SQL}),
+v AS ({VERTS_SQL}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e WHERE src <> dst),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1 JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS vid FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+),
+cnt AS (SELECT vid, COUNT(*) AS triangles FROM corners GROUP BY vid)
+SELECT v.vid, COALESCE(c.triangles, 0) AS triangles
+FROM v LEFT JOIN cnt c USING (vid)
+"""
+
+
+QUERIES.update(
+    {
+        "r_set_ops": (q_r_set_ops, o_r_set_ops),
+        "g_triangles_per_vertex": (q_g_triangles_per_vertex, o_g_triangles_per_vertex),
+    }
+)
