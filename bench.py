@@ -120,13 +120,17 @@ def run_bench(
     timings["big_pagerank_iterations"] = round(sum(big_walls), 3)
 
     total = round(sum(timings.values()), 3)
+    eps_big = round(big.edges.count() / big_steady)
+    # value IS the BASELINE.json primary metric (edges-processed/sec per
+    # PageRank iteration); total wall-clock lives in total_bench_sec.
     result = {
         "metric": "edges_processed_per_sec_per_pagerank_iteration",
-        "value": total,
-        "unit": "sec",
+        "value": eps_big,
+        "unit": "edges/sec/iteration",
         "queries": timings,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
-        "edges_per_sec_per_iteration": round(big.edges.count() / big_steady),
+        "total_bench_sec": total,
+        "edges_per_sec_per_iteration": eps_big,
         "graph_edges": int(big_metrics[0]["messages"]),
         "graph_vertices": int(big.num_vertices),
         "pagerank_iter_sec": big_walls,

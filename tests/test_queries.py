@@ -51,7 +51,7 @@ def test_point_lookup(graph):
 
 
 def test_count_links_to(graph):
-    assert Q.count_links_to(graph.pages, graph.edges, HOME_A).collect()[0][
+    assert Q.count_links_to(graph.edges, HOME_A).collect()[0][
         "linking_pages"
     ] == 4
 

@@ -121,7 +121,8 @@ def main(argv: list[str] | None = None) -> int:
         "triangles": triangles,
         "components": comps.select("component").distinct().count(),
         "pagerank_iterations": len(pr_metrics),
-        "pagerank_final_delta": pr_metrics[-1].get("delta_l1"),
+        # resumed runs may have nothing left to iterate -> metrics == []
+        "pagerank_final_delta": pr_metrics[-1].get("delta_l1") if pr_metrics else None,
         "cc_iterations": len(cc_metrics),
         "lp_iterations": len(lp_metrics),
         "failed_urls": g.errors.count(),

@@ -71,7 +71,7 @@ def build_graph(
         ).alias("content")
     )
 
-    raw_links = extract_raw_links(docs_u.select("lang", "content", "repo", "path"))
+    raw_links = extract_raw_links(docs_u.select("url", "lang", "content"))
     cleaned = raw_links.select(
         F.col("src"), clean_url(F.col("dst_raw")).alias("dst")
     )

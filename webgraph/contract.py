@@ -719,12 +719,85 @@ FROM j WHERE jac >= 0.9
 
 
 def q_d_simhash_signatures(spark, sf_dir):
-    """SimHash 64-bit signatures (rows-only: xxhash64 has no DuckDB
-    equivalent; pytest verifies semantics against near/far oracles)."""
+    """SimHash 64-bit signatures. The token hash is the portable
+    polynomial-31 fold (webgraph.dedup.token_hash), so the exact signature
+    is reproducible in plain integer SQL on DuckDB."""
     from webgraph.dedup import simhash
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return simhash(docs).select(F.col("id").alias("doc_id"), "simhash")
+
+
+_SIMHASH_SIG_SQL: str | None = None
+
+
+def _simhash_sig_sql() -> str:
+    """Shared CTE body computing (doc_id, simhash) — the verbatim integer
+    arithmetic of webgraph.dedup.simhash/token_hash/mix_bit."""
+    global _SIMHASH_SIG_SQL
+    if _SIMHASH_SIG_SQL is not None:
+        return _SIMHASH_SIG_SQL
+    from webgraph.dedup import _MIX_BASE, _MIX_STEP, POLY_MOD
+
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN ((h*{_MIX_BASE + _MIX_STEP * i} + {i}) % {POLY_MOD}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    assemble = " + ".join(
+        ["(CASE WHEN b63 > 0 THEN CAST(-9223372036854775807 AS BIGINT) - 1 "
+         "ELSE CAST(0 AS BIGINT) END)"]
+        + [f"(CASE WHEN b{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE 0 END)"
+           for i in range(63)]
+    )
+    _SIMHASH_SIG_SQL = f"""
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, len(tok)+1),
+                     i -> CAST(ord(substr(tok, CAST(i AS INT), 1)) AS BIGINT))),
+    (h, c) -> (h*31 + c) % {POLY_MOD}) AS h
+  FROM toks
+), votes AS (
+  SELECT doc_id, {votes}
+  FROM th GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, {assemble} AS simhash FROM votes
+)"""
+    return _SIMHASH_SIG_SQL
+
+
+def o_d_simhash_signatures():
+    return f"WITH {_simhash_sig_sql()} SELECT doc_id, simhash FROM sigs"
+
+
+def q_d_simhash_near_pairs(spark, sf_dir):
+    """SimHash near-dup pairs, hamming <= 3 with 8 banded chunks. The
+    pigeonhole bound makes banded retrieval EXACT for hamming < bands, so
+    the all-pairs DuckDB oracle is an exact check (not just recall)."""
+    from webgraph.dedup import simhash, simhash_near_pairs
+
+    docs = _dup_docs(spark, sf_dir)
+    sigs = simhash(docs)
+    return simhash_near_pairs(sigs, max_hamming=3, bands=8)
+
+
+def o_d_simhash_near_pairs():
+    sig = _simhash_sig_sql().replace(
+        "FROM documents",
+        f"FROM (SELECT doc_id, text FROM documents UNION ALL "
+        f"SELECT doc_id + {DUP_SHIFT}, text FROM documents)",
+    )
+    return f"""
+WITH {sig}
+SELECT x.doc_id AS a, y.doc_id AS b,
+       bit_count(xor(x.simhash, y.simhash)) AS hamming
+FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+"""
 
 
 def q_e_near_dup_pairs(spark, sf_dir):
@@ -768,8 +841,9 @@ def o_t_bpe_token_count():
 
 
 def q_t_langid_counts(spark, sf_dir):
-    """Heuristic language-ID distribution (rows-only: the marker regex
-    uses lookbehind, unsupported by DuckDB's RE2; pytest pins semantics)."""
+    """Heuristic language-ID distribution. Marker scoring is whitespace-
+    token equality counting (webgraph.text._count_markers), so the oracle
+    is the identical list_filter arithmetic in DuckDB."""
     from webgraph.text import detect_language
 
     docs = load(spark, sf_dir, "documents")
@@ -778,6 +852,39 @@ def q_t_langid_counts(spark, sf_dir):
         .groupBy("lang_pred")
         .agg(F.count("*").alias("n"))
     )
+
+
+def o_t_langid_counts():
+    """Exact replica of detect_language's fold: winner = FIRST language in
+    LANG_MARKERS order achieving the max marker-hit count, provided the max
+    is > 0, else 'und' (later langs replace only on strictly-greater score,
+    so the first max-achiever wins)."""
+    from webgraph.text import LANG_MARKERS
+
+    langs = list(LANG_MARKERS)
+    score_cols = []
+    for k, ws in LANG_MARKERS.items():
+        in_list = ", ".join(f"'{w}'" for w in ws)
+        score_cols.append(
+            f"len(list_filter(tok, t -> t IN ({in_list}))) AS s_{k}"
+        )
+    # CASE arm for lang i: score > 0 AND score >= every LATER lang's score
+    arms = []
+    for i, k in enumerate(langs):
+        later = [f"s_{k} >= s_{k2}" for k2 in langs[i + 1 :]]
+        cond = " AND ".join([f"s_{k} > 0"] + later)
+        arms.append(f"WHEN {cond} THEN '{k}'")
+    case = "CASE " + " ".join(arms) + " ELSE 'und' END"
+    return f"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS tok FROM documents
+), s AS (
+  SELECT {", ".join(score_cols)} FROM toks
+), lab AS (
+  SELECT {case} AS lang_pred FROM s
+)
+SELECT lang_pred, COUNT(*) AS n FROM lab GROUP BY lang_pred
+"""
 
 
 def q_e_ivf_topk(spark, sf_dir):
@@ -842,10 +949,11 @@ def o_s_stream_hourly():
 QUERIES.update(
     {
         "d_minhash_dup_pairs": (q_d_minhash_dup_pairs, o_d_minhash_dup_pairs),
-        "d_simhash_signatures": (q_d_simhash_signatures, None),
+        "d_simhash_signatures": (q_d_simhash_signatures, o_d_simhash_signatures),
+        "d_simhash_near_pairs": (q_d_simhash_near_pairs, o_d_simhash_near_pairs),
         "e_near_dup_pairs": (q_e_near_dup_pairs, o_e_near_dup_pairs),
         "t_bpe_token_count": (q_t_bpe_token_count, o_t_bpe_token_count),
-        "t_langid_counts": (q_t_langid_counts, None),
+        "t_langid_counts": (q_t_langid_counts, o_t_langid_counts),
         "e_ivf_topk": (q_e_ivf_topk, None),
         "s_stream_hourly": (q_s_stream_hourly, o_s_stream_hourly),
     }

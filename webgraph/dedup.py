@@ -221,29 +221,58 @@ def minhash_dedup_pairs(
 # ------------------------------------------------------------- simhash --
 
 
+# Portable hash parameters: polynomial-31 token hash mod a 30-bit prime,
+# re-mixed per bit with multipliers < 2^32 so every product stays < 2^62 —
+# no BIGINT overflow in engines that (unlike the JVM) refuse to wrap.
+POLY_MOD = 1_000_000_007
+_MIX_BASE = 2_654_435_761  # Knuth's 2^32 / phi
+_MIX_STEP = 40_503
+
+
+def token_hash(tok) -> "F.Column":
+    """Engine-portable token hash: fold (h*31 + charcode) % POLY_MOD over
+    the characters. Chosen over xxhash64 so signatures are reproducible in
+    plain integer SQL (the DuckDB oracle computes the identical fold)."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(tok)),
+        lambda i: F.ascii(F.substr(tok, i, F.lit(1))).cast("long"),
+    )
+    h = F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, c: (acc * 31 + c) % POLY_MOD
+    )
+    # sequence(1, 0) is DESCENDING in Spark; guard the empty token
+    return F.when(F.length(tok) == 0, F.lit(0).cast("long")).otherwise(h)
+
+
+def mix_bit(h, i: int) -> "F.Column":
+    """Pseudo-random bit i of token-hash h, portable integer arithmetic."""
+    return ((h * F.lit(_MIX_BASE + _MIX_STEP * i) + F.lit(i)) % POLY_MOD) % 2
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, simhash: long) 64-bit SimHash: per-token xxhash64, each bit
-    votes +1/-1, signature bit = sign of the vote sum. Pure built-ins:
+    """(id, simhash: long) 64-bit SimHash: per-token portable hash, each
+    bit votes +1/-1 (duplicate tokens vote repeatedly = frequency
+    weighting), signature bit = sign of the vote sum. Pure built-ins:
     explode tokens -> per-bit vote columns -> sum -> reassemble bits."""
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", token_hash(F.col("tok")))
     votes = tok.groupBy("id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
+            F.sum(F.when(mix_bit(F.col("h"), i) == 1, 1).otherwise(-1)).alias(f"b{i}")
             for i in range(64)
         ]
     )
-    sig = F.lit(0).cast("long")
-    for i in range(64):
-        sig = sig.bitwiseOR(
-            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
+    # bits are disjoint, so sum == bitwise-or; bit 63 is the sign bit and
+    # must be added as long-min (1<<63 overflows engines that check).
+    sig = F.when(F.col("b63") > 0, F.lit(-(2**63)).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+    for i in range(63):
+        sig = sig + F.when(
+            F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     return votes.select("id", sig.alias("simhash"))
 
 

@@ -39,13 +39,12 @@ def extract_raw_links(docs: DataFrame) -> DataFrame:
     Mirrors HtmlParseData.getOutgoingUrls() (HtmlOnlyCrawler.java:169-176)
     minus crawler4j's URL canonicalization, which our normalize/filter
     stage performs instead. Non-markup rows produce no links but still
-    become pages.
+    become pages. If `docs` already carries a `url` column it is reused
+    (build_graph computes it once for the whole pipeline).
     """
     markup = F.lower(F.col("lang")).isin(*MARKUP_LANGS)
     links = F.when(
         markup, F.regexp_extract_all(F.col("content"), F.lit(HREF_RE), 1)
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        with_url(docs)
-        .select(F.col("url").alias("src"), F.explode(links).alias("dst_raw"))
-    )
+    base = docs if "url" in docs.columns else with_url(docs)
+    return base.select(F.col("url").alias("src"), F.explode(links).alias("dst_raw"))

@@ -27,7 +27,7 @@ def page_by_url(pages: DataFrame, url: str) -> DataFrame:
     )
 
 
-def count_links_to(pages: DataFrame, edges: DataFrame, url: str) -> DataFrame:
+def count_links_to(edges: DataFrame, url: str) -> DataFrame:
     """Count pages linking to a given page (README.md:86-90)."""
     return edges.filter(F.col("dst") == F.lit(url)).agg(
         F.count("*").alias("linking_pages")

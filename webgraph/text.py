@@ -48,15 +48,13 @@ def bpe_token_count(text: Column) -> Column:
 
 
 def _count_markers(text_lc: Column, words: tuple[str, ...]) -> Column:
-    padded = F.concat(F.lit(" "), text_lc, F.lit(" "))
-    c = F.lit(0)
-    for w in words:
-        # occurrences of ' w ' — cheap containment count via length diff
-        c = c + (
-            F.length(padded)
-            - F.length(F.regexp_replace(padded, rf"(?<=\s){w}(?=\s)", ""))
-        ) / len(w)
-    return c.cast("long")
+    """Whitespace-token occurrences of the marker words (duplicates count).
+
+    Deliberately lookbehind-free: token-equality counting is expressible
+    verbatim in any engine (DuckDB oracle: len(list_filter(tokens, ...))),
+    unlike the regex `(?<=\\s)w(?=\\s)` formulation RE2 rejects."""
+    toks = tokens(text_lc)
+    return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
 
 
 def language_scores(text: Column) -> Column:
