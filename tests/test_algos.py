@@ -169,3 +169,46 @@ def test_metrics_shape(spark):
     # fixed-iteration mode (tol<=0) skips the delta pass entirely
     _, fast = pagerank(eg, max_iter=2, tol=0, collect_skew=False)
     assert all("delta_l1" not in m for m in fast)
+
+
+def test_per_vertex_triangles_degree_ordered_on_hub_graph(spark):
+    """Degree-ordered orientation must (a) keep per-vertex attribution
+    identical to plain-vid orientation and (b) cut the wedge count on a
+    hub-skewed graph — the blowup the ordering exists to kill."""
+    from pyspark.sql import functions as F
+
+    from webgraph.algos.common import from_int_edges
+    from webgraph.algos.triangles import _oriented, triangle_count_per_vertex
+
+    # hub in the MIDDLE of the vid range (plain src<dst orientation then
+    # gives it both in- and out-edges -> O(n^2) wedges through it);
+    # consecutive leaves linked -> triangles (i, i+1, hub)
+    n, hub = 61, 30
+    edges = [(i, hub) for i in range(n) if i != hub] + [
+        (i, i + 1) for i in range(n - 1)
+    ]
+    eg = from_int_edges(
+        spark.createDataFrame(edges, "src long, dst long")
+    )
+
+    def wedge_count(degree_ordered):
+        e = _oriented(eg, degree_ordered)
+        e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+        return e1.join(e2, "b").count()
+
+    plain, ordered = wedge_count(False), wedge_count(True)
+    assert ordered * 5 < plain  # hub wedges gone under degree ordering
+
+    per_plain = {
+        r["vid"]: r["triangles"]
+        for r in triangle_count_per_vertex(eg, degree_ordered=False).collect()
+    }
+    per_ordered = {
+        r["vid"]: r["triangles"]
+        for r in triangle_count_per_vertex(eg, degree_ordered=True).collect()
+    }
+    assert per_plain == per_ordered
+    # every leaf-chain edge not touching the hub closes a triangle with it
+    assert per_ordered[hub] == n - 3
+    assert per_ordered[0] == 1 and per_ordered[1] == 2

@@ -259,3 +259,29 @@ def test_streaming_incremental_edge_merge(spark, tmp_path):
     q2 = st.incremental_edge_merge(spark, docs_stream, state, ["alpha.example.com"], ck)
     q2.awaitTermination()
     assert spark.read.parquet(f"{state}/edges").count() == 4
+
+
+def test_ivf_scales_to_many_centroids(spark):
+    """k=256 smoke: centroid assignment must plan via the broadcast
+    centroid join (O(1) expression size in k), not a k x dim literal
+    when-chain — the latter collapses Catalyst/codegen at realistic k."""
+    import random
+
+    from webgraph import similarity
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [float(rnd.uniform(-1, 1)) for _ in range(8)]) for i in range(2000)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    indexed, cents = similarity.build_ivf_index(emb, n_centroids=256, iters=1)
+    assert len(cents) == 256
+    stats = indexed.agg(
+        F.countDistinct("bucket").alias("nb"),
+        F.min("bucket").alias("lo"),
+        F.max("bucket").alias("hi"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert stats["n"] == 2000
+    assert 0 <= stats["lo"] and stats["hi"] <= 255
+    assert stats["nb"] > 32  # vectors actually spread over the buckets

@@ -113,3 +113,23 @@ def test_enrichment_is_arrow_not_row_python(spark):
     # BatchEvalPython
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ivf_assignment_plans_broadcast_join_not_literal_chain(spark):
+    """Centroid assignment = BroadcastNestedLoopJoin + partial-agg min:
+    the shuffle carries |base| rows regardless of k, and the plan contains
+    no unrolled per-centroid literals (expression size O(1) in k)."""
+    from webgraph.similarity import assign_buckets, centroid_frame
+
+    base = spark.range(100).select(
+        F.col("id"), F.array(F.lit(0.1), F.lit(0.2)).alias("v")
+    )
+    cents = centroid_frame(spark, [[0.0, 0.0], [1.0, 1.0], [2.0, 2.0]])
+    plan = plan_of(assign_buckets(base, cents))
+    assert "BroadcastNestedLoopJoin" in plan
+    # partial + final aggregate pair: the k candidate rows per id collapse
+    # map-side before any exchange (struct-min buffers plan as SortAggregate)
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
+    # the distance is computed against the joined cvec column, never
+    # against unrolled centroid literals
+    assert "2.0" not in plan or plan.count("2.0") <= 2

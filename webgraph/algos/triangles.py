@@ -12,10 +12,12 @@ the fixture oracle (FIXTURES.md: "self-edge ... triangle count unaffected").
 
 Scale notes: orientation halves the edge set and bounds the wedge join by
 sum(min(deg...)); Catalyst picks SMJ on the vid keys, AQE splits skewed
-wedge partitions. The degree-ordered orientation variant (orient by
-(degree, vid) instead of vid) cuts wedge counts on power-law graphs by
-orders of magnitude; count-only results are identical, so `degree_ordered`
-enables it (per-vertex attribution requires plain vid orientation).
+wedge partitions. Degree-ordered orientation (orient by (degree, vid)
+instead of vid) cuts wedge counts on power-law graphs by orders of
+magnitude and still enumerates every triangle exactly once WITH all three
+corner vids intact — so both the total count and per-vertex attribution
+use it (a hub's wedges are enumerated from its low-degree neighbors, never
+quadratically from the hub itself).
 """
 
 from __future__ import annotations
@@ -61,9 +63,15 @@ def triangle_count(g: EncodedGraph, degree_ordered: bool = True) -> int:
     return n
 
 
-def triangle_count_per_vertex(g: EncodedGraph) -> DataFrame:
-    """(vid, triangles) — each triangle credited to all three corners."""
-    e = _oriented(g, degree_ordered=False).persist()
+def triangle_count_per_vertex(g: EncodedGraph, degree_ordered: bool = True) -> DataFrame:
+    """(vid, triangles) — each triangle credited to all three corners.
+
+    Uses degree-ordered orientation by default: the oriented triangle set
+    is identical to the plain-vid one (each undirected triangle appears
+    exactly once), only the (a, b, c) role assignment differs — and the
+    corners union below is role-agnostic, so attribution is unchanged
+    while hub-wedge blowup is avoided (see module docstring)."""
+    e = _oriented(g, degree_ordered).persist()
     e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     wedges = e1.join(e2, "b")

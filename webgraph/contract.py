@@ -888,8 +888,12 @@ SELECT lang_pred, COUNT(*) AS n FROM lab GROUP BY lang_pred
 
 
 def q_e_ivf_topk(spark, sf_dir):
-    """IVF approximate top-k (rows-only: approximate by design; pytest
-    checks recall against the brute-force baseline)."""
+    """IVF top-k through the full index pipeline (k-means quantizer ->
+    bucket assignment -> probe). Contract mode probes ALL buckets
+    (nprobe = n_centroids), which reduces IVF to exact brute force — so
+    the DuckDB brute-force SQL is an exact oracle of the whole pipeline's
+    plumbing. The approximate regime (nprobe < n_centroids) is pinned by
+    the pytest recall test instead."""
     from webgraph.similarity import build_ivf_index, ivf_topk
 
     emb = load(spark, sf_dir, "embeddings")
@@ -897,10 +901,21 @@ def q_e_ivf_topk(spark, sf_dir):
         float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
     ]
     indexed, cents = build_ivf_index(emb, n_centroids=4, iters=1)
-    out = ivf_topk(indexed, cents, qvec, k=10, nprobe=2)
+    out = ivf_topk(indexed, cents, qvec, k=10, nprobe=len(cents))
     return out.select(
         "vec_id", F.round(F.col("cos") * 1e4).cast("long").alias("cos_e4")
     )
+
+
+def o_e_ivf_topk():
+    return """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+  CAST(ROUND(10000e0 * list_cosine_similarity(embedding::DOUBLE[], (SELECT qe FROM q))) AS BIGINT) AS cos_e4
+FROM embeddings
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], (SELECT qe FROM q)) DESC, vec_id ASC
+LIMIT 10
+"""
 
 
 _STREAM_SINK_N = [0]
@@ -954,7 +969,7 @@ QUERIES.update(
         "e_near_dup_pairs": (q_e_near_dup_pairs, o_e_near_dup_pairs),
         "t_bpe_token_count": (q_t_bpe_token_count, o_t_bpe_token_count),
         "t_langid_counts": (q_t_langid_counts, o_t_langid_counts),
-        "e_ivf_topk": (q_e_ivf_topk, None),
+        "e_ivf_topk": (q_e_ivf_topk, o_e_ivf_topk),
         "s_stream_hourly": (q_s_stream_hourly, o_s_stream_hourly),
     }
 )

@@ -64,57 +64,90 @@ def brute_force_topk(
     )
 
 
+def centroid_frame(spark, centroids: list[list[float]]) -> DataFrame:
+    """(bucket, cvec) — the broadcast side of centroid assignment. The
+    driver holds only the k x dim list; it ships to executors once as a
+    broadcast relation, NOT as a Catalyst literal tree (a k x dim
+    when-chain collapses codegen at realistic k >= 1024)."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "bucket int, cvec array<double>",
+    )
+
+
+def assign_buckets(
+    base: DataFrame, cent_df: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """base(id, v [, carry...]) -> (id, v, carry..., bucket): nearest
+    centroid by squared L2, deterministic ties to the lowest bucket id.
+
+    Plan shape: BroadcastNestedLoopJoin (k rows per input row, emitted
+    consecutively) -> hash aggregate whose map-side partial min collapses
+    the k candidates back to 1 row per id BEFORE the exchange — the shuffle
+    carries |base| rows regardless of k, and the expression tree is O(1)
+    in k (the distance lambda is evaluated against the joined cvec column,
+    not unrolled literals)."""
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    scored = base.join(F.broadcast(cent_df)).select(
+        "id",
+        "v",
+        *carry,
+        F.struct(d2.alias("d2"), F.col("bucket").alias("b")).alias("_db"),
+    )
+    aggs = [F.first(c).alias(c) for c in ("v", *carry)]  # constant per id
+    return (
+        scored.groupBy("id")
+        .agg(*aggs, F.min("_db").alias("_m"))
+        .select("id", "v", *carry, F.col("_m.b").alias("bucket"))
+    )
+
+
 def kmeans_centroids(
     emb: DataFrame,
     n_centroids: int = 16,
     iters: int = 5,
+    id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> list[list[float]]:
     """Deterministic Lloyd's k-means for the IVF coarse quantizer.
 
-    Init: centroids = the rows whose xxhash64(id) mod ... picks a stable
-    pseudo-random sample. Each iteration: assign (broadcast centroids,
-    argmin distance, built-ins) -> recompute means (posexplode + groupBy).
-    Driver holds only the k x dim centroid list (tiny)."""
-    base = emb.select(_as_double(F.col(vec_col)).alias("v")).persist()
+    Init: the n_centroids rows ranked first by a seeded content hash (a
+    stable pseudo-random sample). Each iteration: assign via the broadcast
+    centroid join (assign_buckets) -> recompute means fully distributed
+    (posexplode + groupBy). The driver holds only the k x dim centroid
+    list (tiny); at no point does the plan embed k x dim literals."""
+    base = emb.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).persist()
     cents = [
         [float(x) for x in r["v"]]
         for r in base.orderBy(F.xxhash64(F.col("v").cast("string"), F.lit(seed)))
         .limit(n_centroids)
         .collect()
     ]
+    spark = emb.sparkSession
     for _ in range(iters):
-        assigned = base.withColumn("c", _nearest_centroid(F.col("v"), cents))
+        assigned = assign_buckets(base, centroid_frame(spark, cents))
         means = (
-            assigned.select("c", F.posexplode("v").alias("pos", "val"))
-            .groupBy("c", "pos")
+            assigned.select("bucket", F.posexplode("v").alias("pos", "val"))
+            .groupBy("bucket", "pos")
             .agg(F.avg("val").alias("m"))
-            .groupBy("c")
+            .groupBy("bucket")
             .agg(F.sort_array(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("c", F.transform("pm", lambda s: s.getField("m")).alias("centroid"))
+            .select(
+                "bucket", F.transform("pm", lambda s: s.getField("m")).alias("centroid")
+            )
             .collect()
         )
-        new = {r["c"]: [float(x) for x in r["centroid"]] for r in means}
-        cents = [new.get(i, cents[i]) for i in range(n_centroids)]
+        new = {r["bucket"]: [float(x) for x in r["centroid"]] for r in means}
+        cents = [new.get(i, cents[i]) for i in range(len(cents))]
     base.unpersist()
     return cents
-
-
-def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
-    best_idx = F.lit(0)
-    best_d = F.lit(float("inf"))
-    for i, c in enumerate(centroids):
-        clit = F.array(*[F.lit(x) for x in c])
-        d = F.aggregate(
-            F.zip_with(vec, clit, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-        cond = d < best_d
-        best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
-        best_d = F.when(cond, d).otherwise(best_d)
-    return best_idx
 
 
 def build_ivf_index(
@@ -128,11 +161,17 @@ def build_ivf_index(
     """Assign every vector to its nearest centroid bucket. At scale the
     returned frame is written partitioned by `bucket` so a query scans
     only its nprobe buckets (partition pruning does the rest)."""
-    cents = kmeans_centroids(emb, n_centroids, iters=iters, vec_col=vec_col, seed=seed)
-    indexed = emb.select(
-        F.col(id_col),
-        F.col(vec_col),
-        _nearest_centroid(_as_double(F.col(vec_col)), cents).alias("bucket"),
+    cents = kmeans_centroids(
+        emb, n_centroids, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("v"),
+        F.col(vec_col).alias("_orig"),
+    )
+    assigned = assign_buckets(base, centroid_frame(emb.sparkSession, cents), ("_orig",))
+    indexed = assigned.select(
+        F.col("id").alias(id_col), F.col("_orig").alias(vec_col), "bucket"
     )
     return indexed, cents
 
