@@ -251,14 +251,53 @@ def test_streaming_incremental_edge_merge(spark, tmp_path):
         spark, docs_stream, state, ["alpha.example.com"], ck
     )
     q.awaitTermination()
-    edges = spark.read.parquet(f"{state}/edges")
+    edges = st.read_edge_state(spark, state)
     assert edges.count() == 4  # the 4 star edges, deduplicated
 
-    # second batch: same docs again -> still 4 (idempotent merge)
+    # second batch: same docs again -> still 4 (idempotent merge), and the
+    # batch directory holds ONLY the delta (zero rows), not a table rewrite
     fixture_docs(spark, "star_in").select(DOC_COLUMNS).write.mode("append").parquet(in_dir)
     q2 = st.incremental_edge_merge(spark, docs_stream, state, ["alpha.example.com"], ck)
     q2.awaitTermination()
-    assert spark.read.parquet(f"{state}/edges").count() == 4
+    assert st.read_edge_state(spark, state).count() == 4
+    entries = st._edge_manifest_entries(state)
+    assert [e["rows"] for e in entries] == [4, 0]
+    for e in entries:  # per-batch dirs contain exactly the delta rows
+        assert spark.read.parquet(e["path"]).count() == e["rows"]
+
+
+def test_incremental_merge_crash_before_commit_is_replay_safe(spark, tmp_path):
+    """A batch directory written WITHOUT its manifest line (crash between
+    the parquet write and the commit append) is invisible to readers and
+    safely overwritten when the batch replays."""
+    from webgraph import streaming as st
+    from webgraph.corpus import fixture_docs
+
+    in_dir = str(tmp_path / "docs_in")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    fixture_docs(spark, "star_in").write.parquet(in_dir)
+
+    # simulate the crash: orphan batch dir exists, no manifest
+    orphan = f"{state}/edges/batch=0"
+    spark.createDataFrame(
+        [("https://x/", "https://y/")], "src string, dst string"
+    ).write.parquet(orphan)
+    assert st.read_edge_state(spark, state) is None  # uncommitted -> unseen
+
+    docs_stream = (
+        spark.readStream.schema(
+            "repo string, path string, commit string, lang string, "
+            "content string, seq long"
+        ).parquet(in_dir)
+    )
+    q = st.incremental_edge_merge(spark, docs_stream, state, ["alpha.example.com"], ck)
+    q.awaitTermination()
+    got = {
+        (r["src"], r["dst"]) for r in st.read_edge_state(spark, state).collect()
+    }
+    assert len(got) == 4  # replay overwrote the orphan; stale edge gone
+    assert ("https://x/", "https://y/") not in got
 
 
 def test_ivf_scales_to_many_centroids(spark):
@@ -285,3 +324,67 @@ def test_ivf_scales_to_many_centroids(spark):
     assert stats["n"] == 2000
     assert 0 <= stats["lo"] and stats["hi"] <= 255
     assert stats["nb"] > 32  # vectors actually spread over the buckets
+
+
+def test_ngram_max_doc_freq_caps_boilerplate(spark):
+    """The document-frequency cap bounds the quadratic shared-shingle join:
+    boilerplate shingles shared by every doc are dropped (logged), so a
+    boilerplate-heavy corpus produces no quadratic pair blowup."""
+    rows = [
+        (
+            i,
+            "all rights reserved footer text here "
+            + f"unique{i} alpha{i} beta{i} gamma{i} delta{i}",
+        )
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.2)
+    assert exact.count() == 40 * 39 // 2  # uncapped: every pair (quadratic)
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.2, max_doc_freq=10)
+    assert capped.count() == 0  # boilerplate dropped -> nothing shared
+
+
+def test_lsh_strict_mode_fails_on_oversized_bucket(spark):
+    docs = spark.createDataFrame(
+        [(i, "the same exact text repeated in every single row") for i in range(30)],
+        "doc_id long, text string",
+    )
+    sh = dedup.shingles(docs)
+    sigs = dedup.minhash_signatures(sh, num_hashes=32)
+    with pytest.raises(ValueError, match="strict mode"):
+        dedup.minhash_lsh_candidates(
+            sigs, bands=8, rows_per_band=4, max_bucket=10, strict=True
+        ).count()
+
+
+def test_driver_testdata_lsh_recall_is_exactly_one(spark):
+    """Pins the fact the d_minhash/e_near_dup EXACT oracles rely on, on the
+    driver corpus itself: seeded LSH retrieval is deterministic for fixed
+    data, and on this data it retrieves the complete exact pair set —
+    including the ~25 NATURAL near-dup pairs in [0.9, 1) the corpus
+    contains. If the corpus is regenerated and recall drops, this fails
+    before the driver's oracle comparison does."""
+    import os
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata not present")
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    exact = {
+        (r["a"], r["b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    assert len(exact) >= 20  # the corpus really has natural near-dups
+    got = {
+        (r["a"], r["b"])
+        for r in dedup.minhash_dedup_pairs(
+            docs, threshold=0.9, num_hashes=64, bands=16
+        ).collect()
+    }
+    assert got == exact  # recall 1.0 AND precision 1.0 (verify stage)
+
+    # embeddings: no natural pair reaches the 0.9999 threshold, so the
+    # only oracle pairs are constructed duplicates (identical sign buckets)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding")
+    assert dedup.embedding_near_dup_pairs(emb, threshold=0.9999).count() == 0

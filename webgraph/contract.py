@@ -676,11 +676,23 @@ def _dup_docs(spark, sf_dir):
 
 def q_d_minhash_dup_pairs(spark, sf_dir):
     """MinHash-LSH near-dup detection (shingle -> sign -> band ->
-    bucket-join -> exact-Jaccard verify) over the duplicated corpus."""
+    bucket-join -> exact-Jaccard verify) over the duplicated corpus.
+
+    Oracle-exactness, enforced rather than hoped: the corpus contains
+    NATURAL near-dup pairs in [0.9, 1) (not only the constructed identical
+    duplicates), so retrieval of those is the probabilistic part of LSH —
+    with 16 bands of 4 rows a jaccard-0.9 pair misses every band with
+    probability (1-0.9^4)^16 ~= 4e-8, and signatures are seeded/
+    deterministic, so for a FIXED corpus recall is a testable fact, not a
+    coin flip: tests/test_pipeline.py pins recall == 1 against the exact
+    pair set on the driver corpus itself. `strict=True` additionally makes
+    any bucket-size cap overflow FAIL the query instead of silently
+    dropping pairs. Together the LSH output provably equals the all-pairs
+    SQL below on this data."""
     from webgraph.dedup import minhash_dedup_pairs
 
     pairs = minhash_dedup_pairs(
-        _dup_docs(spark, sf_dir), threshold=0.9, num_hashes=32, bands=8
+        _dup_docs(spark, sf_dir), threshold=0.9, num_hashes=64, bands=16, strict=True
     )
     return pairs.select(
         "a", "b", F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_e6")
@@ -801,13 +813,16 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
 
 
 def q_e_near_dup_pairs(spark, sf_dir):
-    """Random-hyperplane LSH embedding near-dup over duplicated vectors."""
+    """Random-hyperplane LSH embedding near-dup over duplicated vectors.
+    strict=True: a bucket-cap overflow fails loudly instead of silently
+    shrinking the candidate set (same exactness contract as
+    q_d_minhash_dup_pairs)."""
     from webgraph.dedup import embedding_near_dup_pairs
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     shifted = emb.select((F.col("vec_id") + DUP_SHIFT).alias("vec_id"), "embedding")
     dup = emb.unionByName(shifted)
-    pairs = embedding_near_dup_pairs(dup, threshold=0.9999)
+    pairs = embedding_near_dup_pairs(dup, threshold=0.9999, strict=True)
     return pairs.select(
         "a", "b", F.round(F.col("cos") * 1e4).cast("long").alias("cos_e4")
     )

@@ -81,11 +81,35 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (a, b, jaccard) — the
     ground-truth method MinHash approximates. Quadratic only within
-    shared-shingle buckets."""
+    shared-shingle buckets.
+
+    `max_doc_freq` is the scale guard: the shared-shingle self-join is
+    quadratic in a shingle's document frequency, so one boilerplate
+    trigram shared by 10^6 docs would be 10^12 join rows. With a cap,
+    shingles whose document frequency exceeds it are dropped from BOTH the
+    intersection and the denominators (a consistent approximation —
+    jaccard is then computed over the informative shingle set), and the
+    number of dropped shingles is logged, never silent. None (the default
+    and the contract-oracle mode) computes the exact statistic."""
     sh = shingles(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+        hot = freq.filter(F.col("df_") > max_doc_freq)
+        n_hot = hot.count()
+        if n_hot:
+            import logging
+
+            logging.getLogger("webgraph.dedup").warning(
+                "ngram_jaccard_pairs: dropping %d shingles with document "
+                "frequency > %d (boilerplate guard)",
+                n_hot,
+                max_doc_freq,
+            )
+            sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
     sz = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("id").alias("a"), "shingle")
     b = sh.select(F.col("id").alias("b"), "shingle")
@@ -138,13 +162,17 @@ def minhash_lsh_candidates(
     bands: int = 16,
     rows_per_band: int = 4,
     max_bucket: int = 200,
+    strict: bool = False,
 ) -> DataFrame:
     """Candidate pairs (a, b) sharing at least one LSH band bucket.
 
     With b bands of r rows, a pair with Jaccard s collides with prob
     1-(1-s^r)^b (b=16, r=4: s=0.5 -> 64%, s=0.8 -> 99.9%). Buckets larger
     than `max_bucket` are dropped (degenerate boilerplate shingles), the
-    standard guard against quadratic bucket blowup — counted, not silent."""
+    standard guard against quadratic bucket blowup — counted, not silent.
+    `strict=True` FAILS instead of dropping (one tiny aggregate job):
+    exact-oracle contract runs use it so a cap-drop can never masquerade
+    as a correct result."""
     bucketed = sigs.select(
         "id",
         F.explode(
@@ -167,6 +195,15 @@ def minhash_lsh_candidates(
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"))
 
     sizes = bucketed.groupBy("band", "bsig").agg(F.count("*").alias("n"))
+    if strict:
+        biggest = sizes.agg(F.max("n").alias("m")).collect()[0]["m"] or 0
+        if biggest > max_bucket:
+            raise ValueError(
+                f"minhash_lsh_candidates: bucket of size {biggest} exceeds "
+                f"max_bucket={max_bucket} in strict mode (degenerate "
+                "near-identical content group; raise max_bucket or dedup "
+                "exactly first)"
+            )
     ok = sizes.filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
     inb = bucketed.join(ok.select("band", "bsig"), ["band", "bsig"], "left_semi")
     a = inb.select("band", "bsig", F.col("id").alias("a"))
@@ -187,14 +224,16 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    strict: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle -> sign -> band -> bucket-join ->
     verify candidates with EXACT Jaccard >= threshold. Returns
     (a, b, jaccard). The verify step makes the result deterministic (LSH
-    only affects recall, never precision)."""
+    only affects recall, never precision). `strict` fails loudly if any
+    band bucket exceeds the size cap (see minhash_lsh_candidates)."""
     sh = shingles(df, id_col, text_col, n).persist()
     sigs = minhash_signatures(sh, num_hashes)
-    cands = minhash_lsh_candidates(sigs, bands, num_hashes // bands)
+    cands = minhash_lsh_candidates(sigs, bands, num_hashes // bands, strict=strict)
     sz = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a_sh = sh.select(F.col("id").alias("a"), "shingle")
     b_sh = sh.select(F.col("id").alias("b"), "shingle")
@@ -327,13 +366,16 @@ def embedding_near_dup_pairs(
     planes: int = 12,
     seed: int = 42,
     max_bucket: int = 500,
+    strict: bool = False,
 ) -> DataFrame:
     """(a, b, cos) pairs with cosine >= threshold via random-hyperplane LSH.
 
     Hyperplanes are deterministic pseudo-random unit-ish vectors derived
     from xxhash64(dim, plane, seed) — no driver-side numpy state to ship.
     Bucket = the `planes`-bit sign pattern; exact cosine verifies
-    candidates (precision 1.0; recall grows with fewer planes)."""
+    candidates (precision 1.0; recall grows with fewer planes).
+    `strict=True` fails loudly when a sign bucket exceeds `max_bucket`
+    instead of silently dropping it (contract-oracle mode)."""
     dim_count = F.size(F.col(vec_col))
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
@@ -362,6 +404,13 @@ def embedding_near_dup_pairs(
     ).persist()
 
     sizes = base.groupBy("bkt").agg(F.count("*").alias("n"))
+    if strict:
+        biggest = sizes.agg(F.max("n").alias("m")).collect()[0]["m"] or 0
+        if biggest > max_bucket:
+            raise ValueError(
+                f"embedding_near_dup_pairs: bucket of size {biggest} exceeds "
+                f"max_bucket={max_bucket} in strict mode"
+            )
     ok = sizes.filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
     inb = base.join(ok.select("bkt"), "bkt", "left_semi")
     a = inb.select("bkt", F.col("id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
