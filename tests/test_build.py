@@ -119,3 +119,49 @@ def test_synthetic_corpus_build_and_root(spark):
     # determinism: same seed -> same graph
     g2 = build_graph(synthetic_corpus(spark, n_pages=500, n_sites=5, seed=42), ["example.com"])
     assert g2.edges.exceptAll(g.edges).count() == 0
+
+
+def test_multi_seed_union(spark):
+    """U2: two seed corpora build into ONE graph — pages get-or-create,
+    edge dedup, and content upgrade apply across seeds (App.java:330-340:
+    every seed feeds the same importer)."""
+    from webgraph.build import build_graph_multi
+    from webgraph.corpus import fixture_docs
+
+    # seed 1: the star; seed 2: a component on beta + a REFETCH of the
+    # alpha hub (cross-seed content upgrade must win deterministically)
+    seed1 = fixture_docs(spark, "star_in")
+    seed2 = fixture_docs(spark, "two_components")
+    g = build_graph_multi([seed1, seed2], DOMAINS)
+    pages = _pages_map(g)
+
+    # alpha home exists ONCE even though both corpora mention it, and the
+    # p1 -> home edge both seeds contribute is deduplicated ACROSS seeds
+    assert list(pages).count(HOME_A) == 1
+    assert pages[HOME_A]["in_degree"] == 4
+    # beta pages merged into the same graph
+    assert "https://www.beta.example.com/" in pages
+    # edges deduplicated across seeds
+    assert g.edges.count() == g.edges.dropDuplicates(["src", "dst"]).count()
+
+    # single-corpus degenerate case == plain build
+    g1 = build_graph_multi([seed1], DOMAINS)
+    assert graph_counts(g1) == graph_counts(build_graph(seed1, DOMAINS))
+
+
+def test_multi_seed_equal_seq_tiebreak_is_deterministic(spark):
+    """Two seeds refetch the same URL at the same seq: the later-listed
+    seed's content must win, every run."""
+    from webgraph.build import build_graph_multi
+
+    def corpus(content):
+        return spark.createDataFrame(
+            [
+                ("github.com/acme/alpha", "", "c0", "html", content, 0),
+            ],
+            "repo string, path string, commit string, lang string, "
+            "content string, seq long",
+        )
+
+    g = build_graph_multi([corpus("from-seed-1"), corpus("from-seed-2")], DOMAINS)
+    assert _pages_map(g)[HOME_A]["content"] == "from-seed-2"

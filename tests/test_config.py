@@ -58,3 +58,59 @@ def test_cli_parsing_and_unknown_option_rejected(capsys):
     with pytest.raises(SystemExit):  # argparse rejects unknown options
         parse_args(["--root-url", "https://a.com/", "--domains", "a.com", "--nope"])
     capsys.readouterr()
+
+
+def test_seed_urls_and_describe_masking(tmp_path):
+    from webgraph.config import JobConfig, from_properties
+    from webgraph.strings import (
+        format_minutes,
+        format_rate,
+        format_seconds,
+        mask,
+    )
+
+    props = tmp_path / "c.properties"
+    props.write_text(
+        "domainsToCrawl=alpha.example.com\n"
+        "seedUrls=https://www.alpha.example.com/,https://www.beta.example.com/\n"
+        "rootUrl=https://www.alpha.example.com/\n"
+    )
+    cfg = from_properties(str(props))
+    assert cfg.seed_urls == (
+        "https://www.alpha.example.com/",
+        "https://www.beta.example.com/",
+    )
+
+    # C8: describe() masks secrets to a same-length '*' run
+    # (ApplicationConfiguration.java:226, 254-263)
+    cfg2 = JobConfig(
+        domains_to_crawl=("a.com",), root_url="https://a.com/", store_password="hunter2"
+    ).validate()
+    desc = cfg2.describe()
+    assert "hunter2" not in desc
+    assert "store_password: *******" in desc
+    assert mask(None) is None and mask("") == "" and mask("abc") == "***"
+
+    # C6: '%4.2f' report formatting (StringFormatUtil.java:4-14)
+    assert format_rate(1234.5678) == "1234.57"
+    assert format_seconds(3.14159) == "3.14"
+    assert format_minutes(0.5) == "0.50"
+
+
+def test_mask_and_format_columns(spark):
+    from pyspark.sql import functions as F
+
+    from webgraph.strings import format_count_col, format_rate_col, mask_col
+
+    df = spark.createDataFrame(
+        [("secret", 1234567, 12.345), (None, 0, 0.0), ("", 7, 1.0)],
+        "pw string, n long, rate double",
+    )
+    rows = df.select(
+        mask_col(F.col("pw")).alias("pw"),
+        format_count_col(F.col("n")).alias("n"),
+        format_rate_col(F.col("rate")).alias("r"),
+    ).collect()
+    assert rows[0]["pw"] == "******" and rows[0]["n"] == "1,234,567"
+    assert rows[0]["r"] == "12.35"
+    assert rows[1]["pw"] is None and rows[2]["pw"] == ""

@@ -110,3 +110,16 @@ def test_rank_within_domain(graph):
 def test_count_pages_by_type(graph):
     got = {r["type"]: r["n"] for r in Q.count_pages_by_type(graph.pages).collect()}
     assert got == {"home": 2, "page": 4}
+
+
+def test_pages_by_ids(spark, graph):
+    from webgraph.algos.common import encode_graph
+
+    eg = encode_graph(graph.edges)
+    one = Q.page_by_id(eg.vertices, int(eg.vertices.first()["vid"]))
+    assert one.count() == 1
+    vids = [r["vid"] for r in eg.vertices.limit(3).collect()]
+    got = Q.pages_by_ids(eg.vertices, vids, graph.pages)
+    rows = got.collect()
+    assert {r["vid"] for r in rows} <= set(vids)
+    assert "in_degree" in got.columns  # enriched with page properties

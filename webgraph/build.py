@@ -115,6 +115,33 @@ def build_graph(
     return GraphTables(pages=pages, edges=edges, errors=errors)
 
 
+def build_graph_multi(
+    corpora: Sequence[DataFrame],
+    domains_to_crawl: Sequence[str],
+    subdomains_to_ignore: Sequence[str] = (),
+) -> GraphTables:
+    """Multi-seed import (U2): the reference crawls several seed URLs into
+    ONE graph (App.java:330-340; config.properties seedUrls) — here each
+    seed's corpus is unioned and built once, so page get-or-create, content
+    upgrade, and edge dedup apply ACROSS seeds exactly as within one.
+
+    Tie-breaking: `seq` is re-spread to seq*len(corpora)+i, preserving each
+    corpus's internal fetch order while making the winner of an equal-seq
+    refetch of the same URL deterministic (the later-listed seed wins —
+    the reference's seeds are crawled in listed order)."""
+    if not corpora:
+        raise ValueError("build_graph_multi: need at least one corpus")
+    k = len(corpora)
+    spread = [
+        c.withColumn("seq", F.col("seq") * k + F.lit(i))
+        for i, c in enumerate(corpora)
+    ]
+    docs = spread[0]
+    for c in spread[1:]:
+        docs = docs.unionByName(c)
+    return build_graph(docs, domains_to_crawl, subdomains_to_ignore)
+
+
 def root_page(pages: DataFrame, root_url: str) -> DataFrame:
     """ROOT_PAGE_REFERENCE analog (BatchGraphImporter.java:314-323): the
     reference-node hop degenerates to a point filter (J4)."""

@@ -29,7 +29,9 @@ class JobConfig:
     # --- graph definition (config.properties keys) ---
     domains_to_crawl: tuple[str, ...] = ()     # domainsToCrawl
     subdomains_to_ignore: tuple[str, ...] = ()  # subdomainsToIgnore
+    seed_urls: tuple[str, ...] = ()             # seedUrls (multi-seed, U2)
     root_url: str = ""                          # rootUrl (required, :355-358)
+    store_password: str | None = None           # masked in describe() (C8)
     # --- import behavior (CLI options, defaults per :36-43) ---
     resumable: bool = False                     # -r
     max_pages: int = -1                         # -f (-1 = unlimited)
@@ -63,6 +65,20 @@ class JobConfig:
             raise ConfigError("resumable import requires checkpoint_dir")
         return self
 
+    def describe(self) -> str:
+        """Config echo with secrets masked — the reference prints its full
+        configuration at startup with proxyPassword masked to a same-length
+        '*' run (ApplicationConfiguration.java:210-263)."""
+        from webgraph.strings import mask
+
+        lines = []
+        for f_ in fields(self):
+            v = getattr(self, f_.name)
+            if "password" in f_.name or "secret" in f_.name:
+                v = mask(v)
+            lines.append(f"{f_.name}: {v}")
+        return "\n".join(lines)
+
 
 def _split_csv(value: str) -> tuple[str, ...]:
     """Comma-separated list, trimmed, empties dropped
@@ -81,6 +97,8 @@ def from_properties(path: str, **overrides) -> JobConfig:
         kwargs["domains_to_crawl"] = _split_csv(sec["domainsToCrawl"])
     if "subdomainsToIgnore" in sec:
         kwargs["subdomains_to_ignore"] = _split_csv(sec["subdomainsToIgnore"])
+    if "seedUrls" in sec:
+        kwargs["seed_urls"] = _split_csv(sec["seedUrls"])
     if "rootUrl" in sec:
         kwargs["root_url"] = sec["rootUrl"].strip()
     kwargs.update(overrides)

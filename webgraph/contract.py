@@ -1050,9 +1050,27 @@ FROM v LEFT JOIN cnt c USING (vid)
 """
 
 
+def q_g_pages_by_id(spark, sf_dir):
+    """Node-by-id lookup (README.md:65-72: `start p=node(3)` /
+    `node(152,153,154)`) over the derived graph's vid dictionary."""
+    from webgraph.queries import pages_by_ids
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    return pages_by_ids(g.vertices, [3, 152, 153, 154])
+
+
+def o_g_pages_by_id():
+    return f"""
+WITH e AS ({EDGES_SQL}), v AS ({VERTS_SQL})
+SELECT vid, CAST(vid AS VARCHAR) AS url FROM v
+WHERE vid IN (3, 152, 153, 154) ORDER BY vid
+"""
+
+
 QUERIES.update(
     {
         "r_set_ops": (q_r_set_ops, o_r_set_ops),
         "g_triangles_per_vertex": (q_g_triangles_per_vertex, o_g_triangles_per_vertex),
+        "g_pages_by_id": (q_g_pages_by_id, o_g_pages_by_id),
     }
 )

@@ -27,6 +27,30 @@ def page_by_url(pages: DataFrame, url: str) -> DataFrame:
     )
 
 
+def page_by_id(vertices: DataFrame, vid: int, pages: DataFrame | None = None) -> DataFrame:
+    """Node-by-id point lookup — `start p=node(3) return p.url`
+    (README.md:65-72). `vertices` is the (vid, url) dictionary from
+    encode_graph; pass `pages` to return full page properties."""
+    return pages_by_ids(vertices, [vid], pages)
+
+
+def pages_by_ids(
+    vertices: DataFrame, vids: list[int], pages: DataFrame | None = None
+) -> DataFrame:
+    """Multi-node lookup — `start p=node(152,153,154)` (README.md:70-72).
+
+    An isin point filter on the vid dictionary (pushes down to the scan);
+    the optional pages join broadcasts the handful of matched rows."""
+    hit = vertices.filter(F.col("vid").isin([int(v) for v in vids]))
+    if pages is None:
+        return hit.select("vid", "url").orderBy("vid")
+    return (
+        pages.join(F.broadcast(hit), "url", "inner")
+        .select("vid", *pages.columns)
+        .orderBy("vid")
+    )
+
+
 def count_links_to(edges: DataFrame, url: str) -> DataFrame:
     """Count pages linking to a given page (README.md:86-90)."""
     return edges.filter(F.col("dst") == F.lit(url)).agg(
