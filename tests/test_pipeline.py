@@ -388,3 +388,41 @@ def test_driver_testdata_lsh_recall_is_exactly_one(spark):
     # only oracle pairs are constructed duplicates (identical sign buckets)
     emb = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding")
     assert dedup.embedding_near_dup_pairs(emb, threshold=0.9999).count() == 0
+
+
+def test_stateful_sessions_applyinpandaswithstate(spark, tmp_path):
+    """Custom stateful operator: sessions close (a) when a later event of
+    the same user arrives beyond the gap, (b) when the event-time
+    watermark passes session_end + gap (timeout); open sessions stay in
+    state and are NOT emitted."""
+    from webgraph import streaming as st
+
+    src = str(tmp_path / "ev_in")
+    out = str(tmp_path / "ev_out")
+    ck = str(tmp_path / "ev_ck")
+    ev = spark.createDataFrame(
+        [
+            (1, "2026-01-01 10:00:00", 1, "click", 1.0, "{}"),
+            (2, "2026-01-01 10:05:00", 1, "click", 2.0, "{}"),
+            (3, "2026-01-01 12:00:00", 1, "click", 4.0, "{}"),
+            # watermark sentinel: pushes the event-time watermark to 22:50
+            (4, "2026-01-01 23:00:00", 99, "view", 0.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ev.write.parquet(src)
+
+    stream = st.read_event_stream(spark, src)
+    sessions = st.stateful_sessions(stream, gap="30 minutes", watermark="10 minutes")
+    st.run_to_append_sink(sessions, out, ck)
+    got = {
+        (r["user_id"], str(r["session_start"])): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # session 1 closed by the 12:00 event (gap split); session 2 closed by
+    # the watermark timeout; user 99's session is still open -> absent
+    assert got == {
+        (1, "2026-01-01 10:00:00"): (2, 3.0),
+        (1, "2026-01-01 12:00:00"): (1, 4.0),
+    }

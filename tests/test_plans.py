@@ -133,3 +133,28 @@ def test_ivf_assignment_plans_broadcast_join_not_literal_chain(spark):
     # the distance is computed against the joined cvec column, never
     # against unrolled centroid literals
     assert "2.0" not in plan or plan.count("2.0") <= 2
+
+
+def test_dedup_pipelines_never_plan_cartesian_products(spark):
+    """Every near-dup method must meet candidates through an equi bucket
+    join — a CartesianProduct/BroadcastNestedLoop over the corpus means a
+    bucketing regression (the 100TB killer)."""
+    from webgraph import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} common tail") for i in range(30)],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0, 3.0]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    for df in (
+        dedup.ngram_jaccard_pairs(docs, max_doc_freq=100),
+        dedup.minhash_dedup_pairs(docs),
+        dedup.simhash_near_pairs(dedup.simhash(docs)),
+        dedup.embedding_near_dup_pairs(emb),
+    ):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

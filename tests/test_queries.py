@@ -123,3 +123,11 @@ def test_pages_by_ids(spark, graph):
     rows = got.collect()
     assert {r["vid"] for r in rows} <= set(vids)
     assert "in_degree" in got.columns  # enriched with page properties
+
+
+def test_sentinel_social_counts_compat(graph):
+    got = Q.with_sentinel_social_counts(graph.pages).select(
+        "facebook_total_count", "twitter_count"
+    ).distinct().collect()
+    # unenriched graph: every NULL becomes the reference's -1 sentinel
+    assert [(r[0], r[1]) for r in got] == [(-1, -1)]

@@ -65,6 +65,18 @@ def build_graph(
 
     # Idempotent refetch: latest non-null content per URL wins (J1 + the
     # updatePageContent rule). One hash aggregate, no self-join.
+    #
+    # MEASURED ALTERNATIVE, REJECTED (round 2): a "shuffle keys not HTML"
+    # two-phase variant (key-only refetch detection -> broadcast anti-join
+    # pass-through for single-fetch rows -> max_by only on the refetched
+    # slice) was A/B'd at 2M pages / 15.5M links on local[32]: two-phase
+    # {62, 144, 151}s vs this single aggregate {61, 78, 80}s. It loses
+    # because content has to cross the wire exactly once either way to
+    # become url-keyed — this aggregate's exchange IS that crossing and its
+    # url partitioning is then REUSED by the degree joins below, while the
+    # two-phase variant's broadcast-join output is not url-partitioned, so
+    # the degree join re-shuffles the content a second time, plus an extra
+    # full corpus scan for the refetch census.
     fetched_pages = fetched.groupBy("url").agg(
         F.max_by(
             F.col("content"), F.struct(F.col("content").isNotNull(), F.col("seq"))

@@ -812,6 +812,44 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
 """
 
 
+def q_d_containment_pairs(spark, sf_dir):
+    """Winnowing containment: pairs sharing >= 2 distinct 8-token window
+    fingerprints. The portable polynomial window hash is recomputed
+    verbatim in the oracle, so even hash collisions match exactly."""
+    from webgraph.dedup import containment_pairs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return containment_pairs(docs, window_tokens=8, min_shared=2)
+
+
+def o_d_containment_pairs(window_tokens: int = 8, min_shared: int = 2):
+    from webgraph.dedup import POLY_MOD
+
+    w = window_tokens
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tok FROM documents
+), win AS (
+  SELECT doc_id,
+    CASE WHEN len(tok) < {w} THEN [array_to_string(tok, ' ')]
+         ELSE list_transform(range(1, len(tok) - {w} + 2),
+                i -> array_to_string(list_slice(tok, CAST(i AS INT), CAST(i + {w} - 1 AS INT)), ' '))
+    END AS ws
+  FROM toks
+), wh AS (
+  SELECT DISTINCT doc_id, list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, len(s)+1),
+                     i -> CAST(ord(substr(s, CAST(i AS INT), 1)) AS BIGINT))),
+    (h, c) -> (h*31 + c) % {POLY_MOD}) AS fp
+  FROM (SELECT doc_id, unnest(ws) AS s FROM win)
+)
+SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS shared_windows
+FROM wh x JOIN wh y ON x.fp = y.fp AND x.doc_id < y.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
+"""
+
+
 def q_e_near_dup_pairs(spark, sf_dir):
     """Random-hyperplane LSH embedding near-dup over duplicated vectors.
     strict=True: a bucket-cap overflow fails loudly instead of silently
@@ -939,13 +977,16 @@ _STREAM_SINK_N = [0]
 def q_s_stream_hourly(spark, sf_dir):
     """The SAME hourly aggregation as s_event_hourly, but executed through
     Structured Streaming (file source -> watermarked tumbling window ->
-    AvailableNow drain into a memory sink). Tumbling 1h windows align to
-    epoch, so the oracle is the batch date_trunc SQL — the batch/streaming
-    unification made checkable."""
-    from webgraph.streaming import run_to_memory_sink, windowed_event_counts
+    AvailableNow drain through a foreachBatch parquet sink — the result
+    never has to fit on the driver, unlike a memory sink). Tumbling 1h
+    windows align to epoch, so the oracle is the batch date_trunc SQL —
+    the batch/streaming unification made checkable."""
+    import tempfile
+
+    from webgraph.streaming import run_to_parquet_sink, windowed_event_counts
 
     _STREAM_SINK_N[0] += 1
-    sink = f"stream_hourly_{_STREAM_SINK_N[0]}"
+    out = tempfile.mkdtemp(prefix=f"stream_hourly_{_STREAM_SINK_N[0]}_")
     # File-source streams need a directory; select just the events file
     # from the sf dir via pathGlobFilter.
     stream = (
@@ -958,8 +999,8 @@ def q_s_stream_hourly(spark, sf_dir):
         .parquet(sf_dir)
     )
     counts = windowed_event_counts(stream, "1 hour", "2 hours")
-    run_to_memory_sink(counts, sink)
-    return spark.table(sink).select(
+    run_to_parquet_sink(counts, f"{out}/result", f"{out}/ck")
+    return spark.read.parquet(f"{out}/result").select(
         F.unix_timestamp("window_start").alias("hour_epoch"),
         "event_type",
         "n",
@@ -981,6 +1022,7 @@ QUERIES.update(
         "d_minhash_dup_pairs": (q_d_minhash_dup_pairs, o_d_minhash_dup_pairs),
         "d_simhash_signatures": (q_d_simhash_signatures, o_d_simhash_signatures),
         "d_simhash_near_pairs": (q_d_simhash_near_pairs, o_d_simhash_near_pairs),
+        "d_containment_pairs": (q_d_containment_pairs, o_d_containment_pairs),
         "e_near_dup_pairs": (q_e_near_dup_pairs, o_e_near_dup_pairs),
         "t_bpe_token_count": (q_t_bpe_token_count, o_t_bpe_token_count),
         "t_langid_counts": (q_t_langid_counts, o_t_langid_counts),

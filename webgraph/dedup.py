@@ -134,6 +134,54 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 16,
+    min_shared: int = 1,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Partial-duplicate / containment pairs (a, b, shared_windows) via
+    rolling window fingerprints (winnowing-style): documents sharing >=
+    `min_shared` distinct `window_tokens`-token windows. Catches quote /
+    boilerplate / excerpt containment that whole-document Jaccard misses.
+
+    Same scale shape as the other bucketed methods: fingerprints are the
+    equi-join key (quadratic only within one fingerprint's posting list),
+    `max_doc_freq` drops fingerprints seen in more than that many docs
+    (logged). The fingerprint is the portable polynomial fold, so the
+    contract oracle recomputes the identical hash in DuckDB — collisions
+    (~1 in 10^9 per window pair) affect both engines identically."""
+    from webgraph.text import rolling_fingerprints
+
+    fps = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(rolling_fingerprints(F.col(text_col), window_tokens)).alias("fp"),
+    ).distinct()
+    if max_doc_freq is not None:
+        freq = fps.groupBy("fp").agg(F.count("*").alias("df_"))
+        hot = freq.filter(F.col("df_") > max_doc_freq)
+        n_hot = hot.count()
+        if n_hot:
+            import logging
+
+            logging.getLogger("webgraph.dedup").warning(
+                "containment_pairs: dropping %d fingerprints with document "
+                "frequency > %d", n_hot, max_doc_freq,
+            )
+            fps = fps.join(hot.select("fp"), "fp", "left_anti")
+    a = fps.select(F.col("id").alias("a"), "fp")
+    b = fps.select(F.col("id").alias("b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared_windows"))
+        .filter(F.col("shared_windows") >= min_shared)
+    )
+
+
 # ------------------------------------------------------------- minhash --
 
 

@@ -166,6 +166,17 @@ def pages_without_enrichment(pages: DataFrame, column: str = "facebook_total_cou
     return pages.filter(F.col(column).isNull()).select("url").orderBy("url")
 
 
+def with_sentinel_social_counts(pages: DataFrame, sentinel: int = -1) -> DataFrame:
+    """Reference-compat view: PageNode.java:71-86 initializes social counts
+    to -1 ('not yet fetched'); this engine maps that state to NULL (SURVEY
+    §1.2 decision — NULL composes with Spark aggregates, -1 poisons sums).
+    Consumers ported from the reference can restore the sentinel here."""
+    out = pages
+    for c in ("facebook_total_count", "twitter_count"):
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(sentinel)).cast("int"))
+    return out
+
+
 def rank_pages_within_domain(pages: DataFrame, k: int | None = None) -> DataFrame:
     """W2: rank pages by in-degree within each domain (window function;
     generalizes README.md:119-130). Deterministic tie-break on url."""

@@ -99,6 +99,124 @@ def read_edge_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
     return spark.read.parquet(*paths) if paths else None
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, total_value double"
+)
+
+
+def stateful_sessions(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization with an
+    inactivity gap, via applyInPandasWithState (the Spark surface for
+    operators the built-in windowed aggs can't express — task brief E4).
+
+    Semantics: consecutive events of a user belong to one session while
+    the gap between them is <= `gap`; a session is EMITTED when (a) a
+    later event of the same user arrives beyond the gap (intra/inter-batch
+    split), or (b) the event-time watermark passes session_end + gap
+    (GroupStateTimeout.EventTimeTimeout fires — late events can no longer
+    reopen it). State per user is one 4-tuple (start, last, n, total) —
+    O(active users), not O(events); Arrow-batched, never row-Python."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_s = pd.Timedelta(gap).total_seconds()
+    state_schema = "start double, last double, n long, total double"
+
+    def fn(key, pdfs, state):
+        uid = key[0]
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            closed.append((uid, start, last, n, total))
+            state.remove()
+        else:
+            frames = [p[["ts", "value"]] for p in pdfs]
+            rows = pd.concat(frames, ignore_index=True).sort_values("ts")
+            cur = list(state.get) if state.exists else None
+            for ts, val in zip(rows["ts"], rows["value"]):
+                t = ts.timestamp()
+                if cur is not None and t - cur[1] > gap_s:
+                    closed.append((uid, *cur))
+                    cur = None
+                if cur is None:
+                    cur = [t, t, 0, 0.0]
+                cur[1] = max(cur[1], t)
+                cur[2] += 1
+                cur[3] += float(val)
+            if cur is not None:
+                state.update(tuple(cur))
+                # timeout = session_end + gap, but never behind the
+                # current watermark (Spark rejects a stale timeout)
+                timeout_ms = int((cur[1] + gap_s) * 1000)
+                state.setTimeoutTimestamp(
+                    max(timeout_ms, state.getCurrentWatermarkMs() + 1)
+                )
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": pd.to_datetime(
+                        [c[1] for c in closed], unit="s"
+                    ),
+                    "session_end": pd.to_datetime([c[2] for c in closed], unit="s"),
+                    "n_events": [int(c[3]) for c in closed],
+                    "total_value": [float(c[4]) for c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUT_SCHEMA,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_to_parquet_sink(stream_df: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Drain all available input into a parquet directory and return after
+    termination. Aggregated streams run in complete mode via foreachBatch
+    (each batch's full result overwrites the output) — unlike the memory
+    sink, the result never has to fit on the driver; at cluster scale the
+    overwrite becomes an Iceberg snapshot replace."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def run_to_append_sink(stream_df: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Drain an append-mode stream (e.g. stateful_sessions output) into a
+    parquet directory via the native file sink and return after
+    termination."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def incremental_edge_merge(
     spark: SparkSession,
     docs_stream: DataFrame,

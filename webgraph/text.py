@@ -155,16 +155,25 @@ def fingerprint(text: Column) -> Column:
 def rolling_fingerprints(text: Column, window_tokens: int = 16) -> Column:
     """Array of rolling window fingerprints (winnowing-style): hash of
     every `window_tokens`-token window. Basis for containment / partial-dup
-    detection; built-ins only (transform over a token-index sequence)."""
+    detection; built-ins only (transform over a token-index sequence).
+
+    The window hash is the portable polynomial fold (webgraph.dedup.
+    token_hash over the space-joined window), so fingerprints are
+    reproducible in plain integer SQL — the containment contract query has
+    an exact DuckDB oracle."""
+    from webgraph.dedup import token_hash
+
     toks = tokens(F.lower(text))
     n = F.size(toks)
     idx = F.sequence(
         F.lit(0), F.greatest(n - window_tokens, F.lit(0))
     )
-    return F.when(n < window_tokens, F.array(F.xxhash64(F.concat_ws(" ", toks)))).otherwise(
+    return F.when(
+        n < window_tokens, F.array(token_hash(F.concat_ws(" ", toks)))
+    ).otherwise(
         F.transform(
             idx,
-            lambda i: F.xxhash64(
+            lambda i: token_hash(
                 F.concat_ws(" ", F.slice(toks, i + 1, window_tokens))
             ),
         )
