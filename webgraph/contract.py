@@ -825,24 +825,30 @@ def q_d_containment_pairs(spark, sf_dir):
 def o_d_containment_pairs(window_tokens: int = 8, min_shared: int = 2):
     from webgraph.dedup import POLY_MOD
 
-    w = window_tokens
+    w, P = window_tokens, POLY_MOD
     return f"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tok FROM documents
+), th AS (
+  SELECT doc_id, list_transform(tok, t -> list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, len(t)+1),
+                     i -> CAST(ord(substr(t, CAST(i AS INT), 1)) AS BIGINT))),
+    (h, c) -> (h*31 + c) % {P})) AS hs
+  FROM toks
 ), win AS (
   SELECT doc_id,
-    CASE WHEN len(tok) < {w} THEN [array_to_string(tok, ' ')]
-         ELSE list_transform(range(1, len(tok) - {w} + 2),
-                i -> array_to_string(list_slice(tok, CAST(i AS INT), CAST(i + {w} - 1 AS INT)), ' '))
+    CASE WHEN len(hs) < {w} THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                                              (a, h) -> (a*31 + h) % {P})]
+         ELSE list_transform(range(1, len(hs) - {w} + 2),
+                i -> list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                                    list_slice(hs, CAST(i AS INT), CAST(i + {w} - 1 AS INT))),
+                       (a, h) -> (a*31 + h) % {P}))
     END AS ws
-  FROM toks
+  FROM th
 ), wh AS (
-  SELECT DISTINCT doc_id, list_reduce(
-    list_prepend(CAST(0 AS BIGINT),
-      list_transform(range(1, len(s)+1),
-                     i -> CAST(ord(substr(s, CAST(i AS INT), 1)) AS BIGINT))),
-    (h, c) -> (h*31 + c) % {POLY_MOD}) AS fp
-  FROM (SELECT doc_id, unnest(ws) AS s FROM win)
+  SELECT DISTINCT doc_id, unnest(ws) AS fp FROM win
 )
 SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS shared_windows
 FROM wh x JOIN wh y ON x.fp = y.fp AND x.doc_id < y.doc_id

@@ -157,24 +157,26 @@ def rolling_fingerprints(text: Column, window_tokens: int = 16) -> Column:
     every `window_tokens`-token window. Basis for containment / partial-dup
     detection; built-ins only (transform over a token-index sequence).
 
-    The window hash is the portable polynomial fold (webgraph.dedup.
-    token_hash over the space-joined window), so fingerprints are
-    reproducible in plain integer SQL — the containment contract query has
-    an exact DuckDB oracle."""
-    from webgraph.dedup import token_hash
+    Two-level portable hash: each token is char-folded ONCE
+    (webgraph.dedup.token_hash), then a window fingerprint folds the
+    window's token hashes — O(chars + windows*W) instead of re-hashing
+    every character W times. Plain integer arithmetic throughout, so the
+    containment contract query has an exact DuckDB oracle (collisions,
+    ~1e-9 per pair, are mirrored on both engines)."""
+    from webgraph.dedup import POLY_MOD, token_hash
 
     toks = tokens(F.lower(text))
+    th = F.transform(toks, token_hash)
     n = F.size(toks)
     idx = F.sequence(
         F.lit(0), F.greatest(n - window_tokens, F.lit(0))
     )
-    return F.when(
-        n < window_tokens, F.array(token_hash(F.concat_ws(" ", toks)))
-    ).otherwise(
-        F.transform(
-            idx,
-            lambda i: token_hash(
-                F.concat_ws(" ", F.slice(toks, i + 1, window_tokens))
-            ),
+
+    def window_fp(hs):
+        return F.aggregate(
+            hs, F.lit(0).cast("long"), lambda acc, h: (acc * 31 + h) % POLY_MOD
         )
+
+    return F.when(n < window_tokens, F.array(window_fp(th))).otherwise(
+        F.transform(idx, lambda i: window_fp(F.slice(th, i + 1, window_tokens)))
     )
