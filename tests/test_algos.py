@@ -212,3 +212,35 @@ def test_per_vertex_triangles_degree_ordered_on_hub_graph(spark):
     # every leaf-chain edge not touching the hub closes a triangle with it
     assert per_ordered[hub] == n - 3
     assert per_ordered[0] == 1 and per_ordered[1] == 2
+
+
+def test_hits_matches_python_oracle(spark):
+    import math
+
+    from webgraph.algos.hits import hits
+
+    for fixture, n_pages in [("triangle", None), (None, 200)]:
+        eg = _encoded(spark, fixture=fixture, n_pages=n_pages)
+        edges = _edge_list(eg)
+        verts = sorted(_vertex_set(eg))
+
+        hub = {v: 1.0 for v in verts}
+        auth = {}
+        for _ in range(3):
+            auth = {v: 0.0 for v in verts}
+            for s, d in edges:
+                auth[d] += hub[s]
+            nrm = math.sqrt(sum(x * x for x in auth.values()))
+            auth = {v: (x / nrm if nrm else 0.0) for v, x in auth.items()}
+            hub = {v: 0.0 for v in verts}
+            for s, d in edges:
+                hub[s] += auth[d]
+            nrm = math.sqrt(sum(x * x for x in hub.values()))
+            hub = {v: (x / nrm if nrm else 0.0) for v, x in hub.items()}
+
+        out, metrics = hits(eg, max_iter=3)
+        got = {r["vid"]: (r["hub"], r["auth"]) for r in out.collect()}
+        assert len(metrics) == 3
+        for v in verts:
+            assert abs(got[v][0] - hub[v]) < 1e-9, (fixture, v)
+            assert abs(got[v][1] - auth[v]) < 1e-9, (fixture, v)

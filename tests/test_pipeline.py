@@ -426,3 +426,29 @@ def test_stateful_sessions_applyinpandaswithstate(spark, tmp_path):
         (1, "2026-01-01 10:00:00"): (2, 3.0),
         (1, "2026-01-01 12:00:00"): (1, 4.0),
     }
+
+
+def test_sample_to_token_budget(spark):
+    """Budget prefix semantics vs a python oracle: seeded order, running
+    token sum, cut at the budget — exact, deterministic, repartition-proof."""
+    rows = [(i, " ".join(f"w{j}" for j in range(5 + i % 7))) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    A, P, seed = 2_654_435_761, 1_000_000_007, 42
+    order = sorted(range(200), key=lambda i: (((i % P) * A + seed) % P, i))
+    toks = {i: 5 + i % 7 for i in range(200)}
+    want, cum = [], 0
+    for i in order:
+        cum += toks[i]
+        if cum > 300:
+            break
+        want.append((i, toks[i], cum))
+
+    for parts in (2, 7):  # result must not depend on partitioning
+        got = [
+            (r["doc_id"], r["n_tokens"], r["cum_tokens"])
+            for r in text.sample_to_token_budget(
+                docs, 300, partitions=parts
+            ).orderBy("cum_tokens").collect()
+        ]
+        assert got == want

@@ -75,6 +75,9 @@ def main(argv: list[str] | None = None) -> int:
         docs = docs.limit(cfg.max_pages)
 
     g = build_graph(docs, cfg.domains_to_crawl, cfg.subdomains_to_ignore)
+    # The edge table feeds the pages degree joins AND its own write below;
+    # persist so link extraction runs once, not once per consumer.
+    g.edges.persist()
     pages = enrich_pages(g.pages)
 
     os.makedirs(out_dir, exist_ok=True)
@@ -83,6 +86,7 @@ def main(argv: list[str] | None = None) -> int:
     g.errors.write.mode("overwrite").parquet(f"{out_dir}/errors")
     pages = spark.read.parquet(f"{out_dir}/pages")
     edges = spark.read.parquet(f"{out_dir}/edges")
+    g.edges.unpersist()
 
     eg = encode_graph(edges)
     ck = cfg.checkpoint_dir or f"{out_dir}/checkpoints"

@@ -946,6 +946,37 @@ SELECT lang_pred, COUNT(*) AS n FROM lab GROUP BY lang_pred
 """
 
 
+SAMPLE_BUDGET = 20_000
+
+
+def q_t_token_budget_sample(spark, sf_dir):
+    """Deterministic token-budget sampling (distributed exact prefix sum;
+    the oracle is a plain SQL running-sum window over the same portable
+    order key)."""
+    from webgraph.text import sample_to_token_budget
+
+    docs = load(spark, sf_dir, "documents")
+    return sample_to_token_budget(docs, SAMPLE_BUDGET)
+
+
+def o_t_token_budget_sample():
+    from webgraph.dedup import _MIX_BASE, POLY_MOD
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+    ((doc_id % {POLY_MOD}) * {_MIX_BASE} + 42) % {POLY_MOD} AS k
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+    SUM(n_tokens) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= {SAMPLE_BUDGET}
+"""
+
+
 def q_e_ivf_topk(spark, sf_dir):
     """IVF top-k through the full index pipeline (k-means quantizer ->
     bucket assignment -> probe). Contract mode probes ALL buckets
@@ -1033,6 +1064,7 @@ QUERIES.update(
         "t_bpe_token_count": (q_t_bpe_token_count, o_t_bpe_token_count),
         "t_langid_counts": (q_t_langid_counts, o_t_langid_counts),
         "e_ivf_topk": (q_e_ivf_topk, o_e_ivf_topk),
+        "t_token_budget_sample": (q_t_token_budget_sample, o_t_token_budget_sample),
         "s_stream_hourly": (q_s_stream_hourly, o_s_stream_hourly),
     }
 )
@@ -1098,6 +1130,57 @@ FROM v LEFT JOIN cnt c USING (vid)
 """
 
 
+HITS_ITERS = 3
+
+
+def q_g_hits(spark, sf_dir):
+    """HITS hubs/authorities, fixed 3 iterations, micro-unit outputs."""
+    from webgraph.algos.hits import hits
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    out, _ = hits(g, max_iter=HITS_ITERS)
+    return out.select(
+        "vid",
+        F.round(F.col("hub") * 1e6).cast("long").alias("hub_e6"),
+        F.round(F.col("auth") * 1e6).cast("long").alias("auth_e6"),
+    )
+
+
+def o_g_hits():
+    parts = [
+        f"WITH e AS ({EDGES_SQL}),",
+        f"v AS ({VERTS_SQL}),",
+        "h0 AS (SELECT vid, 1e0 AS hub FROM v),",
+    ]
+    for i in range(1, HITS_ITERS + 1):
+        p = i - 1
+        parts += [
+            # auth_i = normalize(A^T h_{i-1}) over the FULL vertex set
+            f"ar{i} AS (SELECT e.dst AS vid, SUM(h.hub) AS auth "
+            f"FROM e JOIN h{p} h ON e.src = h.vid GROUP BY e.dst),",
+            f"af{i} AS (SELECT v.vid, COALESCE(a.auth, 0e0) AS auth "
+            f"FROM v LEFT JOIN ar{i} a USING (vid)),",
+            f"an{i} AS (SELECT SQRT(SUM(auth*auth)) AS nrm FROM af{i}),",
+            f"a{i} AS (SELECT vid, CASE WHEN (SELECT nrm FROM an{i}) > 0 "
+            f"THEN auth / (SELECT nrm FROM an{i}) ELSE 0e0 END AS auth FROM af{i}),",
+            # hub_i = normalize(A a_i)
+            f"hr{i} AS (SELECT e.src AS vid, SUM(a.auth) AS hub "
+            f"FROM e JOIN a{i} a ON e.dst = a.vid GROUP BY e.src),",
+            f"hf{i} AS (SELECT v.vid, COALESCE(h.hub, 0e0) AS hub "
+            f"FROM v LEFT JOIN hr{i} h USING (vid)),",
+            f"hn{i} AS (SELECT SQRT(SUM(hub*hub)) AS nrm FROM hf{i}),",
+            f"h{i} AS (SELECT vid, CASE WHEN (SELECT nrm FROM hn{i}) > 0 "
+            f"THEN hub / (SELECT nrm FROM hn{i}) ELSE 0e0 END AS hub FROM hf{i}),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT h.vid, CAST(ROUND(h.hub * 1000000e0) AS BIGINT) AS hub_e6, "
+        f"CAST(ROUND(a.auth * 1000000e0) AS BIGINT) AS auth_e6 "
+        f"FROM h{HITS_ITERS} h JOIN a{HITS_ITERS} a USING (vid)"
+    )
+    return _unrolled(parts)
+
+
 def q_g_pages_by_id(spark, sf_dir):
     """Node-by-id lookup (README.md:65-72: `start p=node(3)` /
     `node(152,153,154)`) over the derived graph's vid dictionary."""
@@ -1120,5 +1203,6 @@ QUERIES.update(
         "r_set_ops": (q_r_set_ops, o_r_set_ops),
         "g_triangles_per_vertex": (q_g_triangles_per_vertex, o_g_triangles_per_vertex),
         "g_pages_by_id": (q_g_pages_by_id, o_g_pages_by_id),
+        "g_hits": (q_g_hits, o_g_hits),
     }
 )

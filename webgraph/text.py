@@ -145,6 +145,66 @@ def quality_filter(
     )
 
 
+def sample_to_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic corpus sampling to a token budget (the standard
+    pretraining-mix primitive): visit documents in a seeded pseudo-random
+    order and keep the prefix whose running token total fits the budget.
+    Returns (id, n_tokens, cum_tokens) for the kept prefix.
+
+    Distributed EXACT prefix sum — no single-task global window:
+      1. order key = portable hash of the id (seeded; same arithmetic is
+         the DuckDB oracle's ORDER BY);
+      2. repartitionByRange on the key, then one tiny per-partition token
+         subtotal (<= #partitions rows) -> driver prefix offsets ->
+         broadcast back;
+      3. within-partition cumulative-sum window + the partition's offset.
+    The frame is persisted between steps 2 and 3 so both passes see the
+    same physical partitioning. Global order (and therefore the result) is
+    partition-independent: ties broken by id."""
+    from pyspark.sql import Window
+
+    from webgraph.dedup import _MIX_BASE, POLY_MOD
+
+    spark = df.sparkSession
+    key = ((F.col(id_col) % POLY_MOD) * F.lit(_MIX_BASE) + F.lit(seed)) % POLY_MOD
+    parts = partitions or spark.sparkContext.defaultParallelism
+    d = (
+        df.select(
+            F.col(id_col), key.alias("_k"), token_count(F.col(text_col)).alias("n_tokens")
+        )
+        .repartitionByRange(parts, "_k", id_col)
+        .withColumn("_p", F.spark_partition_id())
+        .persist()
+    )
+    psums = sorted(
+        (r["_p"], r["s"])
+        for r in d.groupBy("_p").agg(F.sum("n_tokens").alias("s")).collect()
+    )
+    offsets, acc = [], 0
+    for p, s in psums:
+        offsets.append((p, acc))
+        acc += s
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_p int, _off long")
+    w = (
+        Window.partitionBy("_p")
+        .orderBy("_k", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(F.broadcast(off_df), "_p")
+        .withColumn("cum_tokens", F.col("_off") + F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select(id_col, "n_tokens", "cum_tokens")
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic 64-bit document fingerprint over normalized content
     (whitespace-collapsed, lowercased) — the exact-dedup key."""
