@@ -68,3 +68,44 @@ def test_enrichment_stats_counters(spark):
     d2 = stats2.as_dict()
     assert d2["failed"] == d2["received"] > 0
     assert d2["retried"] >= 1
+
+
+def test_neo4j_csv_export(spark, tmp_path):
+    """neo4j-admin bulk-import hand-off: reference property keys
+    (PageNode.java:12-20), :ID/:START_ID/:END_ID columns, quoted content,
+    one part-file per partition (distributed write, no driver collect)."""
+    import csv
+    import glob
+
+    from webgraph.build import build_graph
+    from webgraph.corpus import fixture_docs
+    from webgraph.export import export_neo4j_csv
+
+    g = build_graph(fixture_docs(spark, "star_in"), ["alpha.example.com"])
+    paths = export_neo4j_csv(g, str(tmp_path / "neo4j"))
+
+    node_files = glob.glob(f"{paths['nodes']}/part-*.csv")
+    rows = []
+    for f in node_files:
+        with open(f) as fh:
+            r = csv.DictReader(fh)
+            assert r.fieldnames == [
+                "url:ID", "domain", "type", "content",
+                "incomingLinks:long", "outgoingLinks:long",
+                "facebookTotalCount:int", "twitterCount:int",
+            ]
+            rows.extend(r)
+    assert len(rows) == 5
+    hub = next(r for r in rows if r["url:ID"] == "https://www.alpha.example.com/")
+    assert hub["incomingLinks:long"] == "4" and hub["type"] == "home"
+
+    rel_rows = []
+    for f in glob.glob(f"{paths['relationships']}/part-*.csv"):
+        with open(f) as fh:
+            r = csv.DictReader(fh)
+            assert r.fieldnames == [":START_ID", ":END_ID"]
+            rel_rows.extend(r)
+    assert len(rel_rows) == 4
+    assert all(
+        r[":END_ID"] == "https://www.alpha.example.com/" for r in rel_rows
+    )
