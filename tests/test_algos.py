@@ -244,3 +244,32 @@ def test_hits_matches_python_oracle(spark):
         for v in verts:
             assert abs(got[v][0] - hub[v]) < 1e-9, (fixture, v)
             assert abs(got[v][1] - auth[v]) < 1e-9, (fixture, v)
+
+
+def test_k_core_matches_python_oracle(spark):
+    from webgraph.algos import encode_graph
+    from webgraph.algos.kcore import k_core
+
+    eg = _encoded(spark, n_pages=200)
+    edges = _edge_list(eg)
+    verts = _vertex_set(eg)
+
+    def py_kcore(k):
+        und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+        alive = set(verts)
+        while True:
+            deg = {v: 0 for v in alive}
+            for a, b in und:
+                if a in alive and b in alive:
+                    deg[a] += 1
+                    deg[b] += 1
+            nxt = {v for v in alive if deg.get(v, 0) >= k}
+            if nxt == alive:
+                return alive
+            alive = nxt
+
+    for k in (2, 3, 5):
+        got = {r["vid"] for r in k_core(eg, k)[0].collect()}
+        assert got == py_kcore(k), k
+    # empty-core edge case converges to the empty set
+    assert k_core(eg, 10_000)[0].count() == 0

@@ -1130,6 +1130,39 @@ FROM v LEFT JOIN cnt c USING (vid)
 """
 
 
+KC_K = 170
+KC_ROUNDS = 3
+
+
+def q_g_kcore(spark, sf_dir):
+    """k-core peel, k=170, exactly 3 rounds (mid-peel state: non-trivial
+    survivor set on this graph) — fixed-round mode so the unrolled SQL
+    oracle computes the identical intermediate states."""
+    from webgraph.algos.kcore import k_core
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    out, _ = k_core(g, KC_K, rounds=KC_ROUNDS)
+    return out
+
+
+def o_g_kcore():
+    parts = [
+        f"WITH e AS ({EDGES_SQL}),",
+        f"s0 AS ({SYM_SQL}),",
+    ]
+    for i in range(1, KC_ROUNDS + 1):
+        p = i - 1
+        parts += [
+            f"d{i} AS (SELECT src, COUNT(*) AS deg FROM s{p} GROUP BY src),",
+            f"k{i} AS (SELECT src AS vid FROM d{i} WHERE deg >= {KC_K}),",
+            f"s{i} AS (SELECT s.src, s.dst FROM s{p} s "
+            f"JOIN k{i} a ON s.src = a.vid JOIN k{i} b ON s.dst = b.vid),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT vid FROM k{KC_ROUNDS}")
+    return _unrolled(parts)
+
+
 HITS_ITERS = 3
 
 
@@ -1204,5 +1237,6 @@ QUERIES.update(
         "g_triangles_per_vertex": (q_g_triangles_per_vertex, o_g_triangles_per_vertex),
         "g_pages_by_id": (q_g_pages_by_id, o_g_pages_by_id),
         "g_hits": (q_g_hits, o_g_hits),
+        "g_kcore": (q_g_kcore, o_g_kcore),
     }
 )
