@@ -1045,6 +1045,69 @@ def q_s_stream_hourly(spark, sf_dir):
     )
 
 
+def q_s_stateful_sessions(spark, sf_dir):
+    """Gap-based sessionization through applyInPandasWithState (custom
+    stateful streaming operator), drained with AvailableNow. The events
+    table is ONE file -> one data micro-batch + the no-data timeout batch,
+    so the emitted set is exactly: every non-trailing session of a user
+    (closed by the gap split) plus trailing sessions whose
+    end + gap < final watermark (closed by EventTimeTimeout) — both
+    SQL-expressible, so the oracle is exact."""
+    import tempfile
+
+    from webgraph.streaming import run_to_append_sink, stateful_sessions
+
+    _STREAM_SINK_N[0] += 1
+    out = tempfile.mkdtemp(prefix=f"stateful_sessions_{_STREAM_SINK_N[0]}_")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    sess = stateful_sessions(stream, gap="30 minutes", watermark="10 minutes")
+    run_to_append_sink(sess, f"{out}/result", f"{out}/ck")
+    return spark.read.parquet(f"{out}/result").select(
+        "user_id",
+        F.unix_timestamp("session_start").alias("start_epoch"),
+        F.unix_timestamp("session_end").alias("end_epoch"),
+        "n_events",
+        F.round(F.col("total_value") * 1e4).cast("long").alias("total_value_e4"),
+    )
+
+
+def o_s_stateful_sessions():
+    return """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR ts - LAG(ts) OVER w > INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), agg AS (
+  SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en,
+         COUNT(*) AS n, SUM(value) AS tv,
+         MAX(sid) OVER (PARTITION BY user_id) AS last_sid
+  FROM s GROUP BY user_id, sid
+), wm AS (SELECT MAX(ts) - INTERVAL 600 SECOND AS w FROM events)
+SELECT user_id,
+  CAST(FLOOR(epoch(st)) AS BIGINT) AS start_epoch,
+  CAST(FLOOR(epoch(en)) AS BIGINT) AS end_epoch,
+  n AS n_events,
+  CAST(ROUND(tv * 10000e0) AS BIGINT) AS total_value_e4
+FROM agg
+WHERE sid < last_sid
+   OR en + INTERVAL 1800 SECOND < (SELECT w FROM wm)
+"""
+
+
 def o_s_stream_hourly():
     return (
         "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, "
@@ -1066,6 +1129,7 @@ QUERIES.update(
         "e_ivf_topk": (q_e_ivf_topk, o_e_ivf_topk),
         "t_token_budget_sample": (q_t_token_budget_sample, o_t_token_budget_sample),
         "s_stream_hourly": (q_s_stream_hourly, o_s_stream_hourly),
+        "s_stateful_sessions": (q_s_stateful_sessions, o_s_stateful_sessions),
     }
 )
 

@@ -155,13 +155,20 @@ def stateful_sessions(
                     max(timeout_ms, state.getCurrentWatermarkMs() + 1)
                 )
         if closed:
+            import numpy as np
+
+            def ts_us(vals):
+                # microsecond-unit timestamps: Spark's Arrow schema is
+                # timestamp[us]; default ns-unit pandas values trip the
+                # safe-cast check on sub-second inputs
+                us = (np.array(vals, dtype="float64") * 1e6).round().astype("int64")
+                return pd.to_datetime(us, unit="us").as_unit("us")
+
             yield pd.DataFrame(
                 {
                     "user_id": [c[0] for c in closed],
-                    "session_start": pd.to_datetime(
-                        [c[1] for c in closed], unit="s"
-                    ),
-                    "session_end": pd.to_datetime([c[2] for c in closed], unit="s"),
+                    "session_start": ts_us([c[1] for c in closed]),
+                    "session_end": ts_us([c[2] for c in closed]),
                     "n_events": [int(c[3]) for c in closed],
                     "total_value": [float(c[4]) for c in closed],
                 }
