@@ -970,7 +970,8 @@ WITH t AS (
   FROM documents
 ), c AS (
   SELECT doc_id, n_tokens,
-    SUM(n_tokens) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    CAST(SUM(n_tokens) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING)
+         AS BIGINT) AS cum_tokens
   FROM t
 )
 SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= {SAMPLE_BUDGET}
