@@ -273,3 +273,72 @@ def test_k_core_matches_python_oracle(spark):
         assert got == py_kcore(k), k
     # empty-core edge case converges to the empty set
     assert k_core(eg, 10_000)[0].count() == 0
+
+def test_hits_rejects_zero_iterations(spark):
+    from webgraph.algos.hits import hits
+
+    eg = _encoded(spark, fixture="triangle")
+    with pytest.raises(ValueError):
+        hits(eg, max_iter=0)
+
+
+def test_hits_checkpoint_resume(spark, tmp_path):
+    from webgraph.algos.hits import hits
+
+    eg = _encoded(spark, n_pages=120)
+    full, _ = hits(eg, max_iter=4)
+    want = {r["vid"]: (r["hub"], r["auth"]) for r in full.collect()}
+
+    d = str(tmp_path / "ck")
+    hits(eg, max_iter=2, checkpoint_dir=d)
+    resumed, metrics = hits(eg, max_iter=4, checkpoint_dir=d, resume=True)
+    got = {r["vid"]: (r["hub"], r["auth"]) for r in resumed.collect()}
+    assert metrics[0]["iteration"] == 2  # resumed, not restarted
+    for v, (h, a) in want.items():
+        assert abs(got[v][0] - h) < 1e-12 and abs(got[v][1] - a) < 1e-12
+
+    from webgraph.checkpoint import CheckpointManager
+
+    entries = CheckpointManager(d, "hits").entries()
+    assert [e["iteration"] for e in entries] == list(range(4))
+    assert all("messages" in e["metrics"] for e in entries)
+
+
+def test_k_core_checkpoint_resume(spark, tmp_path):
+    from webgraph.algos.common import from_int_edges
+    from webgraph.algos.kcore import k_core
+
+    # a chain of small cliques peels over several rounds
+    edges = []
+    for c in range(6):
+        b = 10 * c
+        edges += [(b + i, b + j) for i in range(4) for j in range(i + 1, 4)]
+        edges.append((b + 3, b + 10))  # bridge to next clique
+    eg = from_int_edges(spark.createDataFrame(edges[:-1], "src long, dst long"))
+
+    want = {r["vid"] for r in k_core(eg, 3)[0].collect()}
+
+    d = str(tmp_path / "ck")
+    k_core(eg, 3, rounds=1, checkpoint_dir=d)
+    resumed, metrics = k_core(eg, 3, checkpoint_dir=d, resume=True)
+    assert metrics[0]["iteration"] == 1  # continued from the commit
+    assert {r["vid"] for r in resumed.collect()} == want
+
+
+def test_k_core_path_graph_peels_to_empty_fixpoint(spark):
+    """ADVICE case: a path has an empty 2-core but needs ~n/2 peel rounds;
+    the old max_iter=50 default silently returned the partially-peeled
+    superset. Default mode now runs to the fixpoint."""
+    from webgraph.algos.common import from_int_edges
+    from webgraph.algos.kcore import k_core
+
+    n = 40
+    eg = from_int_edges(
+        spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    )
+    out, metrics = k_core(eg, 2)
+    assert out.count() == 0
+    assert len(metrics) > 10  # really did peel round by round
+
+    with pytest.raises(RuntimeError, match="max_iter"):
+        k_core(eg, 2, max_iter=3)

@@ -158,3 +158,91 @@ def test_dedup_pipelines_never_plan_cartesian_products(spark):
         plan = plan_of(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+def test_cc_lp_convergence_count_reads_materialized_state(spark):
+    """The changed-count that drives convergence must execute over the
+    MATERIALIZED new state (ExistingRDD scans), never by re-planning the
+    iteration's neighbor aggregation — re-planning doubles every
+    iteration's shuffle (the round-2 verdict's 100x flag)."""
+    from webgraph.algos import connected_components, encode_graph, label_propagation
+    from webgraph.build import build_graph as bg
+
+    eg = encode_graph(
+        bg(synthetic_corpus(spark, 300, seed=7), ["example.com"]).edges
+    )
+
+    cc_plans, lp_plans = {}, {}
+    connected_components(
+        eg, max_iter=2, collect_skew=False, _probe=lambda it, df: cc_plans.__setitem__(it, plan_of(df))
+    )
+    label_propagation(eg, max_iter=2, _probe=lambda it, df: lp_plans.__setitem__(it, plan_of(df)))
+
+    # iteration 1: both sides of the changed-count join are checkpointed
+    p = cc_plans[1]
+    assert "ExistingRDD" in p
+    assert "partial_min" not in p and "min(component" not in p
+    p = lp_plans[1]
+    assert "ExistingRDD" in p
+    assert "max_by" not in p
+
+
+def test_hits_norm_is_over_checkpointed_scores(spark):
+    """_normalized must receive a materialized frame: the 1-row L2 agg and
+    the main side then share one ExistingRDD scan instead of re-executing
+    the edges-join-scores aggregation."""
+    from webgraph.algos import encode_graph
+    from webgraph.algos.hits import _normalized
+    from webgraph.build import build_graph as bg
+
+    eg = encode_graph(bg(fixture_docs(spark, "star_in"), ["alpha.example.com"]).edges)
+    scores = eg.vertices.select("vid", F.lit(1.0).alias("auth")).localCheckpoint()
+    plan = plan_of(_normalized(scores, "auth"))
+    assert "ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "broadcast" in plan.lower()
+    # no shuffle join of edges anywhere in the normalization subtree
+    assert "SortMergeJoin" not in plan
+
+
+def test_token_budget_window_is_per_partition_not_global(spark):
+    """sample_to_token_budget's cumulative window must be partitioned by
+    _p (the physical partition id): a global ORDER BY window serializes the
+    whole corpus through one task at 100 TB."""
+    from webgraph.text import sample_to_token_budget
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d") for i in range(100)], "doc_id long, text string"
+    )
+    plan = plan_of(sample_to_token_budget(docs, 50), mode="formatted")
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln or "windowspecdefinition" in ln]
+    assert any("_p" in ln for ln in win_lines), win_lines
+    # the only Sort feeding the window is partition-local
+    assert "Sort [" not in plan or "global=false" in plan.lower() or "Exchange rangepartitioning" not in plan
+
+
+def test_kcore_peel_uses_semi_joins_not_inner(spark):
+    from webgraph.algos.kcore import _peel
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    survivors = spark.createDataFrame([(1,), (2,), (3,)], "vid long")
+    plan = plan_of(_peel(edges, survivors))
+    assert "LeftSemi" in plan
+    assert "Inner" not in plan
+
+
+def test_stateful_sessions_plans_arrow_state_operator(spark):
+    """The sessionizer must compile to FlatMapGroupsInPandasWithState
+    (Arrow-batched custom state), with no row-at-a-time Python eval."""
+    from webgraph.streaming import stateful_sessions
+
+    events = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            (F.col("value") % 5).alias("user_id"),
+            F.col("timestamp").alias("ts"),
+            F.col("value").cast("double").alias("value"),
+            F.lit(0).alias("event_id"),
+        )
+    )
+    plan = plan_of(stateful_sessions(events))
+    assert "FlatMapGroupsInPandasWithState" in plan
+    assert "BatchEvalPython" not in plan

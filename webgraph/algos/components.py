@@ -37,10 +37,12 @@ def connected_components(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     collect_skew: bool = True,
+    _probe=None,
 ) -> tuple[DataFrame, list[dict]]:
     """Returns (labels DataFrame ``(vid, component)``, iteration metrics).
     ``component`` is the minimum vid in the component (stable, comparable
-    across runs)."""
+    across runs). ``_probe(it, changed_df)`` is a test seam that receives
+    the convergence-count frame before it executes (plan assertions)."""
     spark = g.edges.sparkSession
     sym = symmetrize(g.edges).persist()
     num_msgs = sym.count()
@@ -75,24 +77,30 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("component", "prev"), "vid", "inner"
-            )
-            .filter(F.col("component") != F.col("prev"))
-            .count()
-        )
+        # Materialize FIRST (one execution of the join+agg job), then count
+        # changes from the materialized frame against the previous state —
+        # the pagerank.py pattern. Counting over the lazy plan and then
+        # checkpointing would execute the identical uncached iteration
+        # twice (2x every shuffle at scale).
+        prev = labels
+        if ckpt:
+            labels = ckpt.write_state(new_labels, it)
+        else:
+            labels = new_labels.localCheckpoint(eager=True)
+        changed_df = labels.join(
+            prev.withColumnRenamed("component", "prev"), "vid", "inner"
+        ).filter(F.col("component") != F.col("prev"))
+        if _probe is not None:
+            _probe(it, changed_df)
+        changed = changed_df.count()
         wall = time.time() - t0
         m = iteration_metrics(
             it, wall, messages=num_msgs, changed=changed,
             extra=skew if it == start_iter else {},
         )
         metrics.append(m)
-
         if ckpt:
-            labels = ckpt.commit(new_labels, it, m)
-        else:
-            labels = new_labels.localCheckpoint(eager=True)
+            ckpt.log_entry(it, m)
 
         if changed == 0:
             break

@@ -8,9 +8,16 @@ in-degree ranking (README.md:92-112) with a mutual-density criterion.
 Per round: one degree aggregate over the surviving edge set + two
 semi-joins to drop edges touching peeled vertices; per-round
 localCheckpoint truncates lineage (the iterative-plan-growth guard, SURVEY
-§4 item 3). Converges in <= max-degree rounds, usually a handful; the
-`rounds` parameter forces a fixed count so the unrolled-SQL contract
-oracle computes the identical intermediate states.
+§4 item 3). Peeling converges in at most O(n) rounds (every non-final
+round removes >= 1 vertex — a 2(n/2)-vertex path with k=2 really does
+take ~n/2 rounds), so the default is to peel to the fixpoint with no
+round cap; an explicit ``max_iter`` that is hit before the fixpoint
+raises instead of silently returning a superset of the k-core (the same
+no-silent-caps rule the dedup bucket guards follow).
+
+With ``checkpoint_dir`` each round's surviving edge set is committed via
+CheckpointManager (parquet + manifest, as in PageRank/CC/LP), making long
+peels resumable with per-round metrics.
 """
 
 from __future__ import annotations
@@ -21,39 +28,92 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from webgraph.algos.common import EncodedGraph, symmetrize
+from webgraph.checkpoint import CheckpointManager
+
+
+def _peel(edges: DataFrame, survivors: DataFrame) -> DataFrame:
+    """Edge set restricted to surviving endpoints — two LEFT SEMI joins.
+    Semi (not inner) matters at scale: it neither duplicates edge rows on
+    hub keys nor drags the survivor column through the shuffle."""
+    return (
+        edges.join(survivors.withColumnRenamed("vid", "src"), "src", "left_semi")
+        .join(survivors.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+    )
 
 
 def k_core(
-    g: EncodedGraph, k: int, rounds: int | None = None, max_iter: int = 50
+    g: EncodedGraph,
+    k: int,
+    rounds: int | None = None,
+    max_iter: int | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> tuple[DataFrame, list[dict]]:
     """Returns ((vid) DataFrame of the k-core members, per-round metrics).
 
     `rounds=None` peels to the fixpoint (stops when no vertex is dropped);
     an explicit `rounds` runs exactly that many peel rounds (oracle mode).
+    `max_iter` is a safety cap on fixpoint mode: hitting it before
+    convergence raises RuntimeError (never a silent partial answer).
     """
+    spark = g.edges.sparkSession
+    ckpt = CheckpointManager(checkpoint_dir, "kcore") if checkpoint_dir else None
     edges = symmetrize(g.edges).localCheckpoint(eager=True)
     metrics: list[dict] = []
     n_prev = None
-    limit = rounds if rounds is not None else max_iter
+    start_iter = 0
+    if ckpt and resume:
+        loaded = ckpt.load_latest(spark)
+        if loaded is not None:
+            edges, start_iter = loaded
+            n_prev = (ckpt.latest().get("metrics") or {}).get("survivors")
+            start_iter += 1
+
     survivors = None
-    for it in range(limit):
+    converged = False
+    it = start_iter
+    while True:
+        if rounds is not None:
+            if it >= rounds:
+                break
+        elif max_iter is not None and it - start_iter >= max_iter:
+            raise RuntimeError(
+                f"k_core(k={k}): hit max_iter={max_iter} before the peel "
+                f"fixpoint ({n_prev} survivors at the cap); raise max_iter "
+                "or leave it None — a capped result is a superset of the "
+                "true k-core, never returned silently"
+            )
         t0 = time.time()
         deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
         survivors = deg.filter(F.col("deg") >= k).select(
             F.col("src").alias("vid")
         ).localCheckpoint(eager=True)
         n = survivors.count()
-        edges = (
-            edges.join(survivors.withColumnRenamed("vid", "src"), "src", "left_semi")
-            .join(survivors.withColumnRenamed("vid", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=True)
-        )
-        metrics.append(
-            {"iteration": it, "wall_sec": round(time.time() - t0, 3), "survivors": n}
-        )
+        new_edges = _peel(edges, survivors)
+        if ckpt:
+            edges = ckpt.write_state(new_edges, it)
+        else:
+            edges = new_edges.localCheckpoint(eager=True)
+        m = {"iteration": it, "wall_sec": round(time.time() - t0, 3),
+             "survivors": n}
+        metrics.append(m)
+        if ckpt:
+            ckpt.log_entry(it, m)
+        it += 1
         if rounds is None and n_prev == n:
+            converged = True
             break
         n_prev = n
-    if survivors is None:  # rounds == 0
-        survivors = symmetrize(g.edges).select(F.col("src").alias("vid")).distinct()
+
+    if survivors is None:
+        if rounds == 0:
+            survivors = symmetrize(g.edges).select(F.col("src").alias("vid")).distinct()
+        else:
+            # resumed at an already-converged checkpoint: one confirming
+            # round was still run above, so this branch is only rounds<=start
+            survivors = edges.select(F.col("src").alias("vid")).distinct()
+    if rounds is None and not converged:
+        # unreachable by construction (loop exits via fixpoint or raise),
+        # kept as an invariant guard
+        raise RuntimeError("k_core: exited without reaching the fixpoint")
     return survivors.select("vid"), metrics

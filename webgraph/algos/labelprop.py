@@ -34,8 +34,11 @@ def label_propagation(
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    _probe=None,
 ) -> tuple[DataFrame, list[dict]]:
-    """Returns (labels DataFrame ``(vid, label)``, iteration metrics)."""
+    """Returns (labels DataFrame ``(vid, label)``, iteration metrics).
+    ``_probe(it, changed_df)`` is a test seam that receives the
+    convergence-count frame before it executes (plan assertions)."""
     spark = g.edges.sparkSession
     sym = symmetrize(g.edges).persist()
     num_msgs = sym.count()
@@ -65,19 +68,24 @@ def label_propagation(
         new_labels = labels.join(best, "vid", "left").select(
             "vid", F.coalesce(F.col("nbr_label"), F.col("label")).alias("label")
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "prev"), "vid", "inner")
-            .filter(F.col("label") != F.col("prev"))
-            .count()
-        )
+        # Materialize first, then count changes from the materialized frame
+        # (see components.py — avoids executing each iteration twice).
+        prev = labels
+        if ckpt:
+            labels = ckpt.write_state(new_labels, it)
+        else:
+            labels = new_labels.localCheckpoint(eager=True)
+        changed_df = labels.join(
+            prev.withColumnRenamed("label", "prev"), "vid", "inner"
+        ).filter(F.col("label") != F.col("prev"))
+        if _probe is not None:
+            _probe(it, changed_df)
+        changed = changed_df.count()
         wall = time.time() - t0
         m = iteration_metrics(it, wall, messages=num_msgs, changed=changed)
         metrics.append(m)
-
         if ckpt:
-            labels = ckpt.commit(new_labels, it, m)
-        else:
-            labels = new_labels.localCheckpoint(eager=True)
+            ckpt.log_entry(it, m)
 
         if changed == 0:
             break
