@@ -82,29 +82,38 @@ def test_neo4j_csv_export(spark, tmp_path):
     from webgraph.export import export_neo4j_csv
 
     g = build_graph(fixture_docs(spark, "star_in"), ["alpha.example.com"])
+    # force a multi-partition write: THE failure mode of per-part headers
+    # is every file after the first feeding its header line in as data
+    g = g._replace(pages=g.pages.repartition(4), edges=g.edges.repartition(4))
     paths = export_neo4j_csv(g, str(tmp_path / "neo4j"))
 
+    node_header = [
+        "url:ID", "domain", "type", "content",
+        "incomingLinks:long", "outgoingLinks:long",
+        "facebookTotalCount:int", "twitterCount:int",
+    ]
+    with open(f"{paths['nodes']}/_header.csv") as fh:
+        assert fh.read().strip().split(",") == node_header
+
     node_files = glob.glob(f"{paths['nodes']}/part-*.csv")
+    assert len(node_files) > 1
     rows = []
     for f in node_files:
         with open(f) as fh:
-            r = csv.DictReader(fh)
-            assert r.fieldnames == [
-                "url:ID", "domain", "type", "content",
-                "incomingLinks:long", "outgoingLinks:long",
-                "facebookTotalCount:int", "twitterCount:int",
-            ]
-            rows.extend(r)
-    assert len(rows) == 5
+            # data files are headerless: neo4j-admin takes the header from
+            # _header.csv (listed first) and treats every other line as data
+            rows.extend(csv.DictReader(fh, fieldnames=node_header))
+    assert len(rows) == 5  # no header rows counted as data
+    assert not any(r["url:ID"] == "url:ID" for r in rows)
     hub = next(r for r in rows if r["url:ID"] == "https://www.alpha.example.com/")
     assert hub["incomingLinks:long"] == "4" and hub["type"] == "home"
 
+    with open(f"{paths['relationships']}/_header.csv") as fh:
+        assert fh.read().strip().split(",") == [":START_ID", ":END_ID"]
     rel_rows = []
     for f in glob.glob(f"{paths['relationships']}/part-*.csv"):
         with open(f) as fh:
-            r = csv.DictReader(fh)
-            assert r.fieldnames == [":START_ID", ":END_ID"]
-            rel_rows.extend(r)
+            rel_rows.extend(csv.DictReader(fh, fieldnames=[":START_ID", ":END_ID"]))
     assert len(rel_rows) == 4
     assert all(
         r[":END_ID"] == "https://www.alpha.example.com/" for r in rel_rows

@@ -319,7 +319,13 @@ _MIX_STEP = 40_503
 def token_hash(tok) -> "F.Column":
     """Engine-portable token hash: fold (h*31 + charcode) % POLY_MOD over
     the characters. Chosen over xxhash64 so signatures are reproducible in
-    plain integer SQL (the DuckDB oracle computes the identical fold)."""
+    plain integer SQL (the DuckDB oracle computes the identical fold).
+
+    charcode is the Unicode CODE POINT on both engines: Spark's
+    ascii/substr/length are code-point based (verified in 4.1.2 incl.
+    non-BMP surrogate pairs) and DuckDB's ord() likewise — so the
+    portability holds for arbitrary Unicode text, not just ASCII
+    (pinned by tests/test_dedup_hash.py)."""
     codes = F.transform(
         F.sequence(F.lit(1), F.length(tok)),
         lambda i: F.ascii(F.substr(tok, i, F.lit(1))).cast("long"),

@@ -8,18 +8,27 @@ own property keys (PageNode.java:12-20: url, domain, type, incomingLinks,
 outgoingLinks, content, facebookTotalCount, twitterCount) and its
 LINKS_TO relationship type (AbstractObservableGraphImporter.java:124).
 
-Written distributed (one CSV part-file per partition, Spark's csv sink —
-no driver collect); neo4j-admin accepts multiple files per group:
+Written distributed (one headerless CSV part-file per partition, Spark's
+csv sink — no driver collect) plus ONE single-line `_header.csv` per
+group. neo4j-admin reads the header from the FIRST file of each group
+only — a header row baked into every part file would be ingested as data
+rows by every file after the first (bogus 'url:ID' node + relationships),
+so the header lives in its own file and the import command lists it
+first:
 
     neo4j-admin database import full --multiline-fields=true \\
-        --nodes=Page=<dir>/nodes/part-*.csv \\
-        --relationships=LINKS_TO=<dir>/relationships/part-*.csv
+        --nodes=Page=<dir>/nodes/_header.csv,<dir>/nodes/part-.*\\.csv \\
+        --relationships=LINKS_TO=<dir>/relationships/_header.csv,<dir>/relationships/part-.*\\.csv
 
-(--multiline-fields because page content is quoted HTML with newlines.)
+(--multiline-fields because page content is quoted HTML with newlines;
+the second element of each group is a neo4j-admin filename regex.)
 """
 
 from __future__ import annotations
 
+import os
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from webgraph.build import GraphTables
@@ -37,26 +46,34 @@ NODE_COLUMNS = [
     ("twitter_count", "twitterCount:int"),
 ]
 
+REL_COLUMNS = [":START_ID", ":END_ID"]
+
+
+def _write_group(df: DataFrame, path: str, header: list[str]) -> None:
+    """Headerless distributed CSV parts + a single-line _header.csv.
+    The header write is a driver-side one-liner (on a cluster with an
+    object store, the same line goes through the Hadoop FS API)."""
+    df.write.mode("overwrite").option("header", False).option("escape", '"').csv(path)
+    with open(os.path.join(path, "_header.csv"), "w") as f:
+        f.write(",".join(header) + "\n")
+
 
 def export_neo4j_csv(g: GraphTables, out_dir: str) -> dict[str, str]:
     """Write <out_dir>/nodes and <out_dir>/relationships CSV directories in
-    neo4j-admin bulk-import format. Returns the two paths."""
+    neo4j-admin bulk-import format (headerless part files + _header.csv,
+    see module docstring). Returns the two paths."""
     nodes_path = f"{out_dir}/nodes"
     rels_path = f"{out_dir}/relationships"
-    (
-        g.pages.select(
-            *[F.col(src).alias(dst) for src, dst in NODE_COLUMNS]
-        ).write.mode("overwrite")
-        .option("header", True)
-        .option("escape", '"')
-        .csv(nodes_path)
+    _write_group(
+        g.pages.select(*[F.col(src).alias(dst) for src, dst in NODE_COLUMNS]),
+        nodes_path,
+        [dst for _, dst in NODE_COLUMNS],
     )
-    (
+    _write_group(
         g.edges.select(
             F.col("src").alias(":START_ID"), F.col("dst").alias(":END_ID")
-        ).write.mode("overwrite")
-        .option("header", True)
-        .option("escape", '"')
-        .csv(rels_path)
+        ),
+        rels_path,
+        REL_COLUMNS,
     )
     return {"nodes": nodes_path, "relationships": rels_path}
