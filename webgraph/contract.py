@@ -1296,6 +1296,89 @@ WHERE vid IN (3, 152, 153, 154) ORDER BY vid
 """
 
 
+def q_x_category_index(spark, sf_dir):
+    """Category index analog (GraphImporter.java:19, BatchGraphImporter.
+    java:224-228): get-or-create from empty over the event types, then a
+    second get-or-create re-adding the same names plus the reference
+    comment's two page categories — old names keep their ids (idempotent
+    index add), new names append densely."""
+    from webgraph.categories import empty_categories, get_or_create_categories
+
+    events = load(spark, sf_dir, "events")
+    cats = get_or_create_categories(
+        empty_categories(spark), events.select(F.col("event_type").alias("name"))
+    )
+    again = events.select(F.col("event_type").alias("name")).union(
+        spark.createDataFrame([("homes",), ("leaf pages",)], "name string")
+    )
+    return get_or_create_categories(cats, again)
+
+
+def o_x_category_index():
+    return """
+WITH base AS (SELECT DISTINCT event_type AS name FROM events),
+b2 AS (SELECT ROW_NUMBER() OVER (ORDER BY name) AS category_id, name FROM base),
+extra AS (
+  SELECT name FROM (VALUES ('homes'), ('leaf pages')) t(name)
+  WHERE name NOT IN (SELECT name FROM base)
+),
+m AS (SELECT COALESCE(MAX(category_id), 0) AS mx FROM b2),
+e2 AS (
+  SELECT (SELECT mx FROM m) + ROW_NUMBER() OVER (ORDER BY name) AS category_id,
+         name
+  FROM extra
+)
+SELECT CAST(category_id AS BIGINT) AS category_id, name FROM b2
+UNION ALL
+SELECT CAST(category_id AS BIGINT) AS category_id, name FROM e2
+"""
+
+
+def q_m_media_stats(spark, sf_dir):
+    """Multimodal metadata triage (media_stats): binary payloads derived
+    deterministically from the documents table (utf-8 bytes of text, mime
+    cycling by doc_id) so the byte-length aggregation is SQL-checkable on
+    both engines — closes the round-2 'pytest-only' gap for §2.11."""
+    from webgraph.multimodal import media_stats
+
+    docs = load(spark, sf_dir, "documents")
+    mime = F.element_at(
+        F.array(
+            F.lit("image/png"), F.lit("image/jpeg"),
+            F.lit("video/mp4"), F.lit("audio/wav"),
+        ),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        mime.alias("mime"),
+        F.col("text").cast("binary").alias("media"),
+    )
+    out = media_stats(assets)
+    return out.select(
+        "media_class",
+        F.col("n_assets").cast("long").alias("n_assets"),
+        F.col("total_bytes").cast("long").alias("total_bytes"),
+        F.col("max_bytes").cast("long").alias("max_bytes"),
+    )
+
+
+def o_m_media_stats():
+    return """
+WITH a AS (
+  SELECT doc_id,
+    (['image/png','image/jpeg','video/mp4','audio/wav'])[CAST(doc_id % 4 AS INT) + 1] AS mime,
+    encode(text) AS media
+  FROM documents
+)
+SELECT split_part(mime, '/', 1) AS media_class,
+  CAST(COUNT(*) AS BIGINT) AS n_assets,
+  CAST(SUM(octet_length(media)) AS BIGINT) AS total_bytes,
+  CAST(MAX(octet_length(media)) AS BIGINT) AS max_bytes
+FROM a GROUP BY media_class
+"""
+
+
 QUERIES.update(
     {
         "r_set_ops": (q_r_set_ops, o_r_set_ops),
@@ -1303,5 +1386,7 @@ QUERIES.update(
         "g_pages_by_id": (q_g_pages_by_id, o_g_pages_by_id),
         "g_hits": (q_g_hits, o_g_hits),
         "g_kcore": (q_g_kcore, o_g_kcore),
+        "x_category_index": (q_x_category_index, o_x_category_index),
+        "m_media_stats": (q_m_media_stats, o_m_media_stats),
     }
 )
