@@ -45,6 +45,23 @@ def test_exact_dedup(docs):
     assert kept.filter(F.col("doc_id") == 3).count() == 0  # min-id kept
 
 
+def test_exact_duplicates_caps_degenerate_group_payload(spark):
+    """A degenerate corpus (thousands of copies of one doc) must not ship
+    its whole posting list through one reducer: doc_ids is capped to the
+    K smallest ids, n_docs stays the exact count."""
+    n = 5000
+    degen = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("same exact text").alias("text")
+    )
+    row = dedup.exact_duplicates(degen, max_ids_per_group=10).collect()
+    assert len(row) == 1
+    assert row[0]["n_docs"] == n
+    assert row[0]["doc_ids"] == list(range(10))  # K smallest, sorted
+    # unbounded mode still available explicitly
+    full = dedup.exact_duplicates(degen.limit(50), max_ids_per_group=None)
+    assert full.collect()[0]["doc_ids"] == list(range(50))
+
+
 def test_ngram_jaccard_matches_python_oracle(docs):
     got = {
         (r["a"], r["b"]): r["jaccard"]

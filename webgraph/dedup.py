@@ -30,18 +30,41 @@ from webgraph.text import fingerprint, tokens
 
 
 def exact_duplicates(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_ids_per_group: int | None = 100,
 ) -> DataFrame:
     """Groups of byte-identical (post whitespace/case normalization) docs:
-    (fp, n_docs, doc_ids). One hash aggregate."""
-    return (
-        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
-        .groupBy("fp")
-        .agg(
+    (fp, n_docs, doc_ids). One hash aggregate.
+
+    ``doc_ids`` keeps only the ``max_ids_per_group`` smallest ids per
+    group (``n_docs`` is always the exact full count): an unbounded
+    collect_list would land a 10^6-copy fingerprint's whole posting list
+    in one reducer's aggregation buffer. The capped path never builds
+    that buffer — a rank window (sort-based, spillable) drops ids past
+    the cap BEFORE the list is collected, so per-group memory is O(cap).
+    The cap is explicit in the signature, never silent — pass None for
+    the unbounded list (small corpora only)."""
+    fps = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    if max_ids_per_group is None:
+        grouped = fps.groupBy("fp").agg(
             F.count("*").alias("n_docs"),
             F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
         )
-        .filter(F.col("n_docs") > 1)
+        return grouped.filter(F.col("n_docs") > 1)
+    from pyspark.sql.window import Window
+
+    counts = fps.groupBy("fp").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("fp").orderBy(id_col)
+    ids = (
+        fps.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= max_ids_per_group)
+        .groupBy("fp")  # same fp partitioning as the window: no re-shuffle
+        .agg(F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+    )
+    return counts.join(ids, "fp").filter(F.col("n_docs") > 1).select(
+        "fp", "n_docs", "doc_ids"
     )
 
 
