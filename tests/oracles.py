@@ -112,3 +112,36 @@ def triangle_oracle(edges: list[tuple[int, int]]) -> int:
     for a, b in und:
         count += len([c for c in nbrs[a] & nbrs[b] if c > b])
     return count
+
+def ppr_oracle(
+    edges: list[tuple[int, int]],
+    vertices: set[int],
+    seeds: set[int],
+    damping: float = 0.85,
+    max_iter: int = 5,
+) -> dict[int, float]:
+    """Personalized PageRank, fixed iterations: teleport and dangling mass
+    land on the uniform seed distribution."""
+    seeds = set(seeds) & set(vertices)
+    p = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in vertices}
+    out_nbrs: dict[int, list[int]] = defaultdict(list)
+    for s, d in set(edges):
+        out_nbrs[s].append(d)
+    ranks = dict(p)
+    for _ in range(max_iter):
+        contrib: dict[int, float] = defaultdict(float)
+        dangling_mass = 0.0
+        for v in vertices:
+            nbrs = out_nbrs.get(v)
+            if not nbrs:
+                dangling_mass += ranks[v]
+            else:
+                share = ranks[v] / len(nbrs)
+                for d in nbrs:
+                    contrib[d] += share
+        ranks = {
+            v: (1.0 - damping) * p[v]
+            + damping * (dangling_mass * p[v] + contrib.get(v, 0.0))
+            for v in vertices
+        }
+    return ranks

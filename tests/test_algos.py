@@ -342,3 +342,27 @@ def test_k_core_path_graph_peels_to_empty_fixpoint(spark):
 
     with pytest.raises(RuntimeError, match="max_iter"):
         k_core(eg, 2, max_iter=3)
+
+
+def test_personalized_pagerank_matches_python_oracle(spark):
+    from tests.oracles import ppr_oracle
+    from webgraph.algos import personalized_pagerank
+
+    # dangling fixture exercises the seed-directed dangling redistribution
+    for fixture, n_pages in [("dangling", None), (None, 200)]:
+        eg = _encoded(spark, fixture=fixture, n_pages=n_pages)
+        verts = _vertex_set(eg)
+        seeds = sorted(verts)[:3]
+        ranks, metrics = personalized_pagerank(
+            eg, seeds, tol=0.0, max_iter=5, collect_skew=False
+        )
+        got = {r["vid"]: r["rank"] for r in ranks.collect()}
+        want = ppr_oracle(_edge_list(eg), verts, set(seeds), max_iter=5)
+        ks = sorted(verts)
+        assert np.allclose([got[k] for k in ks], [want[k] for k in ks], atol=1e-9)
+        # probability mass is conserved (teleport + dangling both land on p)
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+        assert len(metrics) == 5
+
+    with pytest.raises(ValueError):
+        personalized_pagerank(eg, [10**12], max_iter=2)

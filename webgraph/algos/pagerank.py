@@ -47,6 +47,7 @@ def pagerank(
     collect_skew: bool = True,
     checkpoint_retain: int | None = None,
     on_iteration=None,
+    personalization: DataFrame | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Returns (ranks DataFrame ``(vid, rank)``, per-iteration metrics).
 
@@ -54,10 +55,29 @@ def pagerank(
     by factor d per step, so reaching L1 < tol(1-d)/(1+d)-ish guarantees
     per-vertex closeness; we iterate to L1 < tol directly and tests assert
     allclose(1e-6) against a dense numpy oracle.
+
+    `personalization`: optional ``(vid, p)`` frame (p summing to 1) turning
+    this into personalized PageRank — teleport lands on p instead of the
+    uniform 1/N (restart vector and dangling redistribution both follow p):
+
+        r'(v) = (1-d)*p(v) + d*( sum contribs + dangling_mass*p(v) )
+
+    The p frame is vertex-shaped: persisted once, joined per iteration on
+    the same vid key the rank update already shuffles on.
     """
     spark = g.edges.sparkSession
     n = g.num_vertices
     num_edges = g.edges.count()
+
+    pers = None
+    if personalization is not None:
+        pers = (
+            g.vertices.select("vid")
+            .join(personalization.select("vid", "p"), "vid", "left")
+            .select("vid", F.coalesce(F.col("p"), F.lit(0.0)).alias("p"))
+            .persist()
+        )
+        pers.count()
 
     out_deg = g.edges.groupBy("src").agg(F.count("*").alias("deg"))
     # Weighted edges: built once, the stationary big side of every join.
@@ -87,7 +107,10 @@ def pagerank(
     metrics: list[dict] = []
     start_iter = 0
 
-    ranks = g.vertices.select("vid", F.lit(1.0 / n).alias("rank"))
+    if pers is not None:
+        ranks = pers.select("vid", F.col("p").alias("rank"))
+    else:
+        ranks = g.vertices.select("vid", F.lit(1.0 / n).alias("rank"))
     if ckpt and resume:
         loaded = ckpt.load_latest(spark)
         if loaded is not None:
@@ -122,7 +145,37 @@ def pagerank(
             summed = contribs.groupBy("vid").agg(F.sum("c").alias("contrib"))
 
         base = g.vertices.select("vid").join(summed, "vid", "left")
-        if n_dangling == 0:
+        if pers is not None:
+            # Personalized teleport: restart mass and dangling mass both
+            # land on p(v). The p side is stationary and vid-keyed, so the
+            # join rides the same exchange as the rank update.
+            based = base.join(pers, "vid")
+            if n_dangling == 0:
+                new_ranks = based.select(
+                    "vid",
+                    (
+                        F.lit(1.0 - damping) * F.col("p")
+                        + F.lit(damping)
+                        * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+            else:
+                dm_df = (
+                    ranks.join(dangling, "vid", "left_semi")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+                )
+                new_ranks = based.crossJoin(F.broadcast(dm_df)).select(
+                    "vid",
+                    (
+                        F.lit(1.0 - damping) * F.col("p")
+                        + F.lit(damping)
+                        * (
+                            F.col("_dm") * F.col("p")
+                            + F.coalesce(F.col("contrib"), F.lit(0.0))
+                        )
+                    ).alias("rank"),
+                )
+        elif n_dangling == 0:
             # No dangling mass: the base term is a literal — skips the
             # per-iteration mass aggregate + broadcast entirely.
             new_ranks = base.select(
@@ -189,3 +242,17 @@ def pagerank(
             break
 
     return ranks, metrics
+
+
+def personalized_pagerank(g: EncodedGraph, seeds, **kwargs):
+    """Random-walk-with-restart over a seed set: uniform restart vector on
+    seeds ∩ V (raises if empty). Thin wrapper that builds the `p` frame
+    and delegates to :func:`pagerank` (personalization=...)."""
+    spark = g.edges.sparkSession
+    seeds_df = spark.createDataFrame([(int(s),) for s in seeds], "vid long")
+    present = seeds_df.join(g.vertices.select("vid"), "vid", "left_semi")
+    cnt = present.count()
+    if cnt == 0:
+        raise ValueError("personalized_pagerank: no seed vid exists in the graph")
+    p = present.select("vid", F.lit(1.0 / cnt).alias("p"))
+    return pagerank(g, personalization=p, **kwargs)

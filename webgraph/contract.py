@@ -1296,6 +1296,60 @@ WHERE vid IN (3, 152, 153, 154) ORDER BY vid
 """
 
 
+PPR_SEEDS = (0, 7, 42)
+PPR_ITERS = 5
+
+
+def q_g_ppr(spark, sf_dir):
+    """Personalized PageRank (random walk with restart) from a fixed seed
+    set — teleport and dangling mass land on the seeds. Fixed-iteration
+    mode; the oracle unrolls the same recurrence with p(v) = 1/|S∩V| on
+    seeds, 0 elsewhere."""
+    from webgraph.algos import personalized_pagerank
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    ranks, _ = personalized_pagerank(
+        g, PPR_SEEDS, damping=DAMPING, tol=0.0, max_iter=PPR_ITERS,
+        collect_skew=False,
+    )
+    return ranks.select(
+        "vid", F.round(F.col("rank") * 1e6).cast("long").alias("rank_e6")
+    )
+
+
+def o_g_ppr():
+    d = DAMPING
+    seeds = ", ".join(str(s) for s in PPR_SEEDS)
+    parts = [
+        f"WITH e AS ({EDGES_SQL}),",
+        f"v AS ({VERTS_SQL}),",
+        f"s AS (SELECT vid FROM v WHERE vid IN ({seeds})),",
+        "sn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM s),",
+        "pp AS (SELECT v.vid, CASE WHEN v.vid IN (SELECT vid FROM s) "
+        "THEN 1e0/(SELECT n FROM sn) ELSE 0e0 END AS p FROM v),",
+        "outd AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY src),",
+        "r0 AS (SELECT vid, p AS rank FROM pp),",
+    ]
+    for i in range(1, PPR_ITERS + 1):
+        p = i - 1
+        parts += [
+            f"d{i} AS (SELECT COALESCE(SUM(rank), 0e0) AS dm FROM r{p} "
+            f"WHERE vid NOT IN (SELECT src FROM e)),",
+            f"c{i} AS (SELECT e.dst AS vid, SUM(r.rank / o.deg) AS contrib "
+            f"FROM e JOIN r{p} r ON e.src = r.vid JOIN outd o ON e.src = o.src "
+            f"GROUP BY e.dst),",
+            f"r{i} AS (SELECT pp.vid, {1.0 - d}e0 * pp.p "
+            f"+ {d}e0 * ((SELECT dm FROM d{i}) * pp.p "
+            f"+ COALESCE(c.contrib, 0e0)) AS rank "
+            f"FROM pp LEFT JOIN c{i} c USING (vid)),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT vid, CAST(ROUND(rank * 1000000e0) AS BIGINT) AS rank_e6 FROM r{PPR_ITERS}"
+    )
+    return _unrolled(parts)
+
+
 def q_x_category_index(spark, sf_dir):
     """Category index analog (GraphImporter.java:19, BatchGraphImporter.
     java:224-228): get-or-create from empty over the event types, then a
@@ -1388,5 +1442,6 @@ QUERIES.update(
         "g_kcore": (q_g_kcore, o_g_kcore),
         "x_category_index": (q_x_category_index, o_x_category_index),
         "m_media_stats": (q_m_media_stats, o_m_media_stats),
+        "g_ppr": (q_g_ppr, o_g_ppr),
     }
 )
