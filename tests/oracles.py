@@ -145,3 +145,47 @@ def ppr_oracle(
             for v in vertices
         }
     return ranks
+
+
+def bfs_oracle(
+    edges: list[tuple[int, int]],
+    seeds: set[int],
+    max_depth: int,
+    directed: bool = True,
+) -> dict[int, int]:
+    """Level-by-level BFS: min hop distance from any seed, capped."""
+    adj: dict[int, set[int]] = defaultdict(set)
+    for s, d in set(edges):
+        adj[s].add(d)
+        if not directed and s != d:
+            adj[d].add(s)
+    depth = {v: 0 for v in seeds}
+    frontier = set(seeds)
+    for lvl in range(1, max_depth + 1):
+        nxt = {d for v in frontier for d in adj.get(v, ()) if d not in depth}
+        for v in nxt:
+            depth[v] = lvl
+        frontier = nxt
+        if not frontier:
+            break
+    return depth
+
+
+def cocitation_oracle(
+    edges: list[tuple[int, int]],
+    min_common: int = 2,
+    max_out_degree: int | None = None,
+) -> dict[tuple[int, int], int]:
+    """Count of shared in-neighbors per (a<b) pair, with the hub cap."""
+    outs: dict[int, set[int]] = defaultdict(set)
+    for s, d in set(edges):
+        outs[s].add(d)
+    counts: Counter = Counter()
+    for s, ds in outs.items():
+        if max_out_degree is not None and len(ds) > max_out_degree:
+            continue
+        ds = sorted(ds)
+        for i, a in enumerate(ds):
+            for b in ds[i + 1:]:
+                counts[(a, b)] += 1
+    return {p: c for p, c in counts.items() if c >= min_common}

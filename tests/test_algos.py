@@ -366,3 +366,71 @@ def test_personalized_pagerank_matches_python_oracle(spark):
 
     with pytest.raises(ValueError):
         personalized_pagerank(eg, [10**12], max_iter=2)
+
+
+def test_bfs_depths_matches_python_oracle(spark):
+    from tests.oracles import bfs_oracle
+    from webgraph.algos import bfs_depths
+
+    for fixture, n_pages in [("chain_backlink", None), (None, 200)]:
+        eg = _encoded(spark, fixture=fixture, n_pages=n_pages)
+        seeds = sorted(_vertex_set(eg))[:2]
+        for directed in (True, False):
+            got_df, metrics = bfs_depths(
+                eg, seeds, max_depth=4, directed=directed
+            )
+            got = {r["vid"]: r["depth"] for r in got_df.collect()}
+            want = bfs_oracle(
+                _edge_list(eg), set(seeds), max_depth=4, directed=directed
+            )
+            assert got == want
+            # every level's frontier count matches the oracle's histogram
+            from collections import Counter
+
+            hist = Counter(want.values())
+            for m in metrics:
+                assert m["frontier"] == hist.get(m["iteration"], 0)
+
+
+def test_bfs_validates_seeds_and_depth(spark):
+    from webgraph.algos import bfs_depths
+
+    eg = _encoded(spark, fixture="star_in")
+    with pytest.raises(ValueError, match="seed"):
+        bfs_depths(eg, [10**12], max_depth=2)
+    with pytest.raises(ValueError, match="max_depth"):
+        bfs_depths(eg, sorted(_vertex_set(eg))[:1], max_depth=-1)
+    # depth 0: just the seeds
+    seeds = sorted(_vertex_set(eg))[:2]
+    out, metrics = bfs_depths(eg, seeds, max_depth=0)
+    assert {r["vid"] for r in out.collect()} == set(seeds)
+    assert metrics == []
+
+
+def test_bfs_checkpoint_resume(spark, tmp_path):
+    from webgraph.algos import bfs_depths
+
+    eg = _encoded(spark, n_pages=150)
+    seeds = sorted(_vertex_set(eg))[:2]
+    full, _ = bfs_depths(eg, seeds, max_depth=4)
+    want = {(r["vid"], r["depth"]) for r in full.collect()}
+
+    d = str(tmp_path / "ck")
+    bfs_depths(eg, seeds, max_depth=2, checkpoint_dir=d)
+    resumed, metrics = bfs_depths(
+        eg, seeds, max_depth=4, checkpoint_dir=d, resume=True
+    )
+    assert {(r["vid"], r["depth"]) for r in resumed.collect()} == want
+    assert metrics[0]["iteration"] == 3  # resumed, not restarted
+
+
+def test_cocitation_matches_python_oracle(spark):
+    from tests.oracles import cocitation_oracle
+    from webgraph.algos import cocitation
+
+    eg = _encoded(spark, n_pages=200)
+    edges = _edge_list(eg)
+    for cap in (None, 3):
+        got_df = cocitation(eg.edges, min_common=2, max_out_degree=cap)
+        got = {(r["a"], r["b"]): r["common"] for r in got_df.collect()}
+        assert got == cocitation_oracle(edges, min_common=2, max_out_degree=cap)

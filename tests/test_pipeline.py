@@ -469,3 +469,44 @@ def test_sample_to_token_budget(spark):
             ).orderBy("cum_tokens").collect()
         ]
         assert got == want
+
+
+def test_deterministic_split_is_stable_and_partition_independent(spark):
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    out = text.deterministic_split(df)
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    # re-run under a different partitioning: identical assignment
+    got2 = {
+        r["doc_id"]: r["split"]
+        for r in text.deterministic_split(df.repartition(7)).collect()
+    }
+    assert got == got2
+    from collections import Counter
+
+    hist = Counter(got.values())
+    assert set(hist) == {"train", "valid", "test"}
+    # hash-bucket proportions: within a few points of 80/10/10 at n=2000
+    assert abs(hist["train"] / 2000 - 0.80) < 0.05
+    assert abs(hist["valid"] / 2000 - 0.10) < 0.03
+    assert abs(hist["test"] / 2000 - 0.10) < 0.03
+
+    # custom splits + validation
+    two = text.deterministic_split(df, splits={"a": 50, "b": 50})
+    assert set(r["split"] for r in two.collect()) == {"a", "b"}
+    with pytest.raises(ValueError, match="sum to 100"):
+        text.deterministic_split(df, splits={"a": 60, "b": 60})
+
+
+def test_top_tokens_counts_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(0, "b a  a"), (1, " B c\tA"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = [(r["token"], r["n"]) for r in text.top_tokens(df, k=10).collect()]
+    # 'a' x3, 'b' x2, 'c' x1; lowercased; empty tokens dropped;
+    # ties impossible between equal counts -> lexicographic order
+    assert out == [("a", 3), ("b", 2), ("c", 1)]
+    assert [r["token"] for r in text.top_tokens(df, k=2).collect()] == ["a", "b"]
+    assert [(r["token"], r["n"]) for r in text.top_tokens(df, k=10, min_count=2).collect()] == [
+        ("a", 3), ("b", 2)
+    ]

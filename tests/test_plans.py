@@ -246,3 +246,57 @@ def test_stateful_sessions_plans_arrow_state_operator(spark):
     plan = plan_of(stateful_sessions(events))
     assert "FlatMapGroupsInPandasWithState" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_cocitation_plans_equi_wedge_join_not_cartesian(spark):
+    """Co-citation meets pairs through the src equi-join; a cartesian or
+    nested-loop over edges is a bucketing regression (100TB killer)."""
+    from webgraph.algos import cocitation
+
+    edges = spark.createDataFrame(
+        [(i % 7, i % 11) for i in range(60)], "src long, dst long"
+    )
+    plan = plan_of(cocitation(edges, min_common=2, max_out_degree=50))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_top_tokens_compiles_to_take_ordered_not_global_sort(spark):
+    """The top-k over the vocabulary must be TakeOrderedAndProject — a
+    global Sort materializes the full token dictionary on one task."""
+    from webgraph.text import top_tokens
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = plan_of(top_tokens(docs, k=10))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rollup_plans_single_expand_not_per_level_rescan(spark):
+    """rollup() must compile to ONE Expand + hash aggregate over a single
+    scan — not a union of per-grouping-level re-aggregations."""
+    docs = spark.createDataFrame(
+        [("a", 1, 1.0), ("b", 2, 2.0)], "k string, y int, v double"
+    )
+    plan = plan_of(docs.rollup("k", "y").agg(F.sum("v")))
+    assert "Expand" in plan
+    # a per-level re-aggregation would plan a Union of aggregates
+    assert "Union" not in plan
+
+
+def test_bfs_frontier_join_reads_persisted_edges(spark):
+    """Each BFS level probes the PERSISTED edge table (InMemoryTableScan)
+    — the big side is never re-shuffled or re-derived per level — and the
+    whole loop stays JVM-side (no Python eval in the plan)."""
+    from webgraph.algos import bfs_depths
+    from webgraph.algos.common import from_int_edges
+
+    eg = from_int_edges(
+        spark.createDataFrame(
+            [(i, (i * 3 + 1) % 50) for i in range(50)], "src long, dst long"
+        )
+    )
+    out, _ = bfs_depths(eg, [0], max_depth=2)
+    plan = plan_of(out)
+    assert "BatchEvalPython" not in plan
+    # the returned frame is the materialized localCheckpoint
+    assert "ExistingRDD" in plan or "InMemoryTableScan" in plan

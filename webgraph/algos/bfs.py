@@ -1,0 +1,107 @@
+"""Multi-source BFS hop distances — the crawl-depth operator.
+
+The reference bounds its crawl by hop distance from the seed URLs
+(ApplicationConfiguration.java:38,294-296 ``maxDepthOfCrawling``,
+App.java:298; seeds added via controller.addSeed). This re-expresses that
+frontier semantics as a batch operator over the already-built edge table:
+``bfs_depths`` returns, for every page reachable from the seed set within
+``max_depth`` directed hops, the minimum hop distance — i.e. the depth at
+which the reference's crawler would first have fetched it.
+
+Execution shape (level-synchronous BFS, the scalable formulation):
+
+- per level: ONE join of the current frontier against the stationary edge
+  table + one anti-join against the visited set. The big side (edges) is
+  persisted once by the caller's EncodedGraph and never re-shuffled — only
+  the frontier (<= |V| rows, usually far smaller) moves.
+- visited/frontier are localCheckpointed (or CheckpointManager-committed)
+  per level: lineage stays O(1), and the ``changed``-style loop condition
+  reads the materialized frame — never re-executing the join (the
+  single-execution discipline pagerank.py:159-174 established).
+- at 100 TB the frontier join is a shuffle hash join keyed on vid; hub
+  fan-in is absorbed by the per-level ``distinct()`` partial aggregate
+  (map-side combine removes duplicate (dst) rows before the shuffle).
+
+With ``checkpoint_dir`` each level's visited set is committed via
+CheckpointManager (parquet + manifest) so deep crawl-frontier runs are
+resumable with per-level metrics, like PageRank/CC/LP/HITS/k-core.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webgraph.algos.common import EncodedGraph, symmetrize
+from webgraph.checkpoint import CheckpointManager
+
+
+def bfs_depths(
+    g: EncodedGraph,
+    seeds,
+    max_depth: int,
+    directed: bool = True,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> tuple[DataFrame, list[dict]]:
+    """Minimum hop distance from any seed, following edges src->dst.
+
+    Returns (``(vid, depth)`` DataFrame — reachable vertices only, seeds at
+    depth 0 — and per-level metrics). Seeds absent from the graph raise
+    ValueError (matching personalized_pagerank's seed validation).
+    ``directed=False`` walks the symmetrized edge set.
+    """
+    if max_depth < 0:
+        raise ValueError(f"bfs_depths: max_depth must be >= 0, got {max_depth}")
+    spark = g.edges.sparkSession
+    edges = g.edges if directed else symmetrize(g.edges)
+    ckpt = CheckpointManager(checkpoint_dir, "bfs") if checkpoint_dir else None
+
+    seeds_df = spark.createDataFrame([(int(s),) for s in set(seeds)], "vid long")
+    missing = seeds_df.join(g.vertices.select("vid"), "vid", "left_anti").count()
+    if missing:
+        raise ValueError(f"bfs_depths: {missing} seed vid(s) not in the graph")
+
+    visited = seeds_df.select("vid", F.lit(0).alias("depth"))
+    start_level = 1
+    metrics: list[dict] = []
+    if ckpt and resume:
+        loaded = ckpt.load_latest(spark)
+        if loaded is not None:
+            visited, last = loaded
+            start_level = last + 1
+    visited = visited.localCheckpoint(eager=True)
+
+    for level in range(start_level, max_depth + 1):
+        t0 = time.time()
+        frontier = visited.filter(F.col("depth") == level - 1).select("vid")
+        # one frontier⋈edges probe; distinct() partial-aggregates map-side
+        # so hub fan-in never inflates the shuffle
+        nxt = (
+            frontier.join(edges.withColumnRenamed("src", "vid"), "vid")
+            .select(F.col("dst").alias("vid"))
+            .distinct()
+            .join(visited.select("vid"), "vid", "left_anti")
+            .select("vid", F.lit(level).alias("depth"))
+        )
+        new_visited = visited.unionByName(nxt)
+        if ckpt:
+            visited = ckpt.write_state(new_visited, level)
+        else:
+            visited = new_visited.localCheckpoint(eager=True)
+        # count the MATERIALIZED frame — the join above ran exactly once
+        n_new = visited.filter(F.col("depth") == level).count()
+        m = {
+            "iteration": level,
+            "wall_sec": round(time.time() - t0, 3),
+            "frontier": n_new,
+        }
+        metrics.append(m)
+        if ckpt:
+            ckpt.log_entry(level, m)
+        if n_new == 0:
+            break
+
+    return visited.select("vid", "depth"), metrics

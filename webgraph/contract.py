@@ -1445,3 +1445,206 @@ QUERIES.update(
         "g_ppr": (q_g_ppr, o_g_ppr),
     }
 )
+
+
+# ------------------------------------------------- round-3 additions --
+# A sparser 2000-node derivation for the frontier/pair queries (the dense
+# 500-node graph co-cites every pair, which discriminates nothing):
+N_NODES2 = 2000
+EDGES2_SQL = (
+    f"SELECT DISTINCT l_orderkey % {N_NODES2} AS src, "
+    f"l_partkey % {N_NODES2} AS dst FROM lineitem "
+    f"WHERE l_orderkey % {N_NODES2} <> l_partkey % {N_NODES2}"
+)
+BFS_SEEDS = (0, 7, 42)
+BFS_MAX_DEPTH = 3
+COCITE_MIN_COMMON = 4
+COCITE_MAX_OUT_DEGREE = 48
+COCITE_TOPK = 100
+
+
+def derived_edges2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    src = (F.col("l_orderkey") % N_NODES2).alias("src")
+    dst = (F.col("l_partkey") % N_NODES2).alias("dst")
+    return li.select(src, dst).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def q_g_bfs_depths(spark, sf_dir):
+    """Multi-source BFS hop distance (crawl depth from the seed set —
+    ApplicationConfiguration.java:38 maxDepthOfCrawling semantics as a
+    batch operator). Level-synchronous frontier iteration; oracle is a
+    recursive CTE with the same depth cap."""
+    from webgraph.algos import bfs_depths
+
+    g = from_int_edges(derived_edges2(spark, sf_dir))
+    depths, _ = bfs_depths(g, BFS_SEEDS, max_depth=BFS_MAX_DEPTH)
+    return depths.select("vid", F.col("depth").cast("long").alias("depth"))
+
+
+def o_g_bfs_depths():
+    seeds = ", ".join(f"({s}, 0)" for s in BFS_SEEDS)
+    return f"""
+WITH RECURSIVE e AS ({EDGES2_SQL}),
+b (vid, depth) AS (
+  SELECT * FROM (VALUES {seeds}) s(vid, depth)
+  UNION
+  SELECT e.dst, b.depth + 1 FROM b JOIN e ON e.src = b.vid
+  WHERE b.depth < {BFS_MAX_DEPTH}
+)
+SELECT vid, CAST(MIN(depth) AS BIGINT) AS depth FROM b GROUP BY vid
+"""
+
+
+def q_g_cocitation(spark, sf_dir):
+    """Co-citation similarity: top pairs of pages most often linked by the
+    same citing page (the pairwise refinement of the reference's in-degree
+    ranking, README.md:92-112). Wedge join with the documented hub cap —
+    the oracle applies the identical exclusion."""
+    from webgraph.algos import cocitation
+
+    pairs = cocitation(
+        derived_edges2(spark, sf_dir),
+        min_common=COCITE_MIN_COMMON,
+        max_out_degree=COCITE_MAX_OUT_DEGREE,
+    )
+    return pairs.orderBy(
+        F.desc("common"), F.asc("a"), F.asc("b")
+    ).limit(COCITE_TOPK)
+
+
+def o_g_cocitation():
+    return f"""
+WITH e AS ({EDGES2_SQL}),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+keep AS (SELECT src FROM deg WHERE d <= {COCITE_MAX_OUT_DEGREE}),
+ek AS (SELECT e.src, e.dst FROM e JOIN keep USING (src))
+SELECT l.dst AS a, r.dst AS b, COUNT(*) AS common
+FROM ek l JOIN ek r ON l.src = r.src AND l.dst < r.dst
+GROUP BY l.dst, r.dst
+HAVING COUNT(*) >= {COCITE_MIN_COMMON}
+ORDER BY common DESC, a ASC, b ASC
+LIMIT {COCITE_TOPK}
+"""
+
+
+def q_g_degree_hist(spark, sf_dir):
+    """Degree-distribution histogram (the power-law shape check every
+    webgraph paper opens with): two chained aggregations — per-vertex
+    in-degree, then vertex count per degree value."""
+    return (
+        derived_edges(spark, sf_dir)
+        .groupBy("dst")
+        .agg(F.count("*").alias("in_degree"))
+        .groupBy("in_degree")
+        .agg(F.count("*").alias("n_vertices"))
+    )
+
+
+def o_g_degree_hist():
+    return f"""
+WITH e AS ({EDGES_SQL}),
+d AS (SELECT dst, COUNT(*) AS in_degree FROM e GROUP BY dst)
+SELECT in_degree, COUNT(*) AS n_vertices FROM d GROUP BY in_degree
+"""
+
+
+def q_t_top_tokens(spark, sf_dir):
+    """Global top-k vocabulary over the documents table (tokenizer-budget
+    planning / vocab induction primitive). Explode -> count -> top-k;
+    compiles to partial aggregation + TakeOrderedAndProject."""
+    from webgraph.text import top_tokens
+
+    return top_tokens(load(spark, sf_dir, "documents"), k=100, text_col="text")
+
+
+def o_t_top_tokens():
+    return r"""
+SELECT token, COUNT(*) AS n FROM (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+) WHERE token <> ''
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 100
+"""
+
+
+def q_t_split_assign(spark, sf_dir):
+    """Deterministic train/valid/test split assignment — portable-hash
+    bucketing so the assignment is stable across engines, runs, and
+    cluster sizes; the oracle computes the identical integer arithmetic."""
+    from webgraph.text import deterministic_split
+
+    docs = load(spark, sf_dir, "documents")
+    return deterministic_split(docs, id_col="doc_id", seed=42).select(
+        "doc_id", "split"
+    )
+
+
+def o_t_split_assign():
+    from webgraph.dedup import _MIX_BASE, POLY_MOD
+
+    bucket = f"(((doc_id % {POLY_MOD}) * {_MIX_BASE} + 42) % {POLY_MOD}) % 100"
+    return f"""
+SELECT doc_id,
+  CASE WHEN {bucket} < 80 THEN 'train'
+       WHEN {bucket} < 90 THEN 'valid'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_r_revenue_rollup(spark, sf_dir):
+    """ROLLUP aggregation (nation, order-year) -> subtotals + grand total:
+    the grouping-sets operator (A7 extension). Spark's rollup() plans ONE
+    Expand + hash aggregate — no per-level re-scan."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", F.year("o_orderdate").cast("long").alias("o_year"),
+                "o_totalprice")
+    )
+    return (
+        joined.rollup("n_name", "o_year")
+        .agg(
+            F.round(F.sum("o_totalprice") * 100).cast("long").alias("revenue_c"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("o_year"), F.lit(-1)).alias("o_year"),
+            "revenue_c",
+            "n_orders",
+        )
+    )
+
+
+def o_r_revenue_rollup():
+    return """
+SELECT COALESCE(n_name, 'ALL') AS nation,
+  COALESCE(o_year, -1) AS o_year,
+  revenue_c, n_orders
+FROM (
+  SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+    CAST(ROUND(100e0 * SUM(o_totalprice)) AS BIGINT) AS revenue_c,
+    COUNT(*) AS n_orders
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY ROLLUP (n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT))
+)
+"""
+
+
+QUERIES.update(
+    {
+        "g_bfs_depths": (q_g_bfs_depths, o_g_bfs_depths),
+        "g_cocitation": (q_g_cocitation, o_g_cocitation),
+        "g_degree_hist": (q_g_degree_hist, o_g_degree_hist),
+        "t_top_tokens": (q_t_top_tokens, o_t_top_tokens),
+        "t_split_assign": (q_t_split_assign, o_t_split_assign),
+        "r_revenue_rollup": (q_r_revenue_rollup, o_r_revenue_rollup),
+    }
+)

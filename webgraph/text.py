@@ -240,3 +240,59 @@ def rolling_fingerprints(text: Column, window_tokens: int = 16) -> Column:
     return F.when(n < window_tokens, F.array(window_fp(th))).otherwise(
         F.transform(idx, lambda i: window_fp(F.slice(th, i + 1, window_tokens)))
     )
+
+
+def deterministic_split(
+    df: DataFrame,
+    splits: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Assign every row a stable train/valid/test split label (the
+    standard dataset-partitioning primitive for training pipelines).
+
+    ``splits`` maps label -> percentage (must sum to 100); default
+    {"train": 80, "valid": 10, "test": 10}. The bucket is the portable
+    hash of the id (same seeded arithmetic as sample_to_token_budget's
+    order key) mod 100, so the assignment is deterministic across runs,
+    engines, partitionings, and cluster sizes — re-running the pipeline
+    never migrates a document between splits. Pure integer Column
+    expressions: whole-stage codegen, exactly reproducible in the DuckDB
+    oracle.
+    """
+    from webgraph.dedup import _MIX_BASE, POLY_MOD
+
+    splits = splits or {"train": 80, "valid": 10, "test": 10}
+    if sum(splits.values()) != 100:
+        raise ValueError(f"split percentages must sum to 100, got {splits}")
+    bucket = (
+        ((F.col(id_col) % POLY_MOD) * F.lit(_MIX_BASE) + F.lit(seed)) % POLY_MOD
+    ) % 100
+    expr = None
+    lo = 0
+    for label, pct in splits.items():
+        cond = bucket < lo + pct
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+        lo += pct
+    return df.withColumn("split", expr)
+
+
+def top_tokens(
+    df: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Global top-k vocabulary: lowercased whitespace tokens by frequency,
+    ties broken lexicographically. The explode->count aggregate
+    partial-aggregates map-side (one shuffle of (token, partial_count)
+    pairs, NOT raw tokens) and the top-k compiles to TakeOrderedAndProject
+    — no global sort materializes the full vocabulary."""
+    toks = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    counted = toks.groupBy("token").agg(F.count("*").alias("n"))
+    if min_count > 1:
+        counted = counted.filter(F.col("n") >= min_count)
+    return counted.orderBy(F.desc("n"), F.asc("token")).limit(k)
