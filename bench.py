@@ -116,7 +116,10 @@ def run_bench(
     timings["big_graph_prep"] = round(time.time() - t0, 3)
     _, big_metrics = pagerank(big, tol=0.0, max_iter=4, collect_skew=False)
     big_walls = [m["wall_sec"] for m in big_metrics]
-    big_steady = sorted(big_walls[1:])[len(big_walls[1:]) // 2]
+    # MIN steady iteration, per BENCH/NOTES.md protocol: hypervisor steal
+    # is strictly additive, so the min is the least-contended estimate
+    # (r01/r02 used the median of 3 steady iters; min documented r03+)
+    big_steady = min(big_walls[1:])
     timings["big_pagerank_iterations"] = round(sum(big_walls), 3)
 
     total = round(sum(timings.values()), 3)
@@ -138,6 +141,7 @@ def run_bench(
         "pipeline_graph_edges": int(n_edges),
         "pipeline_iter_sec": iter_secs,
         "cpus": cpus,
+        "steady_stat": "min",
     }
     if own_session:
         spark.stop()

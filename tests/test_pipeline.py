@@ -510,3 +510,69 @@ def test_top_tokens_counts_and_tiebreak(spark):
     assert [(r["token"], r["n"]) for r in text.top_tokens(df, k=10, min_count=2).collect()] == [
         ("a", 3), ("b", 2)
     ]
+
+
+def test_cms_estimates_upper_bound_and_merge(spark):
+    from webgraph import sketches
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta " + ("gamma " * (i % 3))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    sk = sketches.cms_build(docs, width=64, depth=3)
+    # sketch never exceeds depth*width cells; total mass == token count
+    assert sk.count() <= 3 * 64
+    n_tokens = sk.filter(F.col("row") == 0).agg(F.sum("cnt")).first()[0]
+
+    q = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",), ("absent",)], "token string"
+    )
+    est = {
+        r["token"]: r["est"]
+        for r in sketches.cms_estimate(sk, q, width=64, depth=3).collect()
+    }
+    true = {"alpha": 60, "beta": 60, "gamma": 60, "absent": 0}
+    for tok, t in true.items():
+        assert est[tok] >= t  # count-min never underestimates
+        assert est[tok] <= n_tokens
+
+    # mergeability: sketch(a) + sketch(b) == sketch(a union b), cell-wise
+    a, b = docs.filter(F.col("doc_id") < 30), docs.filter(F.col("doc_id") >= 30)
+    merged = sketches.cms_merge(
+        sketches.cms_build(a, width=64, depth=3),
+        sketches.cms_build(b, width=64, depth=3),
+    )
+    whole = sketches.cms_build(docs, width=64, depth=3)
+    assert {
+        (r["row"], r["bucket"]): r["cnt"] for r in merged.collect()
+    } == {(r["row"], r["bucket"]): r["cnt"] for r in whole.collect()}
+
+
+def test_stream_distinct_keys_dedups_across_microbatches(spark, tmp_path):
+    from webgraph.streaming import run_to_append_sink, stream_distinct_keys
+
+    src = tmp_path / "in"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    rows1 = [(1, "2026-01-01 00:00:00", 1, "click"), (2, "2026-01-01 00:01:00", 1, "view")]
+    rows2 = [(3, "2026-01-01 00:02:00", 1, "click"), (4, "2026-01-01 00:03:00", 2, "click")]
+    for i, rows in enumerate([rows1, rows2]):
+        spark.createDataFrame(
+            [(e, None, u, t) for e, _, u, t in rows], schema
+        ).withColumn("ts", F.lit(rows[0][1]).cast("timestamp")).coalesce(1).write.parquet(
+            str(src / f"batch{i}")
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # forces >= 2 micro-batches
+        .parquet(str(src / "batch*"))
+    )
+    deduped = stream_distinct_keys(stream, ["user_id", "event_type"])
+    run_to_append_sink(deduped, str(tmp_path / "out"), str(tmp_path / "ck"))
+    got = {
+        (r["user_id"], r["event_type"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    # (1, click) appears in BOTH batches; state dedups it across batches
+    assert got == {(1, "click"), (1, "view"), (2, "click")}

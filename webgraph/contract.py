@@ -1648,3 +1648,114 @@ QUERIES.update(
         "r_revenue_rollup": (q_r_revenue_rollup, o_r_revenue_rollup),
     }
 )
+
+
+CMS_QUERY_TOKENS = (
+    "the", "and", "of", "is", "that", "with",
+    "der", "die", "und", "la", "le", "zzzunseen",
+)
+
+
+def q_t_cms_counts(spark, sf_dir):
+    """Count-min sketch frequency estimates (mergeable approximate vocab
+    stats — the fixed-state alternative to t_top_tokens at 100 TB).
+    Portable-hash cells mean the DuckDB oracle rebuilds the identical
+    sketch: estimates match EXACTLY, collisions included; true counts
+    ride along to exhibit est >= true."""
+    from webgraph.sketches import cms_build, cms_estimate
+    from webgraph.text import tokens as ws_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    sk = cms_build(docs, text_col="text")
+    q = spark.createDataFrame([(w,) for w in CMS_QUERY_TOKENS], "token string")
+    est = cms_estimate(sk, q)
+    truth = (
+        docs.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("true_n"))
+    )
+    return est.join(truth, "token", "left").select(
+        "token",
+        F.col("est").cast("long").alias("est"),
+        F.coalesce(F.col("true_n"), F.lit(0)).cast("long").alias("true_n"),
+    )
+
+
+def o_t_cms_counts():
+    from webgraph.dedup import _MIX_BASE, _MIX_STEP, POLY_MOD
+    from webgraph.sketches import CMS_DEPTH, CMS_WIDTH
+
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, len({t})+1), "
+        "i -> CAST(ord(substr({t}, CAST(i AS INT), 1)) AS BIGINT))), "
+        f"(h, c) -> (h*31 + c) % {POLY_MOD})"
+    )
+    bucket = f"((h * ({_MIX_BASE} + {_MIX_STEP} * i) + i) % {POLY_MOD}) % {CMS_WIDTH}"
+    qvals = ", ".join(f"('{w}')" for w in CMS_QUERY_TOKENS)
+    return rf"""
+WITH tf AS (
+  SELECT tok FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), th AS (
+  SELECT {fold.format(t='tok')} AS h FROM tf
+), sk AS (
+  SELECT i AS row, {bucket} AS bucket, COUNT(*) AS cnt
+  FROM th, range(0, {CMS_DEPTH}) r(i) GROUP BY 1, 2
+), q(token) AS (VALUES {qvals}),
+qh AS (
+  SELECT token, {fold.format(t='token')} AS h FROM q
+), qb AS (
+  SELECT token, i AS row, {bucket} AS bucket
+  FROM qh, range(0, {CMS_DEPTH}) r(i)
+), est AS (
+  SELECT token, MIN(COALESCE(cnt, 0)) AS est
+  FROM qb LEFT JOIN sk USING (row, bucket) GROUP BY token
+), tru AS (
+  SELECT tok AS token, COUNT(*) AS true_n FROM tf GROUP BY tok
+)
+SELECT e.token, CAST(e.est AS BIGINT) AS est,
+  CAST(COALESCE(t.true_n, 0) AS BIGINT) AS true_n
+FROM est e LEFT JOIN tru t USING (token)
+"""
+
+
+def q_s_stream_dedup(spark, sf_dir):
+    """Streaming deduplication (exactly-once over an at-least-once feed):
+    the event stream doubled with itself, deduped on (user_id, event_type)
+    across micro-batches through dropDuplicates state, drained via
+    AvailableNow. Key-projection before dedup makes the emitted set
+    deterministic, so the oracle is SELECT DISTINCT."""
+    import tempfile
+
+    from webgraph.streaming import run_to_append_sink, stream_distinct_keys
+
+    _STREAM_SINK_N[0] += 1
+    out = tempfile.mkdtemp(prefix=f"stream_dedup_{_STREAM_SINK_N[0]}_")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+    )
+    deduped = stream_distinct_keys(stream, ["user_id", "event_type"])
+    run_to_append_sink(deduped, f"{out}/result", f"{out}/ck")
+    return spark.read.parquet(f"{out}/result")
+
+
+def o_s_stream_dedup():
+    return "SELECT DISTINCT user_id, event_type FROM events"
+
+
+QUERIES.update(
+    {
+        "t_cms_counts": (q_t_cms_counts, o_t_cms_counts),
+        "s_stream_dedup": (q_s_stream_dedup, o_s_stream_dedup),
+    }
+)

@@ -1,0 +1,118 @@
+"""Mergeable frequency sketches — the 100 TB answer to vocabulary stats.
+
+An exact token-frequency table over a 100 TB corpus shuffles the full
+vocabulary; a count-min sketch (Cormode & Muthukrishnan 2005) fixes the
+state at ``depth x width`` counters, is built with ONE partial-aggregating
+groupBy, and merges across corpora/partitions/days by cell-wise addition —
+the standard streaming/approximate counterpart to ``text.top_tokens``.
+
+Hashing is the repo's portable integer scheme (webgraph/dedup.py:
+token_hash, the per-row mix mirroring the simhash per-bit mix), so sketch
+cells are bit-identical across engines and the DuckDB contract oracle
+reproduces the sketch — estimates are checked EXACTLY, collisions
+included, not just within the epsilon bound.
+
+Estimates are the classic min-over-rows upper bound: est(t) >= true(t),
+with overestimate probability delta = exp(-depth) at epsilon = e/width.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from webgraph.dedup import _MIX_BASE, _MIX_STEP, POLY_MOD, token_hash
+from webgraph.text import tokens
+
+CMS_WIDTH = 1024
+CMS_DEPTH = 3
+
+
+def _bucket(h: Column, row: int, width: int) -> Column:
+    """Row-i bucket of a token hash — same mix family as the simhash bits
+    (multipliers < 2^32 keep every product < 2^62: no BIGINT overflow in
+    engines that refuse to wrap)."""
+    return (
+        (h * F.lit(_MIX_BASE + _MIX_STEP * row) + F.lit(row)) % POLY_MOD
+    ) % F.lit(width)
+
+
+def cms_build(
+    df: DataFrame,
+    text_col: str = "text",
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Build a count-min sketch over the corpus's lowercased whitespace
+    tokens. Returns ``(row, bucket, cnt)`` — at most depth*width rows.
+
+    One explode -> one hash aggregate: the (row, bucket) keys partial-
+    aggregate map-side, so the shuffle carries <= depth*width rows per
+    input partition regardless of corpus size."""
+    toks = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select(token_hash(F.col("tok")).alias("h"))
+    )
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _bucket(F.col("h"), i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return cells.groupBy(
+        F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum — sketches over disjoint corpora merge losslessly
+    (the property that lets 1000 executors sketch independently)."""
+    return (
+        reduce(DataFrame.unionByName, sketches)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    token_col: str = "token",
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Point-frequency estimates: min over rows of the queried cells.
+    Returns ``(token, est)``; absent cells count 0. The sketch side is at
+    most depth*width rows — always broadcastable."""
+    qh = queries.select(
+        F.col(token_col).alias("token"), token_hash(F.col(token_col)).alias("h")
+    )
+    qb = qh.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _bucket(F.col("h"), i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select("token", "c.row", "c.bucket")
+    return (
+        qb.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

@@ -284,3 +284,33 @@ def incremental_edge_merge(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_distinct_keys(
+    events: DataFrame,
+    keys: list[str],
+    watermark: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Streaming deduplication: emit each key combination once across ALL
+    micro-batches (exactly-once delivery of at-least-once event feeds —
+    the event-queue consumer's idempotency guard, SURVEY §2.9).
+
+    State is one entry per distinct key. With ``watermark=(ts_col,
+    delay)`` the operator uses dropDuplicatesWithinWatermark so state for
+    keys older than the watermark is evicted — the bounded-state mode an
+    unbounded 100 TB feed requires (duplicates are redeliveries, which
+    arrive within the delay; an unbounded-state exact dedup of an infinite
+    stream is not a thing). Without it, exact dedup with state = |keys|.
+
+    Projecting to the key columns BEFORE dedup keeps the emitted set
+    deterministic (no arbitrary first-row-wins payload), which is what
+    makes the contract oracle exact: SELECT DISTINCT keys."""
+    if watermark is not None:
+        ts_col, delay = watermark
+        return (
+            events.withWatermark(ts_col, delay)
+            .select(*keys, ts_col)
+            .dropDuplicatesWithinWatermark(keys)
+            .select(*keys)
+        )
+    return events.select(*keys).dropDuplicates(keys)
