@@ -189,3 +189,61 @@ def cocitation_oracle(
             for b in ds[i + 1:]:
                 counts[(a, b)] += 1
     return {p: c for p, c in counts.items() if c >= min_common}
+
+
+def scc_oracle(
+    edges: list[tuple[int, int]], vertices: set[int]
+) -> dict[int, int]:
+    """Iterative Tarjan; scc id = min member vid."""
+    adj: dict[int, list[int]] = defaultdict(list)
+    for s, d in set(edges):
+        if s != d:
+            adj[s].append(d)
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on_stack: set[int] = set()
+    stack: list[int] = []
+    counter = [0]
+    comp: dict[int, int] = {}
+
+    for root in sorted(vertices):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            advanced = False
+            nbrs = adj.get(v, [])
+            while pi < len(nbrs):
+                w = nbrs[pi]
+                pi += 1
+                if w not in index:
+                    work[-1] = (v, pi)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                m = min(members)
+                for w in members:
+                    comp[w] = m
+            if work:
+                pv, _ = work[-1]
+                low[pv] = min(low[pv], low[v])
+    return comp

@@ -434,3 +434,37 @@ def test_cocitation_matches_python_oracle(spark):
         got_df = cocitation(eg.edges, min_common=2, max_out_degree=cap)
         got = {(r["a"], r["b"]): r["common"] for r in got_df.collect()}
         assert got == cocitation_oracle(edges, min_common=2, max_out_degree=cap)
+
+
+def test_scc_matches_tarjan_oracle(spark):
+    from tests.oracles import scc_oracle
+    from webgraph.algos import strongly_connected_components
+    from webgraph.algos.common import from_int_edges
+
+    # two 3-cycles bridged by one edge, plus a tail: 2 cyclic SCCs +
+    # singletons; then a random sparse digraph (many SCC shapes)
+    bridged = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3), (5, 6)]
+    import random
+
+    rng = random.Random(7)
+    rand = list({(rng.randrange(40), rng.randrange(40)) for _ in range(90)})
+    for edge_list in (bridged, rand):
+        eg = from_int_edges(
+            spark.createDataFrame(edge_list, "src long, dst long")
+        )
+        out, metrics = strongly_connected_components(eg)
+        got = {r["vid"]: r["scc"] for r in out.collect()}
+        want = scc_oracle(edge_list, _vertex_set(eg))
+        assert got == want
+        assert sum(m["settled"] for m in metrics) == len(want)
+
+
+def test_scc_raises_on_round_cap_instead_of_partial_labels(spark):
+    from webgraph.algos import strongly_connected_components
+    from webgraph.algos.common import from_int_edges
+
+    # a path of singleton SCCs settles ~1 SCC per round: cap must raise
+    path = [(i, i + 1) for i in range(12)]
+    eg = from_int_edges(spark.createDataFrame(path, "src long, dst long"))
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        strongly_connected_components(eg, max_rounds=2)

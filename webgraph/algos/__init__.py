@@ -10,4 +10,5 @@ from webgraph.algos.labelprop import label_propagation  # noqa: F401
 from webgraph.algos.hits import hits  # noqa: F401
 from webgraph.algos.kcore import k_core  # noqa: F401
 from webgraph.algos.pagerank import pagerank, personalized_pagerank  # noqa: F401
+from webgraph.algos.scc import strongly_connected_components  # noqa: F401
 from webgraph.algos.triangles import triangle_count  # noqa: F401

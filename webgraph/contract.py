@@ -1759,3 +1759,63 @@ QUERIES.update(
         "s_stream_dedup": (q_s_stream_dedup, o_s_stream_dedup),
     }
 )
+
+
+# Block-structured directed graph for SCC: 10 independent 100-vertex
+# blocks (edges never cross blocks), so the bowtie decomposition is
+# non-trivial (giant per-block SCCs + tendril singletons) and the
+# closure-based oracle stays small (reach sets bounded by the block).
+SCC_MOD = 1000
+SCC_BLOCK = 100
+SCC_EDGES_SQL = (
+    f"SELECT DISTINCT (l_orderkey % {SCC_MOD}) AS src, "
+    f"(l_orderkey % {SCC_MOD}) - ((l_orderkey % {SCC_MOD}) % {SCC_BLOCK}) "
+    f"+ (l_partkey % {SCC_BLOCK}) AS dst "
+    f"FROM lineitem WHERE l_quantity < 6 "
+    f"AND (l_orderkey % {SCC_MOD}) <> (l_orderkey % {SCC_MOD}) "
+    f"- ((l_orderkey % {SCC_MOD}) % {SCC_BLOCK}) + (l_partkey % {SCC_BLOCK})"
+)
+
+
+def derived_scc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") < 6)
+    src = F.col("l_orderkey") % SCC_MOD
+    dst = src - (src % SCC_BLOCK) + (F.col("l_partkey") % SCC_BLOCK)
+    return (
+        li.select(src.alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def q_g_scc(spark, sf_dir):
+    """Strongly connected components (directed bowtie decomposition) via
+    iterative forward/backward min-label coloring. The oracle computes the
+    exact mutual-reachability closure with a recursive CTE — SCC id = min
+    mutually-reachable vid on both sides."""
+    from webgraph.algos import strongly_connected_components
+
+    g = from_int_edges(derived_scc_edges(spark, sf_dir))
+    out, _ = strongly_connected_components(g, max_rounds=50)
+    return out
+
+
+def o_g_scc():
+    return f"""
+WITH RECURSIVE e AS ({SCC_EDGES_SQL}),
+v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+r (a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.a, e.dst FROM r JOIN e ON r.b = e.src
+),
+m AS (
+  SELECT r1.a AS vid, r1.b AS u
+  FROM r r1 JOIN r r2 ON r1.a = r2.b AND r1.b = r2.a
+  UNION SELECT vid, vid FROM v
+)
+SELECT vid, MIN(u) AS scc FROM m GROUP BY vid
+"""
+
+
+QUERIES.update({"g_scc": (q_g_scc, o_g_scc)})

@@ -252,7 +252,9 @@ def deterministic_split(
     standard dataset-partitioning primitive for training pipelines).
 
     ``splits`` maps label -> percentage (must sum to 100); default
-    {"train": 80, "valid": 10, "test": 10}. The bucket is the portable
+    {"train": 80, "valid": 10, "test": 10}. Bucket ranges follow the
+    dict's insertion order, so the mapping itself is part of the spec:
+    the same dict always yields the same assignment. The bucket is the portable
     hash of the id (same seeded arithmetic as sample_to_token_budget's
     order key) mod 100, so the assignment is deterministic across runs,
     engines, partitionings, and cluster sizes — re-running the pipeline
