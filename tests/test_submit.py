@@ -50,6 +50,7 @@ def test_spark_submit_pyfiles_runs_pipeline(tmp_path):
             "--root-url", "https://www.site-0.example.com/",
             "--domains", "example.com",
             "--max-iterations", "3",
+            "--extended-analytics",
             "--out", str(out),
         ],
         cwd=str(tmp_path),  # NOT the repo: no accidental source-tree import
@@ -59,7 +60,10 @@ def test_spark_submit_pyfiles_runs_pipeline(tmp_path):
         timeout=420,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
-    for artifact in ("pages", "edges", "pagerank", "components", "labels"):
+    for artifact in (
+        "pages", "edges", "pagerank", "components", "labels",
+        "hits", "kcore3", "scc",
+    ):
         assert (out / artifact).is_dir(), f"missing {artifact}"
     # the reportResults analog prints one JSON line
     report = next(
@@ -69,3 +73,4 @@ def test_spark_submit_pyfiles_runs_pipeline(tmp_path):
     )
     assert report["pages"] > 0 and report["links"] > 0
     assert report["pagerank_iterations"] >= 1
+    assert report["scc_count"] >= 1 and report["hits_iterations"] >= 1

@@ -104,6 +104,32 @@ def main(argv: list[str] | None = None) -> int:
     labels, lp_metrics = label_propagation(eg, max_iter=min(cfg.max_iterations, 20))
     triangles = triangle_count(eg)
 
+    extended: dict = {}
+    if cfg.extended_analytics:
+        from webgraph.algos import hits, k_core, strongly_connected_components
+
+        hub_auth, hits_metrics = hits(
+            eg, max_iter=min(cfg.max_iterations, 10), checkpoint_dir=ck,
+            resume=cfg.resumable,
+        )
+        hub_auth.join(eg.vertices, "vid").select("url", "hub", "auth").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/hits")
+        core3, _ = k_core(eg, 3)
+        core3.join(eg.vertices, "vid").select("url").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/kcore3")
+        sccs, scc_metrics = strongly_connected_components(eg)
+        sccs.join(eg.vertices, "vid").select("url", "scc").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/scc")
+        extended = {
+            "hits_iterations": len(hits_metrics),
+            "kcore3_vertices": core3.count(),
+            "scc_count": sccs.select("scc").distinct().count(),
+            "scc_rounds": len(scc_metrics),
+        }
+
     ranks.join(eg.vertices, "vid").select("url", "rank").write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/pagerank")
@@ -131,6 +157,7 @@ def main(argv: list[str] | None = None) -> int:
         "lp_iterations": len(lp_metrics),
         "failed_urls": g.errors.count(),
         "out_dir": out_dir,
+        **extended,
     }
     print(json.dumps(report))
     print("top home pages by incoming links:", file=sys.stderr)

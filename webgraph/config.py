@@ -45,6 +45,7 @@ class JobConfig:
     pagerank_damping: float = 0.85
     pagerank_tol: float = 1e-6
     max_iterations: int = 40
+    extended_analytics: bool = False            # also HITS/k-core/SCC
 
     def validate(self) -> "JobConfig":
         if not self.root_url:
@@ -124,6 +125,10 @@ def parse_args(argv: list[str] | None = None) -> JobConfig:
     p.add_argument("--damping", type=float, default=0.85)
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--max-iterations", type=int, default=40)
+    p.add_argument(
+        "--extended-analytics", action="store_true",
+        help="also run HITS, k-core and SCC after PageRank/CC/LP/triangles",
+    )
     ns = p.parse_args(argv)
 
     overrides: dict = dict(
@@ -136,6 +141,7 @@ def parse_args(argv: list[str] | None = None) -> JobConfig:
         pagerank_damping=ns.damping,
         pagerank_tol=ns.tol,
         max_iterations=ns.max_iterations,
+        extended_analytics=ns.extended_analytics,
     )
     if ns.root_url:
         overrides["root_url"] = ns.root_url
