@@ -367,6 +367,15 @@ def test_personalized_pagerank_matches_python_oracle(spark):
     with pytest.raises(ValueError):
         personalized_pagerank(eg, [10**12], max_iter=2)
 
+    # duplicate seeds must not double-count mass (one row per vertex,
+    # mass exactly 1)
+    s = sorted(_vertex_set(eg))[:2]
+    dup, _ = personalized_pagerank(
+        eg, [s[0], s[0], s[1]], tol=0.0, max_iter=2, collect_skew=False
+    )
+    assert dup.count() == len(_vertex_set(eg))
+    assert abs(dup.agg(F.sum("rank")).first()[0] - 1.0) < 1e-9
+
 
 def test_bfs_depths_matches_python_oracle(spark):
     from tests.oracles import bfs_oracle
@@ -468,3 +477,16 @@ def test_scc_raises_on_round_cap_instead_of_partial_labels(spark):
     eg = from_int_edges(spark.createDataFrame(path, "src long, dst long"))
     with pytest.raises(RuntimeError, match="max_rounds"):
         strongly_connected_components(eg, max_rounds=2)
+
+
+def test_coupling_matches_python_oracle(spark):
+    from tests.oracles import cocitation_oracle
+    from webgraph.algos.cocitation import coupling
+
+    eg = _encoded(spark, n_pages=200)
+    # coupling == cocitation on the transposed edge list
+    edges_t = [(d, s) for s, d in _edge_list(eg)]
+    for cap in (None, 3):
+        got_df = coupling(eg.edges, min_common=2, max_in_degree=cap)
+        got = {(r["a"], r["b"]): r["common"] for r in got_df.collect()}
+        assert got == cocitation_oracle(edges_t, min_common=2, max_out_degree=cap)

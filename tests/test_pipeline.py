@@ -576,3 +576,28 @@ def test_stream_distinct_keys_dedups_across_microbatches(spark, tmp_path):
     }
     # (1, click) appears in BOTH batches; state dedups it across batches
     assert got == {(1, "click"), (1, "view"), (2, "click")}
+
+
+def test_tfidf_top_terms(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (0, "apple apple banana common"),
+            (1, "banana cherry common common"),
+            (2, "cherry common date date date"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.tfidf_top_terms(df, k=2)
+    rows = {(r["doc_id"], r["term"]): (r["tf"], r["df"], r["tfidf_e6"]) for r in out.collect()}
+    # doc 0: apple tf=2 df=1 -> 2*ln(3) tops; banana tf=1 df=2 second
+    assert rows[(0, "apple")] == (2, 1, round(2 * math.log(3.0) * 1e6))
+    assert rows[(0, "banana")][2] == round(math.log(3.0 / 2.0) * 1e6)
+    # 'common' has df=3 -> idf 0 -> never in any top-2 over real terms
+    assert not any(t == "common" for (_, t) in rows)
+    # exactly k rows per doc
+    from collections import Counter
+
+    per_doc = Counter(d for (d, _) in rows)
+    assert all(v == 2 for v in per_doc.values())

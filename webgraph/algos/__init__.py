@@ -4,7 +4,7 @@ with explicit partitioning, skew salting, per-iteration checkpoints."""
 
 from webgraph.algos.common import encode_graph  # noqa: F401
 from webgraph.algos.bfs import bfs_depths  # noqa: F401
-from webgraph.algos.cocitation import cocitation  # noqa: F401
+from webgraph.algos.cocitation import cocitation, coupling  # noqa: F401
 from webgraph.algos.components import connected_components  # noqa: F401
 from webgraph.algos.labelprop import label_propagation  # noqa: F401
 from webgraph.algos.hits import hits  # noqa: F401

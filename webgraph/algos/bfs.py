@@ -56,7 +56,14 @@ def bfs_depths(
     if max_depth < 0:
         raise ValueError(f"bfs_depths: max_depth must be >= 0, got {max_depth}")
     spark = g.edges.sparkSession
-    edges = g.edges if directed else symmetrize(g.edges)
+    # undirected mode: materialize the symmetrized set ONCE — otherwise
+    # its union+distinct shuffle of the full edge table re-executes on
+    # every level's frontier probe
+    edges = (
+        g.edges
+        if directed
+        else symmetrize(g.edges).localCheckpoint(eager=True)
+    )
     ckpt = CheckpointManager(checkpoint_dir, "bfs") if checkpoint_dir else None
 
     seeds_df = spark.createDataFrame([(int(s),) for s in set(seeds)], "vid long")

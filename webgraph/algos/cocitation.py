@@ -1,33 +1,42 @@
-"""Co-citation similarity — "pages linked together" over the link graph.
+"""Co-citation / bibliographic coupling — "pages linked together".
 
 The reference ranks pages by raw in-degree (README.md:92-112 top-50
-queries); co-citation is the pairwise refinement the same edge data
-supports: two pages are similar when many third pages link to BOTH
-(classic bibliographic coupling / co-citation from citation analysis).
-Used for related-page suggestions and link-spam cluster detection.
+queries); these are the pairwise refinements the same edge data supports
+(classic citation analysis):
 
-Execution shape — a wedge join keyed on the CITING page:
+- co-citation: two pages are similar when many third pages link to BOTH;
+- bibliographic coupling (the transpose): two CITING pages are similar
+  when they share many outlink targets.
 
-    pairs(a, b) = for each src, all unordered pairs among its out-links
-    common(a,b) = count of srcs citing both
+Execution shape — a wedge join keyed on the shared endpoint:
 
-The wedge count for a src with out-degree d is d·(d-1)/2, so power-law
-hubs dominate the cost: a directory page linking 10^5 targets alone
-contributes 5·10^9 wedges. The ``max_out_degree`` cap excludes such srcs
-BEFORE the self-join (one degree aggregate + semi-join), logging how many
-were dropped — the same documented-approximation contract as the n-gram
-``max_doc_freq`` cap (dedup.py): a hub that cites everything carries no
-similarity signal (inverse-df intuition), and the cap is deterministic,
-loud, and reproducible in the oracle. No cap (None) is exact.
+    pairs(a, b) = for each key page, all unordered pairs among its
+                  neighbors on the other side
+    common(a,b) = count of key pages shared by a and b
 
-The self-join shuffles edges once on src; the pair aggregate shuffles
+The wedge count for a key with degree d is d·(d-1)/2, so power-law hubs
+dominate the cost: a directory page linking 10^5 targets alone
+contributes 5·10^9 wedges. The degree cap excludes such keys BEFORE the
+self-join (one degree aggregate + anti-join), logging how many were
+dropped — the same documented-approximation contract as the n-gram
+``max_doc_freq`` cap (dedup.py:113-135): a hub that cites everything
+carries no similarity signal (inverse-df intuition), and the cap is
+deterministic, loud, and reproducible in the oracle. No cap (None) is
+exact. The hot-key set is persisted (it is hub-sized, tiny) so the degree
+aggregate runs once, not once for the log and once for the join.
+
+The self-join shuffles edges once on the key; the pair aggregate shuffles
 (a, b) keys with map-side partial counts. No cartesian product anywhere.
 """
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_log = logging.getLogger("webgraph.cocitation")
 
 
 def cocitation(
@@ -39,20 +48,24 @@ def cocitation(
     ``common`` counts distinct srcs linking to both a and b.
 
     ``max_out_degree``: drop citing pages with more than this many
-    outlinks before pairing (hub-wedge guard; logged via the returned
-    plan's filter, exact when None).
+    outlinks before pairing (hub-wedge guard, logged; exact when None).
     """
     e = edges.select("src", "dst").distinct()
     if max_out_degree is not None:
-        deg = e.groupBy("src").agg(F.count("*").alias("_d"))
-        keep = deg.filter(F.col("_d") <= max_out_degree).select("src")
-        n_hot = deg.filter(F.col("_d") > max_out_degree).count()
+        hot = (
+            e.groupBy("src")
+            .agg(F.count("*").alias("_d"))
+            .filter(F.col("_d") > max_out_degree)
+            .select("src")
+            .persist()
+        )
+        n_hot = hot.count()
         if n_hot:
-            print(
-                f"cocitation: excluding {n_hot} citing page(s) with "
-                f"out-degree > {max_out_degree} (documented hub cap)"
+            _log.warning(
+                "cocitation: excluding %d citing page(s) with out-degree > %d "
+                "(documented hub cap)", n_hot, max_out_degree,
             )
-        e = e.join(keep, "src", "left_semi")
+        e = e.join(hot, "src", "left_anti")
     left = e.select("src", F.col("dst").alias("a"))
     right = e.select("src", F.col("dst").alias("b"))
     return (
@@ -61,4 +74,22 @@ def cocitation(
         .groupBy("a", "b")
         .agg(F.count("*").alias("common"))
         .filter(F.col("common") >= min_common)
+    )
+
+
+def coupling(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_in_degree: int | None = None,
+) -> DataFrame:
+    """Bibliographic coupling — :func:`cocitation` on the transposed edge
+    list: pairs ``(a, b, common)`` of CITING pages that share >=
+    min_common outlink targets. ``max_in_degree`` caps the CITED side (a
+    target everyone links to — a home page — carries no coupling
+    signal)."""
+    transposed = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return cocitation(
+        transposed, min_common=min_common, max_out_degree=max_in_degree
     )

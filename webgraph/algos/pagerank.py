@@ -249,7 +249,9 @@ def personalized_pagerank(g: EncodedGraph, seeds, **kwargs):
     seeds ∩ V (raises if empty). Thin wrapper that builds the `p` frame
     and delegates to :func:`pagerank` (personalization=...)."""
     spark = g.edges.sparkSession
-    seeds_df = spark.createDataFrame([(int(s),) for s in seeds], "vid long")
+    seeds_df = spark.createDataFrame(
+        [(int(s),) for s in set(seeds)], "vid long"
+    )
     present = seeds_df.join(g.vertices.select("vid"), "vid", "left_semi")
     cnt = present.count()
     if cnt == 0:

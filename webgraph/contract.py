@@ -1819,3 +1819,80 @@ SELECT vid, MIN(u) AS scc FROM m GROUP BY vid
 
 
 QUERIES.update({"g_scc": (q_g_scc, o_g_scc)})
+
+
+COUPLING_MIN_COMMON = 4
+COUPLING_MAX_IN_DEGREE = 48
+
+
+def q_g_coupling(spark, sf_dir):
+    """Bibliographic coupling: top pairs of citing pages sharing the most
+    outlink targets — the transpose twin of g_cocitation, wedge-joined on
+    the cited page with the documented in-degree hub cap."""
+    from webgraph.algos.cocitation import coupling
+
+    pairs = coupling(
+        derived_edges2(spark, sf_dir),
+        min_common=COUPLING_MIN_COMMON,
+        max_in_degree=COUPLING_MAX_IN_DEGREE,
+    )
+    return pairs.orderBy(
+        F.desc("common"), F.asc("a"), F.asc("b")
+    ).limit(COCITE_TOPK)
+
+
+def o_g_coupling():
+    return f"""
+WITH e AS ({EDGES2_SQL}),
+deg AS (SELECT dst, COUNT(*) AS d FROM e GROUP BY dst),
+keep AS (SELECT dst FROM deg WHERE d <= {COUPLING_MAX_IN_DEGREE}),
+ek AS (SELECT e.src, e.dst FROM e JOIN keep USING (dst))
+SELECT l.src AS a, r.src AS b, COUNT(*) AS common
+FROM ek l JOIN ek r ON l.dst = r.dst AND l.src < r.src
+GROUP BY l.src, r.src
+HAVING COUNT(*) >= {COUPLING_MIN_COMMON}
+ORDER BY common DESC, a ASC, b ASC
+LIMIT {COCITE_TOPK}
+"""
+
+
+def q_t_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 keywords by tf-idf (keyword extraction): two
+    partial-aggregating counts + a bounded per-doc ranking window.
+    Scores are integer micro-units on both engines, so the rank order —
+    and therefore the emitted set — is engine-independent."""
+    from webgraph.text import tfidf_top_terms
+
+    return tfidf_top_terms(load(spark, sf_dir, "documents"), k=3)
+
+
+def o_t_tfidf_top_terms():
+    return r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2
+), dfq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), nd AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents
+), scored AS (
+  SELECT doc_id, term, tf, df,
+    CAST(ROUND(tf * ln((SELECT n FROM nd) / df) * 1e6) AS BIGINT) AS tfidf_e6
+  FROM tf JOIN dfq USING (term)
+), rk AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf_e6 DESC, term ASC) AS r
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf_e6 FROM rk WHERE r <= 3
+"""
+
+
+QUERIES.update(
+    {
+        "g_coupling": (q_g_coupling, o_g_coupling),
+        "t_tfidf_top_terms": (q_t_tfidf_top_terms, o_t_tfidf_top_terms),
+    }
+)

@@ -298,3 +298,51 @@ def top_tokens(
     if min_count > 1:
         counted = counted.filter(F.col("n") >= min_count)
     return counted.orderBy(F.desc("n"), F.asc("token")).limit(k)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k terms by tf-idf (the classic keyword-extraction /
+    relevance primitive). Returns (id, term, tf, df, tfidf_e6) with rank
+    by (tfidf desc, term asc) within each document.
+
+    tfidf = tf * ln(N / df) with N = total documents; emitted as integer
+    micro-units so the contract comparison never touches float formatting.
+    Two partial-aggregating counts (term frequency per doc, document
+    frequency per term), N as a LAZY 1-row aggregate broadcast into the
+    plan (the pagerank dangling-mass pattern — no eager scan at call
+    time), and a bounded per-doc ranking window (rank <= k), never a
+    global sort."""
+    from pyspark.sql import Window
+
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    nd = df.agg(
+        F.countDistinct(F.col(id_col)).cast("double").alias("_n")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "tfidf_e6",
+            F.round(
+                F.col("tf") * F.log(F.col("_n") / F.col("df")) * 1e6
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf_e6"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf_e6")
+    )
