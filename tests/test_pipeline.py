@@ -601,3 +601,40 @@ def test_tfidf_top_terms(spark):
 
     per_doc = Counter(d for (d, _) in rows)
     assert all(v == 2 for v in per_doc.values())
+
+
+def test_stream_distinct_keys_watermark_bounded_mode(spark, tmp_path):
+    """The bounded-state variant (dropDuplicatesWithinWatermark): dedups
+    redeliveries arriving within the delay; emitted key set over this
+    single-drain input equals the batch DISTINCT."""
+    from webgraph.streaming import run_to_append_sink, stream_distinct_keys
+
+    src = tmp_path / "in"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    rows = [
+        (1, "2026-01-01 10:00:00", 1, "click"),
+        (2, "2026-01-01 10:00:30", 1, "click"),  # redelivery inside delay
+        (3, "2026-01-01 10:01:00", 2, "view"),
+        (4, "2026-01-01 12:00:00", 1, "click"),  # far later: state evicted
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    deduped = stream_distinct_keys(
+        stream, ["user_id", "event_type"], watermark=("ts", "10 minutes")
+    )
+    run_to_append_sink(deduped, str(tmp_path / "out"), str(tmp_path / "ck"))
+    got = sorted(
+        (r["user_id"], r["event_type"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    # one emission per key within the watermark horizon of this drain
+    assert got == [(1, "click"), (2, "view")]

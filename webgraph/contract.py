@@ -1896,3 +1896,32 @@ QUERIES.update(
         "t_tfidf_top_terms": (q_t_tfidf_top_terms, o_t_tfidf_top_terms),
     }
 )
+
+
+def q_g_bfs_undirected(spark, sf_dir):
+    """BFS over the SYMMETRIZED edge set (undirected crawl radius) — the
+    directed=False path: same frontier loop over the one-time materialized
+    symmetric closure."""
+    from webgraph.algos import bfs_depths
+
+    g = from_int_edges(derived_edges2(spark, sf_dir))
+    depths, _ = bfs_depths(g, BFS_SEEDS, max_depth=2, directed=False)
+    return depths.select("vid", F.col("depth").cast("long").alias("depth"))
+
+
+def o_g_bfs_undirected():
+    seeds = ", ".join(f"({s}, 0)" for s in BFS_SEEDS)
+    return f"""
+WITH RECURSIVE e0 AS ({EDGES2_SQL}),
+e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+b (vid, depth) AS (
+  SELECT * FROM (VALUES {seeds}) s(vid, depth)
+  UNION
+  SELECT e.dst, b.depth + 1 FROM b JOIN e ON e.src = b.vid
+  WHERE b.depth < 2
+)
+SELECT vid, CAST(MIN(depth) AS BIGINT) AS depth FROM b GROUP BY vid
+"""
+
+
+QUERIES.update({"g_bfs_undirected": (q_g_bfs_undirected, o_g_bfs_undirected)})
