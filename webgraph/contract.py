@@ -1925,3 +1925,79 @@ SELECT vid, CAST(MIN(depth) AS BIGINT) AS depth FROM b GROUP BY vid
 
 
 QUERIES.update({"g_bfs_undirected": (q_g_bfs_undirected, o_g_bfs_undirected)})
+
+
+def q_r_price_quantiles(spark, sf_dir):
+    """Exact percentiles per group (A-family: ordered-set aggregate).
+    Spark's exact `percentile` and DuckDB's `quantile_cont` share the
+    linear-interpolation definition, so cent-rounded outputs match
+    exactly; both engines compute it with a per-group sort that AQE sizes
+    — no global sort."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)") * 100)
+            .cast("long")
+            .alias("median_c"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)") * 100)
+            .cast("long")
+            .alias("p90_c"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def o_r_price_quantiles():
+    return """
+SELECT o_orderpriority,
+  CAST(ROUND(quantile_cont(o_totalprice, 0.5) * 100) AS BIGINT) AS median_c,
+  CAST(ROUND(quantile_cont(o_totalprice, 0.9) * 100) AS BIGINT) AS p90_c,
+  COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+PIVOT_YEARS = (1995, 1996, 1997, 1998)
+
+
+def q_r_priority_year_pivot(spark, sf_dir):
+    """Pivot (crosstab): order counts per priority x year, one row per
+    priority with a column per year. Spark's pivot with an EXPLICIT value
+    list plans a single scan + one aggregate (no value-discovery job);
+    the oracle is the equivalent conditional aggregation."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_orderpriority")
+        .pivot("o_year", list(PIVOT_YEARS))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            *[
+                F.coalesce(F.col(str(y)), F.lit(0)).alias(f"y{y}")
+                for y in PIVOT_YEARS
+            ],
+        )
+    )
+
+
+def o_r_priority_year_pivot():
+    cols = ",\n  ".join(
+        f"COALESCE(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = {y} "
+        f"THEN 1 ELSE 0 END), 0) AS y{y}"
+        for y in PIVOT_YEARS
+    )
+    return f"""
+SELECT o_orderpriority,
+  {cols}
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+QUERIES.update(
+    {
+        "r_price_quantiles": (q_r_price_quantiles, o_r_price_quantiles),
+        "r_priority_year_pivot": (q_r_priority_year_pivot, o_r_priority_year_pivot),
+    }
+)
