@@ -2001,3 +2001,51 @@ QUERIES.update(
         "r_priority_year_pivot": (q_r_priority_year_pivot, o_r_priority_year_pivot),
     }
 )
+
+
+def q_s_session_window(spark, sf_dir):
+    """Native gap sessionization via Spark's built-in session_window —
+    the declarative counterpart to s_sessions' manual lag-window and
+    s_stateful_sessions' applyInPandasWithState. Boundary semantics are
+    pinned: session_window is half-open [start, last_ts + gap), so a
+    difference of EXACTLY the gap starts a new session — the oracle's
+    new-session flag is `diff >= gap` (the manual s_sessions contract
+    uses `> gap`; both are valid definitions, each exactly oracled)."""
+    ev = load(spark, sf_dir, "events")
+    per_session = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(F.count("*").alias("n_ev"))
+    return per_session.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("n_ev").cast("long").alias("n_events"),
+        F.max("n_ev").cast("long").alias("max_session_events"),
+    )
+
+
+def o_s_session_window():
+    return """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              IS NULL
+           OR epoch(ts) - epoch(LAG(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)) >= 1800
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+), seg AS (
+  SELECT user_id,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+), per_session AS (
+  SELECT user_id, sid, COUNT(*) AS n_ev FROM seg GROUP BY user_id, sid
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+  CAST(SUM(n_ev) AS BIGINT) AS n_events,
+  CAST(MAX(n_ev) AS BIGINT) AS max_session_events
+FROM per_session GROUP BY user_id
+"""
+
+
+QUERIES.update({"s_session_window": (q_s_session_window, o_s_session_window)})
