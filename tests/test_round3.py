@@ -1,0 +1,162 @@
+"""Round-3 operators: clustering coefficient, near-dup clustering,
+stratified sampling, graph contraction + weighted PageRank.
+
+Oracle style follows the suite convention: tiny hand-checkable fixtures
+with exact expected values (GraphImporterTestBase.java's known-degree
+scenarios), plus partition-independence checks for the deterministic
+sampling ops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from webgraph.algos.common import (
+    contract_graph,
+    from_int_edges,
+    from_weighted_edges,
+)
+from webgraph.algos.pagerank import pagerank
+from webgraph.algos.triangles import clustering_coefficient
+
+
+def _graph(spark, edges):
+    return from_int_edges(
+        spark.createDataFrame(edges, "src long, dst long")
+    )
+
+
+# ------------------------------------------------- clustering coefficient --
+
+
+def test_clustering_coefficient_triangle_plus_pendant(spark):
+    # Triangle 1-2-3 plus pendant 4 attached to 1.
+    g = _graph(spark, [(1, 2), (2, 3), (3, 1), (1, 4)])
+    rows = {r["vid"]: r for r in clustering_coefficient(g).collect()}
+    assert rows[1]["deg"] == 3 and rows[1]["triangles"] == 1
+    # lcc(1) = 2*1 / (3*2) = 1/3 -> 333333 in exact micro-units
+    assert rows[1]["lcc_e6"] == 333333
+    for v in (2, 3):
+        assert rows[v]["deg"] == 2 and rows[v]["lcc_e6"] == 1_000_000
+    assert rows[4]["deg"] == 1 and rows[4]["lcc_e6"] == 0
+
+
+def test_clustering_coefficient_direction_agnostic(spark):
+    # Same undirected structure, different edge directions.
+    a = clustering_coefficient(_graph(spark, [(1, 2), (2, 3), (3, 1)]))
+    b = clustering_coefficient(_graph(spark, [(2, 1), (3, 2), (3, 1)]))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ------------------------------------------------------- dedup clustering --
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_clusters_transitive_and_singletons(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    near = base + "extra tail token"
+    other = "completely different content about spark engines " * 6
+    docs = _docs(
+        spark,
+        [(1, base), (2, base), (3, near), (4, other), (5, "short unique text")],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in __import__("webgraph.dedup", fromlist=["dedup_clusters"])
+        .dedup_clusters(docs, threshold=0.5)
+        .collect()
+    }
+    assert len(out) == 5  # every corpus row present
+    # 1~2 identical, 2~3 near: transitive cluster with canonical min id 1
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"] == 1
+    assert out[1]["cluster_size"] == 3
+    assert out[1]["keep"] and not out[2]["keep"] and not out[3]["keep"]
+    # singletons keep themselves
+    for v in (4, 5):
+        assert out[v]["cluster_id"] == v and out[v]["cluster_size"] == 1 and out[v]["keep"]
+
+
+# ----------------------------------------------------- stratified sampling --
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    from webgraph.text import stratified_sample
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out1 = stratified_sample(df, "grp", 10, id_col="doc_id").collect()
+    assert len(out1) == 30
+    per = {}
+    for r in out1:
+        per.setdefault(r["grp"], []).append(r["sample_rank"])
+    for g, ranks in per.items():
+        assert sorted(ranks) == list(range(1, 11))
+    # partition-independence: different physical layout, identical sample
+    out2 = stratified_sample(
+        df.repartition(7, "doc_id"), "grp", 10, id_col="doc_id"
+    ).collect()
+    key = lambda r: (r["grp"], r["doc_id"], r["sample_rank"])
+    assert sorted(map(key, out1)) == sorted(map(key, out2))
+
+
+def test_stratified_sample_small_group_keeps_all(spark):
+    from webgraph.text import stratified_sample
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, grp string"
+    )
+    out = stratified_sample(df, "grp", 5, id_col="doc_id").collect()
+    assert len(out) == 3
+
+
+# ------------------------------------- contraction + weighted pagerank --
+
+
+def test_contract_graph_weights(spark):
+    g = _graph(spark, [(0, 2), (1, 2), (0, 3), (2, 0), (1, 3)])
+    mapping = spark.createDataFrame(
+        [(0, 10), (1, 10), (2, 20), (3, 20)], "vid long, gid long"
+    )
+    rows = {(r["src"], r["dst"]): r["weight"] for r in contract_graph(g, mapping).collect()}
+    # 0->2, 1->2, 0->3, 1->3 all cross 10->20 (weight 4); 2->0 is 20->10.
+    assert rows == {(10, 20): 4, (20, 10): 1}
+
+
+def test_weighted_pagerank_matches_numpy(spark):
+    edges = [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 1.0)]
+    wg = from_weighted_edges(
+        spark.createDataFrame(edges, "src long, dst long, weight double")
+    )
+    ranks, _ = pagerank(wg, tol=0.0, max_iter=20, collect_skew=False, weight_col="weight")
+    got = {r["vid"]: r["rank"] for r in ranks.collect()}
+
+    n, d = 3, 0.85
+    r = np.full(n, 1.0 / n)
+    w = np.zeros((n, n))
+    for s, t, wt in edges:
+        w[s][t] = wt
+    p = w / w.sum(axis=1, keepdims=True)
+    for _ in range(20):
+        r = (1 - d) / n + d * (r @ p)
+    for v in range(n):
+        assert abs(got[v] - r[v]) < 1e-9
+
+
+def test_weighted_pagerank_uniform_weights_equal_unweighted(spark):
+    edges = [(0, 1), (1, 2), (2, 0), (0, 2)]
+    g = _graph(spark, edges)
+    wdf = spark.createDataFrame(
+        [(s, t, 1.0) for s, t in edges], "src long, dst long, weight double"
+    )
+    wg = from_weighted_edges(wdf)
+    r1, _ = pagerank(g, tol=0.0, max_iter=8, collect_skew=False)
+    r2, _ = pagerank(wg, tol=0.0, max_iter=8, collect_skew=False, weight_col="weight")
+    a = {r["vid"]: r["rank"] for r in r1.collect()}
+    b = {r["vid"]: r["rank"] for r in r2.collect()}
+    for v in a:
+        assert abs(a[v] - b[v]) < 1e-12

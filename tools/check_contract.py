@@ -16,6 +16,30 @@ sys.path.insert(0, "/root/repo")
 import duckdb
 
 
+_FAMILIES = {
+    "tinyint": "i8", "int8": "i8",
+    "smallint": "i16", "int16": "i16",
+    "int": "i32", "integer": "i32", "int32": "i32",
+    "bigint": "i64", "int64": "i64",
+    "hugeint": "i128", "int128": "i128",
+    "float": "f32", "real": "f32",
+    "double": "f64", "float64": "f64",
+    "string": "str", "varchar": "str",
+    "boolean": "bool", "bool": "bool",
+    "date": "date", "timestamp": "ts", "timestamp_ns": "ts",
+    "timestamp with time zone": "ts", "timestamp_ntz": "ts",
+}
+
+
+def _family(type_str):
+    t = type_str.strip().lower()
+    if t.startswith(("decimal", "numeric")):
+        return "decimal"
+    if t.startswith(("array", "list", "struct", "map")):
+        return "nested"
+    return _FAMILIES.get(t, t)
+
+
 def normalize(rows, columns):
     out = []
     for row in rows:
@@ -58,9 +82,18 @@ def main():
         t0 = time.time()
         res = con.sql(oracles[name])
         ocols = res.columns
+        otypes = [str(t) for t in res.types]
         orows = res.fetchall()
         t_duck = time.time() - t0
         problems = []
+        # Driver's value hash is type-sensitive: DuckDB HUGEINT vs Spark
+        # BIGINT trips it even when values match (round-2 lesson). Map both
+        # sides to a coarse type family and require equality per column.
+        stypes = {f.name: _family(f.dataType.simpleString()) for f in sdf.schema.fields}
+        for c, t in zip(ocols, otypes):
+            fam = _family(t)
+            if c in stypes and fam != stypes[c]:
+                problems.append(f"type mismatch col {c}: duckdb {t} vs spark family {stypes[c]}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"schema {scols} vs {ocols}")
         elif len(srows) != len(orows):

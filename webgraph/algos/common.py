@@ -123,3 +123,64 @@ def salt_aggregate(
     )
     partial = salted.groupBy(key, "_salt").agg(F.sum(value).alias("_partial"))
     return partial.groupBy(key).agg(F.sum("_partial").alias(f"sum_{value}"))
+
+
+def from_weighted_edges(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> EncodedGraph:
+    """Wrap integer-keyed WEIGHTED edges (already unique per (src, dst) —
+    e.g. the output of contract_graph) as an EncodedGraph; the weight
+    column rides along on g.edges for weight-aware algorithms
+    (pagerank(weight_col=...))."""
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+        F.col(weight).cast("double").alias("weight"),
+    )
+    verts = (
+        e.select(F.col("src").alias("vid"))
+        .unionByName(e.select(F.col("dst").alias("vid")))
+        .distinct()
+        .withColumn("url", F.col("vid").cast("string"))
+        .persist()
+    )
+    n = verts.count()
+    e = e.persist()
+    e.count()
+    return EncodedGraph(vertices=verts, edges=e, num_vertices=n)
+
+
+def contract_graph(
+    g: EncodedGraph,
+    mapping: DataFrame,
+    drop_self: bool = True,
+) -> DataFrame:
+    """Graph contraction by a vertex -> group map: the host/domain-level
+    rollup every link-graph pipeline needs (the reference stores a domain
+    property per page for exactly this grouping, PageNode.java:13 /
+    UrlUtil.java:43-51; contracting the page graph by it yields the
+    domain-level link graph). Returns weighted group edges
+    (src, dst, weight = number of underlying page edges).
+
+    Scale: two vid-keyed equi joins (mapping is vertex-shaped — broadcast
+    when small, SMJ otherwise) + one hash aggregate whose map-side partial
+    aggregation collapses the quadratic hub fan-in before the shuffle.
+    `drop_self` removes intra-group edges (standard for inter-host
+    ranking; keep them for modularity-style diagnostics)."""
+    m_src = mapping.select(F.col("vid").alias("src"), F.col("gid").alias("gsrc"))
+    m_dst = mapping.select(F.col("vid").alias("dst"), F.col("gid").alias("gdst"))
+    ge = (
+        g.edges.join(m_src, "src", "inner")
+        .join(m_dst, "dst", "inner")
+        .groupBy("gsrc", "gdst")
+        .agg(F.count("*").alias("weight"))
+        .select(
+            F.col("gsrc").alias("src"), F.col("gdst").alias("dst"), "weight"
+        )
+    )
+    if drop_self:
+        ge = ge.filter(F.col("src") != F.col("dst"))
+    return ge

@@ -48,6 +48,7 @@ def pagerank(
     checkpoint_retain: int | None = None,
     on_iteration=None,
     personalization: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Returns (ranks DataFrame ``(vid, rank)``, per-iteration metrics).
 
@@ -79,11 +80,19 @@ def pagerank(
         )
         pers.count()
 
-    out_deg = g.edges.groupBy("src").agg(F.count("*").alias("deg"))
-    # Weighted edges: built once, the stationary big side of every join.
+    # Weighted mode (weight_col set, e.g. a contract_graph rollup): each
+    # edge carries weight/out-weight instead of 1/outdeg — the standard
+    # weighted power iteration. Same plan shape either way: the normalized
+    # edge frame is built once and stays the stationary big join side.
+    if weight_col:
+        out_deg = g.edges.groupBy("src").agg(F.sum(weight_col).alias("deg"))
+        w_expr = F.col(weight_col).cast("double") / F.col("deg")
+    else:
+        out_deg = g.edges.groupBy("src").agg(F.count("*").alias("deg"))
+        w_expr = F.lit(1.0) / F.col("deg")
     edges_w = (
         g.edges.join(out_deg, "src", "inner")
-        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .select("src", "dst", w_expr.alias("w"))
         .persist()
     )
     edges_w.count()

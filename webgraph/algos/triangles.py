@@ -86,3 +86,44 @@ def triangle_count_per_vertex(g: EncodedGraph, degree_ordered: bool = True) -> D
     return g.vertices.select("vid").join(counts, "vid", "left").select(
         "vid", F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles")
     )
+
+
+def clustering_coefficient(g: EncodedGraph) -> DataFrame:
+    """(vid, deg, triangles, lcc_e6) — local clustering coefficient in
+    exact micro-units: lcc_e6 = (2,000,000 * T(v)) DIV (deg * (deg - 1)),
+    0 for deg < 2. The README's link-analysis surface stops at degree
+    top-k (README.md:107-112); local clustering is its standard
+    densification companion (triangles / possible wedges per vertex).
+
+    Integer arithmetic end to end (no float division), so the DuckDB
+    oracle reproduces every value exactly. deg and T(v) are both <= n, so
+    2e6 * T fits comfortably in int64 below ~4.6e12 triangles per vertex.
+
+    Scale: one degree aggregation over the symmetrized edge set plus the
+    degree-ordered triangle attribution already bounded by
+    sum(min-degree) wedges — no new join shapes beyond J7.
+    """
+    deg = (
+        symmetrize(g.edges)
+        .groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .select(F.col("src").alias("vid"), "deg")
+    )
+    tri = triangle_count_per_vertex(g)
+    return (
+        tri.join(deg, "vid", "left")
+        .select(
+            "vid",
+            F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("deg"),
+            F.col("triangles").cast("long").alias("triangles"),
+        )
+        .withColumn(
+            "lcc_e6",
+            F.when(
+                F.col("deg") >= 2,
+                F.expr("(2000000 * triangles) DIV (deg * (deg - 1))"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )

@@ -806,7 +806,7 @@ def o_d_simhash_near_pairs():
     return f"""
 WITH {sig}
 SELECT x.doc_id AS a, y.doc_id AS b,
-       bit_count(xor(x.simhash, y.simhash)) AS hamming
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
 FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
 WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
 """
@@ -1492,7 +1492,8 @@ b (vid, depth) AS (
   SELECT e.dst, b.depth + 1 FROM b JOIN e ON e.src = b.vid
   WHERE b.depth < {BFS_MAX_DEPTH}
 )
-SELECT vid, CAST(MIN(depth) AS BIGINT) AS depth FROM b GROUP BY vid
+SELECT CAST(vid AS BIGINT) AS vid, CAST(MIN(depth) AS BIGINT) AS depth
+FROM b GROUP BY vid
 """
 
 
@@ -1920,7 +1921,8 @@ b (vid, depth) AS (
   SELECT e.dst, b.depth + 1 FROM b JOIN e ON e.src = b.vid
   WHERE b.depth < 2
 )
-SELECT vid, CAST(MIN(depth) AS BIGINT) AS depth FROM b GROUP BY vid
+SELECT CAST(vid AS BIGINT) AS vid, CAST(MIN(depth) AS BIGINT) AS depth
+FROM b GROUP BY vid
 """
 
 
@@ -1984,8 +1986,8 @@ def q_r_priority_year_pivot(spark, sf_dir):
 
 def o_r_priority_year_pivot():
     cols = ",\n  ".join(
-        f"COALESCE(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = {y} "
-        f"THEN 1 ELSE 0 END), 0) AS y{y}"
+        f"CAST(COALESCE(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = {y} "
+        f"THEN 1 ELSE 0 END), 0) AS BIGINT) AS y{y}"
         for y in PIVOT_YEARS
     )
     return f"""
@@ -2049,3 +2051,190 @@ FROM per_session GROUP BY user_id
 
 
 QUERIES.update({"s_session_window": (q_s_session_window, o_s_session_window)})
+
+
+def q_g_clustering(spark, sf_dir):
+    """Per-vertex local clustering coefficient in exact micro-units —
+    integer arithmetic end to end so the oracle is value-exact (see
+    webgraph/algos/triangles.py:clustering_coefficient)."""
+    from webgraph.algos.triangles import clustering_coefficient
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    return clustering_coefficient(g).select("vid", "deg", "triangles", "lcc_e6")
+
+
+def o_g_clustering():
+    return f"""
+WITH e AS ({EDGES_SQL}),
+v AS ({VERTS_SQL}),
+s AS ({SYM_SQL}),
+deg AS (SELECT src AS vid, COUNT(*) AS deg FROM s GROUP BY src),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e WHERE src <> dst),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1 JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS vid FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+),
+cnt AS (SELECT vid, COUNT(*) AS triangles FROM corners GROUP BY vid)
+SELECT v.vid,
+  CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg,
+  CAST(COALESCE(c.triangles, 0) AS BIGINT) AS triangles,
+  CAST(CASE WHEN COALESCE(d.deg, 0) >= 2
+            THEN (2000000 * COALESCE(c.triangles, 0)) // (d.deg * (d.deg - 1))
+            ELSE 0 END AS BIGINT) AS lcc_e6
+FROM v LEFT JOIN deg d USING (vid) LEFT JOIN cnt c USING (vid)
+"""
+
+
+QUERIES.update({"g_clustering": (q_g_clustering, o_g_clustering)})
+
+
+DDC_ROUNDS = 8
+
+
+def q_d_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: CC over the exact-verified MinHash pair graph,
+    first-wins canonical representative (min doc_id), keep/drop flag per
+    row. Same provably-exact LSH setting as d_minhash_dup_pairs (recall 1
+    on this corpus, strict bucket caps), so the cluster assignment equals
+    the all-pairs SQL transitive closure."""
+    from webgraph.dedup import dedup_clusters
+
+    return dedup_clusters(
+        _dup_docs(spark, sf_dir), threshold=0.9, num_hashes=64, bands=16,
+        max_iter=DDC_ROUNDS, strict=True,
+    ).select("doc_id", "cluster_id", "cluster_size", "keep")
+
+
+def o_d_dedup_clusters():
+    parts = [
+        f"WITH p AS (SELECT a, b FROM ({o_d_minhash_dup_pairs()}) tp),",
+        f"allv AS (SELECT doc_id FROM documents "
+        f"UNION ALL SELECT doc_id + {DUP_SHIFT} FROM documents),",
+        "pv AS (SELECT a AS vid FROM p UNION SELECT b FROM p),",
+        "sym AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),",
+        "l0 AS (SELECT vid, vid AS component FROM pv),",
+    ]
+    for i in range(1, DDC_ROUNDS + 1):
+        pr = i - 1
+        parts += [
+            f"m{i} AS (SELECT s.dst AS vid, MIN(l.component) AS nm "
+            f"FROM sym s JOIN l{pr} l ON s.src = l.vid GROUP BY s.dst),",
+            f"l{i} AS (SELECT l.vid, LEAST(l.component, COALESCE(m.nm, l.component)) "
+            f"AS component FROM l{pr} l LEFT JOIN m{i} m USING (vid)),",
+        ]
+    parts += [
+        f"asg AS (SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS cluster_id "
+        f"FROM allv d LEFT JOIN l{DDC_ROUNDS} l ON d.doc_id = l.vid),",
+        "sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM asg GROUP BY cluster_id)",
+        "SELECT a.doc_id, a.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size, "
+        "a.doc_id = a.cluster_id AS keep FROM asg a JOIN sz s USING (cluster_id)",
+    ]
+    return _unrolled(parts)
+
+
+QUERIES.update({"d_dedup_clusters": (q_d_dedup_clusters, o_d_dedup_clusters)})
+
+
+STRAT_QUOTA = 40
+
+
+def q_t_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: exactly min(quota, |group|) docs
+    per language, chosen by seeded portable-hash order (see
+    webgraph/text.py:stratified_sample for the two-phase skew guard)."""
+    from webgraph.text import stratified_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = stratified_sample(docs, "lang", STRAT_QUOTA)
+    return out.select(
+        "doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
+def o_t_stratified_sample():
+    from webgraph.dedup import _MIX_BASE, POLY_MOD
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang,
+    ((doc_id % {POLY_MOD}) * {_MIX_BASE} + 42) % {POLY_MOD} AS k
+  FROM documents
+), r AS (
+  SELECT doc_id, lang,
+    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rn
+  FROM d
+)
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank
+FROM r WHERE rn <= {STRAT_QUOTA}
+"""
+
+
+QUERIES.update({"t_stratified_sample": (q_t_stratified_sample, o_t_stratified_sample)})
+
+
+DG_GROUPS = 50
+DPR_ITERS = 5
+
+
+def q_g_domain_pagerank(spark, sf_dir):
+    """Host-level rollup ranking: contract the page graph by a vertex ->
+    group map (vid % 50 stands in for the url -> domain map the reference
+    stores per page, PageNode.java:13), then run WEIGHTED PageRank on the
+    contracted graph — the domain-authority companion of g_pagerank."""
+    from webgraph.algos.common import contract_graph, from_weighted_edges
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    mapping = g.vertices.select(
+        "vid", (F.col("vid") % DG_GROUPS).alias("gid")
+    )
+    ge = contract_graph(g, mapping, drop_self=True)
+    wg = from_weighted_edges(ge)
+    ranks, _ = pagerank(
+        g=wg, damping=DAMPING, tol=0.0, max_iter=DPR_ITERS,
+        collect_skew=False, weight_col="weight",
+    )
+    return ranks.select(
+        F.col("vid").alias("gid"),
+        F.round(F.col("rank") * 1e6).cast("long").alias("rank_e6"),
+    )
+
+
+def o_g_domain_pagerank():
+    d = DAMPING
+    parts = [
+        f"WITH e AS ({EDGES_SQL}),",
+        f"ge AS (SELECT src % {DG_GROUPS} AS src, dst % {DG_GROUPS} AS dst, "
+        f"CAST(COUNT(*) AS DOUBLE) AS w FROM e "
+        f"WHERE src % {DG_GROUPS} <> dst % {DG_GROUPS} GROUP BY 1, 2),",
+        "v AS (SELECT src AS vid FROM ge UNION SELECT dst FROM ge),",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),",
+        "outd AS (SELECT src, SUM(w) AS deg FROM ge GROUP BY src),",
+        "r0 AS (SELECT vid, (SELECT 1e0/n FROM nn) AS rank FROM v),",
+    ]
+    for i in range(1, DPR_ITERS + 1):
+        p = i - 1
+        parts += [
+            f"d{i} AS (SELECT COALESCE(SUM(rank), 0e0) AS dm FROM r{p} "
+            f"WHERE vid NOT IN (SELECT src FROM ge)),",
+            f"c{i} AS (SELECT ge.dst AS vid, SUM((ge.w / o.deg) * r.rank) AS contrib "
+            f"FROM ge JOIN r{p} r ON ge.src = r.vid JOIN outd o ON ge.src = o.src "
+            f"GROUP BY ge.dst),",
+            f"r{i} AS (SELECT v.vid, (SELECT {1.0 - d}e0/n FROM nn) "
+            f"+ {d}e0 * ((SELECT dm FROM d{i}) / (SELECT n FROM nn) "
+            f"+ COALESCE(c.contrib, 0e0)) AS rank "
+            f"FROM v LEFT JOIN c{i} c USING (vid)),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT vid AS gid, CAST(ROUND(rank * 1000000e0) AS BIGINT) AS rank_e6 "
+        f"FROM r{DPR_ITERS}"
+    )
+    return _unrolled(parts)
+
+
+QUERIES.update({"g_domain_pagerank": (q_g_domain_pagerank, o_g_domain_pagerank)})

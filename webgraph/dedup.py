@@ -428,7 +428,7 @@ def simhash_near_pairs(
         .distinct()
     )
     return cands.select(
-        "a", "b", hamming64(F.col("sa"), F.col("sb")).alias("hamming")
+        "a", "b", hamming64(F.col("sa"), F.col("sb")).cast("long").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
 
 
@@ -502,4 +502,63 @@ def embedding_near_dup_pairs(
         pairs.select("a", "b", cos.alias("cos"))
         .filter(F.col("cos") >= threshold)
         .distinct()
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_iter: int = 8,
+    strict: bool = False,
+) -> DataFrame:
+    """Near-duplicate CLUSTERING — the keep/drop decision layer on top of
+    minhash_dedup_pairs (pairs alone don't dedup a corpus: transitive
+    groups A~B~C must collapse to one survivor). Connected components over
+    the near-dup pair graph, canonical representative = min id per
+    cluster (the reference's get-or-create keeps the FIRST node for a URL,
+    BatchGraphImporter.java:266-301 — same first-wins rule, id-ordered so
+    it is deterministic under any partitioning).
+
+    Returns (id, cluster_id, cluster_size, keep): every corpus row appears,
+    singletons as their own cluster, keep = (id == cluster_id).
+
+    Scale: the pair graph is tiny relative to the corpus (only near-dups),
+    so the CC runs on a graph orders of magnitude smaller than the input;
+    the final attachment is one left join corpus⋈labels + one count agg.
+    Min-label CC is monotone, so any rounds >= the true diameter yield the
+    fixpoint — max_iter bounds pathological chains (logged via the CC
+    metrics, never silently wrong: extra rounds are no-ops once converged).
+    """
+    from webgraph.algos.common import from_int_edges
+    from webgraph.algos.components import connected_components
+
+    pairs = minhash_dedup_pairs(
+        df, id_col=id_col, text_col=text_col, threshold=threshold,
+        num_hashes=num_hashes, bands=bands, strict=strict,
+    )
+    g = from_int_edges(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    labels, _ = connected_components(g, max_iter=max_iter, collect_skew=False)
+    assigned = (
+        df.select(F.col(id_col))
+        .join(labels.withColumnRenamed("vid", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    sizes = assigned.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        assigned.join(sizes, "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+        )
     )

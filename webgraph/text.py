@@ -346,3 +346,44 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select(id_col, "term", "tf", "df", "tfidf_e6")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    quota: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-group sampling to an exact quota (the standard
+    stratified corpus-mix primitive: "k documents per language/source").
+    Keeps the `quota` rows with the smallest seeded portable hash within
+    each group — a uniform without-replacement draw for a fixed seed, and
+    reproducible across runs, engines, partitionings, and cluster sizes
+    (same arithmetic as sample_to_token_budget's order key). Returns the
+    input row plus `sample_rank` (1-based within group).
+
+    Scale: two-phase top-k so a giant group never lands on one reducer
+    before reduction — (1) partition-local rank per (group, physical
+    partition) keeps at most quota rows per group per partition, then
+    (2) the global per-group window ranks the ≤ quota×P survivors. Phase 1
+    is a window over data in place (no shuffle); only survivors shuffle.
+    """
+    from pyspark.sql import Window
+
+    from webgraph.dedup import _MIX_BASE, POLY_MOD
+
+    key = ((F.col(id_col) % POLY_MOD) * F.lit(_MIX_BASE) + F.lit(seed)) % POLY_MOD
+    d = df.withColumn("_k", key).withColumn("_p", F.spark_partition_id())
+    w_local = Window.partitionBy(group_col, "_p").orderBy("_k", id_col)
+    survivors = (
+        d.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= quota)
+        .drop("_lr", "_p")
+    )
+    w_global = Window.partitionBy(group_col).orderBy("_k", id_col)
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w_global))
+        .filter(F.col("sample_rank") <= quota)
+        .drop("_k")
+    )
