@@ -160,3 +160,73 @@ def test_weighted_pagerank_uniform_weights_equal_unweighted(spark):
     b = {r["vid"]: r["rank"] for r in r2.collect()}
     for v in a:
         assert abs(a[v] - b[v]) < 1e-12
+
+
+# ------------------------------------------------ walks / harmonic / anf --
+
+
+def test_deterministic_walks_shape_and_reproducibility(spark):
+    from webgraph.algos.walks import deterministic_walks
+
+    g = _graph(spark, [(0, 1), (1, 2), (2, 0), (1, 3)])
+    w1 = sorted(map(tuple, deterministic_walks(g, walk_len=3).collect()))
+    w2 = sorted(map(tuple, deterministic_walks(g, walk_len=3).collect()))
+    assert w1 == w2
+    # every walk starts at its own vertex
+    starts = [(r[0], r[2]) for r in w1 if r[1] == 0]
+    assert starts == [(v, v) for v in range(4)]
+    # vertex 3 is dangling: its walk has only step 0
+    assert [r for r in w1 if r[0] == 3] == [(3, 0, 3)]
+    # walks follow edges: each consecutive (step, step+1) pair is an edge
+    edges = {(0, 1), (1, 2), (2, 0), (1, 3)}
+    bywalk = {}
+    for wid, step, vid in w1:
+        bywalk.setdefault(wid, {})[step] = vid
+    for wid, steps in bywalk.items():
+        for t in range(len(steps) - 1):
+            assert (steps[t], steps[t + 1]) in edges
+
+
+def test_harmonic_centrality_exact_values(spark):
+    from webgraph.algos.bfs import harmonic_centrality
+
+    # path 0 -> 1 -> 2 -> 3: from 0, depths 1,2,3
+    g = _graph(spark, [(0, 1), (1, 2), (2, 3)])
+    rows = {r["vid"]: r for r in harmonic_centrality(g, [0, 3], 3).collect()}
+    assert rows[0]["n_reached"] == 3
+    assert rows[0]["harmonic_e6"] == 1_000_000 + 500_000 + 333_333
+    assert rows[3]["n_reached"] == 0 and rows[3]["harmonic_e6"] == 0
+
+
+def test_exact_ball_sizes(spark):
+    from webgraph.algos.anf import neighborhood_sizes_exact
+
+    g = _graph(spark, [(0, 1), (1, 2), (2, 3)])
+    balls = {r["vid"]: r["ball"] for r in neighborhood_sizes_exact(g, 2).collect()}
+    assert balls == {0: 3, 1: 3, 2: 2, 3: 1}
+
+
+def test_hyperball_estimate_tracks_exact(spark):
+    from webgraph.algos.anf import (
+        hyperball_estimate,
+        hyperball_registers,
+        neighborhood_sizes_exact,
+    )
+    from webgraph.corpus import synthetic_corpus
+    from webgraph.build import build_graph
+    from webgraph.algos.common import encode_graph
+
+    corpus = synthetic_corpus(spark, n_pages=800, seed=7)
+    g = build_graph(corpus, ["example.com"])
+    eg = encode_graph(g.edges.select("src", "dst"))
+    exact = {r["vid"]: r["ball"] for r in neighborhood_sizes_exact(eg, 2).collect()}
+    regs = hyperball_registers(eg, radius=2, m=64)
+    est = {r["vid"]: r["ball_est"] for r in hyperball_estimate(regs, m=64).collect()}
+    assert set(est) == set(exact)
+    import math
+
+    errs = [abs(est[v] - exact[v]) / exact[v] for v in exact if exact[v] >= 32]
+    assert errs, "fixture should have nontrivial balls"
+    mean_err = sum(errs) / len(errs)
+    # HLL with m=64 -> ~13% expected relative error; allow generous slack
+    assert mean_err < 0.25, mean_err

@@ -112,3 +112,40 @@ def bfs_depths(
             break
 
     return visited.select("vid", "depth"), metrics
+
+
+def harmonic_centrality(
+    g: EncodedGraph,
+    landmarks,
+    max_depth: int,
+    directed: bool = True,
+) -> DataFrame:
+    """Harmonic centrality of a landmark set: for each landmark l,
+    sum(1/d(l, v)) over vertices reachable within max_depth hops — the
+    standard landmark/pivot formulation (exact all-pairs centrality is
+    O(V·E); production link-graph pipelines compute it for a small pivot
+    set, which is also how crawl-frontier reachability is audited).
+
+    Returns one row per landmark: (vid, n_reached, harmonic_e6) where
+    harmonic_e6 = SUM(1_000_000 DIV depth) over reached vertices at depth
+    >= 1 — integer micro-units (floor per term) so the value is exactly
+    reproducible on any engine, same convention as lcc_e6/rank_e6.
+
+    Scale: one level-synchronous BFS per landmark over the shared
+    persisted edge table (frontier-sized shuffles only); landmark count is
+    the explicit cost knob."""
+    out = None
+    for lm in landmarks:
+        depths, _ = bfs_depths(g, [lm], max_depth=max_depth, directed=directed)
+        row = (
+            depths.filter(F.col("depth") >= 1)
+            .agg(
+                F.count("*").cast("long").alias("n_reached"),
+                F.coalesce(
+                    F.sum(F.expr("1000000 DIV depth")), F.lit(0)
+                ).cast("long").alias("harmonic_e6"),
+            )
+            .select(F.lit(lm).cast("long").alias("vid"), "n_reached", "harmonic_e6")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1,0 +1,91 @@
+"""Deterministic random walks — the graph-embedding corpus generator
+(DeepWalk/node2vec input; at 100 TB these walks feed representation
+learning the same way the reference's exported store feeds Cypher
+analysis, README.md:38-53).
+
+"Random" with a fixed seed and NO RNG state: the step from vertex v at
+step t goes to the out-neighbor u minimizing a seeded portable hash
+h(v, t, u) (ties by u). That makes walks reproducible across runs,
+partitionings, engines, and cluster sizes — the same property the
+deterministic split/sampling primitives guarantee — and gives the DuckDB
+oracle an exact replica (plain integer arithmetic, no engine RNG).
+
+Physical shape per step (the BFS frontier pattern): frontier ⋈ edges on
+the stationary persisted edge side, then a per-walk argmin aggregate
+(min of a (hash, dst) struct — map-side partial aggregation collapses
+each walk's candidate edges before the shuffle). State is one row per
+live walk: O(walks), not O(edges).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webgraph.algos.common import EncodedGraph
+
+# Same modulus family as webgraph.dedup's portable hashes; three odd
+# multipliers decorrelate (cur, step, dst). All arithmetic stays < 2^63:
+# each term is < M * max(B) ~= 2.7e18 and is reduced mod M before summing.
+WALK_MOD = 1_000_000_007
+_B_CUR = 1_315_423_911
+_B_STEP = 2_654_435_761
+_B_DST = 97_531
+
+
+def _step_hash(cur, step: int, dst, seed: int):
+    return (
+        ((cur % WALK_MOD) * _B_CUR) % WALK_MOD
+        + (F.lit(step) * _B_STEP) % WALK_MOD
+        + ((dst % WALK_MOD) * _B_DST) % WALK_MOD
+        + F.lit(seed)
+    ) % WALK_MOD
+
+
+def step_hash_sql(cur: str, step: int, dst: str, seed: int = 42) -> str:
+    """The identical arithmetic as a SQL expression (oracle parity)."""
+    m = WALK_MOD
+    return (
+        f"((({cur} % {m}) * {_B_CUR}) % {m}"
+        f" + ({step} * {_B_STEP}) % {m}"
+        f" + (({dst} % {m}) * {_B_DST}) % {m}"
+        f" + {seed}) % {m}"
+    )
+
+
+def deterministic_walks(
+    g: EncodedGraph,
+    walk_len: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """One walk per vertex, `walk_len` steps (or until a dangling vertex
+    ends it early). Returns (walk_id, step, vid) with step 0 = the seed
+    vertex; rows are emitted only for steps actually taken.
+
+    Scale: walk_len joins of a vertex-shaped frontier against the
+    persisted edge table — identical join key and physical layout every
+    step, so only the small frontier re-shuffles (the PageRank iteration
+    economics). The per-walk argmin is a hash aggregate, not a window: no
+    per-key sort, partial aggregation map-side."""
+    edges = g.edges.select("src", "dst").persist()
+    frontier = g.vertices.select(
+        F.col("vid").alias("walk_id"), F.col("vid").alias("cur")
+    )
+    out = [frontier.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("vid"))]
+    for t in range(1, walk_len + 1):
+        h = _step_hash(F.col("cur"), t, F.col("dst"), seed)
+        nxt = (
+            frontier.join(edges, frontier.cur == edges.src, "inner")
+            .groupBy("walk_id")
+            .agg(F.min(F.struct(h.alias("h"), F.col("dst").alias("d"))).alias("m"))
+            .select("walk_id", F.col("m.d").alias("cur"))
+            .localCheckpoint(eager=True)  # truncate per-step lineage
+        )
+        out.append(
+            nxt.select("walk_id", F.lit(t).alias("step"), F.col("cur").alias("vid"))
+        )
+        frontier = nxt
+    result = out[0]
+    for df in out[1:]:
+        result = result.unionByName(df)
+    return result

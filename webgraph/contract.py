@@ -2238,3 +2238,167 @@ def o_g_domain_pagerank():
 
 
 QUERIES.update({"g_domain_pagerank": (q_g_domain_pagerank, o_g_domain_pagerank)})
+
+
+WALK_LEN = 4
+WALK_SEED = 42
+
+
+def q_g_walks(spark, sf_dir):
+    """Deterministic random walks (graph-embedding corpus): one walk per
+    vertex, hash-argmin next-step rule — exact oracle because the "random"
+    choice is seeded portable-hash arithmetic, not engine RNG (see
+    webgraph/algos/walks.py)."""
+    from webgraph.algos.walks import deterministic_walks
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    out = deterministic_walks(g, walk_len=WALK_LEN, seed=WALK_SEED)
+    return out.select("walk_id", F.col("step").cast("long").alias("step"), "vid")
+
+
+def o_g_walks():
+    from webgraph.algos.walks import step_hash_sql
+
+    parts = [
+        f"WITH e AS ({EDGES_SQL}),",
+        f"v AS ({VERTS_SQL}),",
+        "w0 AS (SELECT vid AS walk_id, vid AS cur FROM v),",
+    ]
+    for t in range(1, WALK_LEN + 1):
+        p = t - 1
+        h = step_hash_sql("w.cur", t, "e.dst", WALK_SEED)
+        parts += [
+            f"s{t} AS (SELECT w.walk_id, e.dst, ROW_NUMBER() OVER "
+            f"(PARTITION BY w.walk_id ORDER BY {h}, e.dst) AS rn "
+            f"FROM w{p} w JOIN e ON e.src = w.cur),",
+            f"w{t} AS (SELECT walk_id, dst AS cur FROM s{t} WHERE rn = 1),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    selects = ["SELECT walk_id, CAST(0 AS BIGINT) AS step, cur AS vid FROM w0"]
+    for t in range(1, WALK_LEN + 1):
+        selects.append(
+            f"SELECT walk_id, CAST({t} AS BIGINT) AS step, cur AS vid FROM w{t}"
+        )
+    parts.append(" UNION ALL ".join(selects))
+    return _unrolled(parts)
+
+
+QUERIES.update({"g_walks": (q_g_walks, o_g_walks)})
+
+
+HC_LANDMARKS = (0, 7, 42)
+HC_DEPTH = 3
+
+
+def q_g_harmonic(spark, sf_dir):
+    """Landmark harmonic centrality (sum of 1/hop-distance over the
+    reachable set, integer micro-units) — the pivot formulation over the
+    same graph/seeds as g_bfs_depths."""
+    from webgraph.algos.bfs import harmonic_centrality
+
+    g = from_int_edges(derived_edges2(spark, sf_dir))
+    return harmonic_centrality(g, HC_LANDMARKS, max_depth=HC_DEPTH)
+
+
+def o_g_harmonic():
+    blocks = []
+    selects = []
+    for i, lm in enumerate(HC_LANDMARKS):
+        blocks.append(
+            f"b{i} (vid, depth) AS (\n"
+            f"  SELECT {lm}, 0\n"
+            f"  UNION\n"
+            f"  SELECT e.dst, b{i}.depth + 1 FROM b{i} JOIN e ON e.src = b{i}.vid\n"
+            f"  WHERE b{i}.depth < {HC_DEPTH}\n)"
+        )
+        selects.append(
+            f"SELECT CAST({lm} AS BIGINT) AS vid, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_reached, "
+            f"CAST(COALESCE(SUM(1000000 // d), 0) AS BIGINT) AS harmonic_e6 "
+            f"FROM (SELECT vid, MIN(depth) AS d FROM b{i} GROUP BY vid) t{i} "
+            f"WHERE d >= 1"
+        )
+    return (
+        f"WITH RECURSIVE e AS ({EDGES2_SQL}),\n"
+        + ",\n".join(blocks)
+        + "\n"
+        + " UNION ALL ".join(selects)
+    )
+
+
+QUERIES.update({"g_harmonic": (q_g_harmonic, o_g_harmonic)})
+
+
+BALL_RADIUS = 2
+HB_M = 16
+HB_SEED = 42
+
+
+def q_g_ball2(spark, sf_dir):
+    """Exact neighborhood function at r=2 (distinct vertices within two
+    directed hops, self included) — the validation mode for HyperBall."""
+    from webgraph.algos.anf import neighborhood_sizes_exact
+
+    g = from_int_edges(derived_edges2(spark, sf_dir))
+    return neighborhood_sizes_exact(g, radius=BALL_RADIUS)
+
+
+def o_g_ball2():
+    return f"""
+WITH e AS ({EDGES2_SQL}),
+v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+b0 AS (SELECT vid AS root, vid AS member FROM v),
+b1 AS (SELECT root, member FROM b0
+       UNION SELECT b.root, e.dst FROM b0 b JOIN e ON e.src = b.member),
+b2 AS (SELECT root, member FROM b1
+       UNION SELECT b.root, e.dst FROM b1 b JOIN e ON e.src = b.member)
+SELECT root AS vid, CAST(COUNT(*) AS BIGINT) AS ball
+FROM b2 GROUP BY root
+"""
+
+
+def q_g_hyperball(spark, sf_dir):
+    """HyperBall registers at r=2 (deterministic portable-hash HLL
+    counters merged along edges) — the O(V*m)-state scale path for the
+    neighborhood function, register-exact on both engines."""
+    from webgraph.algos.anf import hyperball_registers
+
+    g = from_int_edges(derived_edges2(spark, sf_dir))
+    regs = hyperball_registers(g, radius=BALL_RADIUS, m=HB_M, seed=HB_SEED)
+    return regs.select("vid", "j", F.col("reg").cast("long").alias("reg"))
+
+
+def o_g_hyperball():
+    from webgraph.algos.anf import rho_sql, vertex_hash_sql
+
+    h = vertex_hash_sql("vid", HB_SEED)
+    parts = [
+        f"WITH e AS ({EDGES2_SQL}),",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),",
+        f"own AS (SELECT vid, CAST(({h}) % {HB_M} AS INT) AS j, "
+        f"{rho_sql(f'({h}) // {HB_M}')} AS reg FROM v),",
+        f"js AS (SELECT CAST(unnest(range({HB_M})) AS INT) AS j),",
+        "r0 AS (SELECT v.vid, js.j, COALESCE(o.reg, 0) AS reg "
+        "FROM v CROSS JOIN js LEFT JOIN own o ON o.vid = v.vid AND o.j = js.j),",
+    ]
+    for i in range(1, BALL_RADIUS + 1):
+        p = i - 1
+        parts += [
+            f"n{i} AS (SELECT e.src AS vid, r.j, MAX(r.reg) AS nreg "
+            f"FROM e JOIN r{p} r ON r.vid = e.dst GROUP BY e.src, r.j),",
+            f"r{i} AS (SELECT r.vid, r.j, GREATEST(r.reg, COALESCE(n.nreg, 0)) AS reg "
+            f"FROM r{p} r LEFT JOIN n{i} n ON n.vid = r.vid AND n.j = r.j),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT vid, j, CAST(reg AS BIGINT) AS reg FROM r{BALL_RADIUS}"
+    )
+    return _unrolled(parts)
+
+
+QUERIES.update(
+    {
+        "g_ball2": (q_g_ball2, o_g_ball2),
+        "g_hyperball": (q_g_hyperball, o_g_hyperball),
+    }
+)
