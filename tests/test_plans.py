@@ -300,3 +300,66 @@ def test_bfs_frontier_join_reads_persisted_edges(spark):
     assert "BatchEvalPython" not in plan
     # the returned frame is the materialized localCheckpoint
     assert "ExistingRDD" in plan or "InMemoryTableScan" in plan
+
+
+def test_redact_pii_stays_codegen_no_shuffle(spark):
+    """PII scrub must be a pure narrow map: no Exchange, no Python eval —
+    it runs at scan speed or it's wrong at 100 TB."""
+    from webgraph.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [(1, "mail a@b.com now")], "doc_id long, text string"
+    )
+    plan = plan_of(redact_pii(docs))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stratified_sample_pushes_partial_rank_limit_before_shuffle(spark):
+    """The sampler's skew guard is Spark's rank-limit pushdown: a Partial
+    WindowGroupLimit BEFORE the group exchange caps each map partition's
+    shipment at quota rows per group. If the pushdown stops applying
+    (expression change, rank->dense_rank, filter moved), a giant group
+    would shuffle whole — this pins it."""
+    from webgraph.text import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 2)) for i in range(100)], "doc_id long, grp string"
+    )
+    plan = plan_of(stratified_sample(df, "grp", 5), mode="simple")
+    partial_pos = plan.find("WindowGroupLimit")
+    assert partial_pos != -1, plan
+    assert "Partial" in plan, plan
+    # the Partial limit must sit below (after, in printed order) the
+    # Exchange feeding the final window
+    exch_pos = plan.find("Exchange")
+    assert exch_pos != -1 and plan.find("Partial") > exch_pos, plan
+
+
+def test_walk_step_is_hash_aggregate_not_window(spark):
+    """Each walk step picks argmin by a groupBy min(struct) — a hash
+    aggregate with map-side partial aggregation — never a per-walk window
+    sort."""
+    from webgraph.algos.common import from_int_edges
+    from webgraph.algos.walks import deterministic_walks
+
+    g = from_int_edges(
+        spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    )
+    plan = plan_of(deterministic_walks(g, walk_len=1), mode="simple")
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_contract_graph_aggregates_after_equi_joins(spark):
+    """Contraction = two equi joins + one hash agg; no cartesian, no
+    window."""
+    from webgraph.algos.common import contract_graph, from_int_edges
+
+    g = from_int_edges(
+        spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    )
+    mapping = spark.createDataFrame([(0, 0), (1, 0), (2, 1)], "vid long, gid long")
+    plan = plan_of(contract_graph(g, mapping), mode="simple")
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "HashAggregate" in plan

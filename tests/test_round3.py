@@ -230,3 +230,79 @@ def test_hyperball_estimate_tracks_exact(spark):
     mean_err = sum(errs) / len(errs)
     # HLL with m=64 -> ~13% expected relative error; allow generous slack
     assert mean_err < 0.25, mean_err
+
+
+# ------------------------------------- repetition / pii / modularity --
+
+
+def test_repetition_score_values(spark):
+    from webgraph.text import repetition_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),   # 7 trigrams, "a b c" x3
+            (2, "all words unique here now"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_score(docs).collect()}
+    assert rows[1]["n_ngrams"] == 7 and rows[1]["max_rep"] == 3
+    assert rows[1]["rep_e6"] == (1_000_000 * 3) // 7
+    assert rows[2]["max_rep"] == 1
+    assert rows[3]["n_ngrams"] == 0 and rows[3]["rep_e6"] == 0
+
+
+def test_redact_pii_counts_and_text(spark):
+    from webgraph.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "write to a.b+c@mail.example.com or x@y.io, call 555-010-1234"),
+            (2, "no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert rows[1]["n_emails"] == 2 and rows[1]["n_phones"] == 1
+    assert rows[1]["clean_text"] == "write to <EMAIL> or <EMAIL>, call <PHONE>"
+    assert rows[2]["n_emails"] == 0 and rows[2]["clean_text"] == "no pii at all"
+
+
+def test_modularity_two_cliques(spark):
+    from webgraph.algos.community import modularity
+
+    # two triangles joined by one bridge edge; perfect 2-community split
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    g = _graph(spark, edges)
+    mapping = spark.createDataFrame(
+        [(v, 0 if v < 3 else 1) for v in range(6)], "vid long, gid long"
+    )
+    row = modularity(g, mapping).collect()[0]
+    assert row["n_communities"] == 2
+    # |S|=14; w_c=6 each; d_0=d_1=7: Q = 2*(6/14 - (7/14)^2) = 5/14
+    import math
+
+    assert abs(row["modularity_e6"] - round(5 / 14 * 1e6)) <= 1
+
+
+def test_late_orders_semi_join_matches_manual(spark):
+    from webgraph.contract import q_r_late_orders
+
+    out = {
+        r["o_orderpriority"]: r["n_late"]
+        for r in q_r_late_orders(spark, "/root/testdata/sf0.001").collect()
+    }
+    # manual: distinct late orderkeys via inner join then count
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    man = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .select("o_orderkey", "o_orderpriority")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    man_d = {r["o_orderpriority"]: r["count"] for r in man.collect()}
+    assert out == man_d

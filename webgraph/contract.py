@@ -2402,3 +2402,153 @@ QUERIES.update(
         "g_hyperball": (q_g_hyperball, o_g_hyperball),
     }
 )
+
+
+def q_t_repetition(spark, sf_dir):
+    """Gopher-style repeated-trigram fraction per document (exact integer
+    micro-units; see webgraph/text.py:repetition_score)."""
+    from webgraph.text import repetition_score
+
+    docs = load(spark, sf_dir, "documents")
+    return repetition_score(docs)
+
+
+def o_t_repetition():
+    return r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tok
+  FROM documents
+), idx AS (
+  SELECT doc_id, tok, unnest(range(1, GREATEST(len(tok) - 2, 0) + 1)) AS i
+  FROM toks
+), tri AS (
+  SELECT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS t FROM idx
+), cnt AS (
+  SELECT doc_id, t, COUNT(*) AS c FROM tri GROUP BY doc_id, t
+), agg AS (
+  SELECT doc_id, SUM(c) AS n_ngrams, MAX(c) AS max_rep FROM cnt GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(a.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+  CAST(COALESCE(a.max_rep, 0) AS BIGINT) AS max_rep,
+  CAST(CASE WHEN a.n_ngrams > 0 THEN (1000000 * a.max_rep) // a.n_ngrams
+            ELSE 0 END AS BIGINT) AS rep_e6
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_t_redact_pii(spark, sf_dir):
+    """PII scrub over a deterministically PII-seeded corpus (the driver
+    corpus has no contact strings, so each doc gets a synthetic email +
+    phone appended — making redaction behavior, including multiplicity,
+    byte-checkable on both engines)."""
+    from webgraph.text import redact_pii
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.org"),
+            F.lit(" or call 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return redact_pii(docs)
+
+
+def o_t_redact_pii():
+    from webgraph.text import PII_EMAIL_RE, PII_PHONE_RE
+
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id || '@example.org or call 555-010-' ||
+    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+  regexp_replace(
+    regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+    '{PII_PHONE_RE}', '<PHONE>', 'g') AS clean_text
+FROM seeded
+"""
+
+
+QUERIES.update(
+    {
+        "t_repetition": (q_t_repetition, o_t_repetition),
+        "t_redact_pii": (q_t_redact_pii, o_t_redact_pii),
+    }
+)
+
+
+def q_g_modularity(spark, sf_dir):
+    """Modularity of the vid%50 domain partition on the derived graph —
+    the quality score companion of label propagation / domain rollups."""
+    from webgraph.algos.community import modularity
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    mapping = g.vertices.select("vid", (F.col("vid") % DG_GROUPS).alias("gid"))
+    return modularity(g, mapping)
+
+
+def o_g_modularity():
+    return f"""
+WITH e AS ({EDGES_SQL}),
+sym AS ({SYM_SQL}),
+tagged AS (SELECT src % {DG_GROUPS} AS gsrc, dst % {DG_GROUPS} AS gdst FROM sym),
+s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS s FROM tagged),
+deg AS (SELECT gsrc AS gid, COUNT(*) AS d FROM tagged GROUP BY gsrc),
+within AS (SELECT gsrc AS gid, COUNT(*) AS w FROM tagged
+           WHERE gsrc = gdst GROUP BY gsrc),
+per_c AS (
+  SELECT deg.gid,
+    CAST(COALESCE(w.w, 0) AS DOUBLE) / (SELECT s FROM s)
+    - (CAST(deg.d AS DOUBLE) / (SELECT s FROM s))
+    * (CAST(deg.d AS DOUBLE) / (SELECT s FROM s)) AS q
+  FROM deg LEFT JOIN within w USING (gid)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+  CAST(ROUND(SUM(q) * 1000000e0) AS BIGINT) AS modularity_e6
+FROM per_c
+"""
+
+
+def q_r_late_orders(spark, sf_dir):
+    """Correlated-EXISTS semi-join (TPC-H Q4 shape adapted to the driver
+    schema): orders with any lineitem shipped > 60 days after the order
+    date, counted per priority."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, 60)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_late")
+    )
+
+
+def o_r_late_orders():
+    return """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES.update(
+    {
+        "g_modularity": (q_g_modularity, o_g_modularity),
+        "r_late_orders": (q_r_late_orders, o_r_late_orders),
+    }
+)

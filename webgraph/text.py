@@ -363,27 +363,100 @@ def stratified_sample(
     (same arithmetic as sample_to_token_budget's order key). Returns the
     input row plus `sample_rank` (1-based within group).
 
-    Scale: two-phase top-k so a giant group never lands on one reducer
-    before reduction — (1) partition-local rank per (group, physical
-    partition) keeps at most quota rows per group per partition, then
-    (2) the global per-group window ranks the ≤ quota×P survivors. Phase 1
-    is a window over data in place (no shuffle); only survivors shuffle.
+    Scale: a single rank window — Spark's rank-limit pushdown
+    (WindowGroupLimit) applies the quota cut PARTIALLY on the map side
+    before the group shuffle, so each input partition ships at most
+    `quota` rows per group: a billion-row group moves <= quota x P rows,
+    never the group. The plan test pins the Partial WindowGroupLimit so a
+    regression (e.g. an expression change defeating the pushdown) fails
+    loudly rather than silently shuffling whole groups.
     """
     from pyspark.sql import Window
 
     from webgraph.dedup import _MIX_BASE, POLY_MOD
 
     key = ((F.col(id_col) % POLY_MOD) * F.lit(_MIX_BASE) + F.lit(seed)) % POLY_MOD
-    d = df.withColumn("_k", key).withColumn("_p", F.spark_partition_id())
-    w_local = Window.partitionBy(group_col, "_p").orderBy("_k", id_col)
-    survivors = (
-        d.withColumn("_lr", F.row_number().over(w_local))
-        .filter(F.col("_lr") <= quota)
-        .drop("_lr", "_p")
-    )
-    w_global = Window.partitionBy(group_col).orderBy("_k", id_col)
+    w = Window.partitionBy(group_col).orderBy("_k", id_col)
     return (
-        survivors.withColumn("sample_rank", F.row_number().over(w_global))
+        df.withColumn("_k", key)
+        .withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= quota)
         .drop("_k")
+    )
+
+
+def repetition_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Repeated-n-gram fraction (the Gopher-style repetition filter: the
+    single strongest boilerplate/spam signal after exact dedup). For each
+    document: rep_e6 = 1e6 * (occurrences of the MOST repeated n-gram) /
+    (total n-grams), exact integer micro-units. Documents with fewer than
+    n tokens have no n-grams: (0, 0, 0).
+
+    One explode -> two hash aggregates; the n-gram count agg partial-
+    aggregates map-side so repeated grams collapse before the shuffle
+    (which is exactly the skew the operator measures)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tri = df.select(F.col(id_col), F.explode(grams).alias("t"))
+    cnt = tri.groupBy(id_col, "t").agg(F.count("*").alias("c"))
+    agg = cnt.groupBy(id_col).agg(
+        F.sum("c").alias("n_ngrams"), F.max("c").alias("max_rep")
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce(F.col("max_rep"), F.lit(0)).cast("long").alias("max_rep"),
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.expr("(1000000 * max_rep) DIV n_ngrams"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rep_e6"),
+        )
+    )
+
+
+# PII patterns chosen for Java-regex / RE2 parity (no lookarounds, no
+# backrefs): the operator's contract query pins byte-identical redaction
+# on both engines.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def redact_pii(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Email/phone redaction — the standard pre-training scrub pass.
+    Returns (id, n_emails, n_phones, clean_text) with matches replaced by
+    <EMAIL>/<PHONE>. Pure codegen'd regexp built-ins (no UDF): at 100 TB
+    this runs at scan speed and pushes no shuffle at all."""
+    emails = F.size(F.regexp_extract_all(F.col(text_col), F.lit(PII_EMAIL_RE), 0))
+    phones = F.size(F.regexp_extract_all(F.col(text_col), F.lit(PII_PHONE_RE), 0))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col),
+        emails.cast("long").alias("n_emails"),
+        phones.cast("long").alias("n_phones"),
+        clean.alias("clean_text"),
     )
