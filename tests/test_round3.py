@@ -306,3 +306,71 @@ def test_late_orders_semi_join_matches_manual(spark):
     )
     man_d = {r["o_orderpriority"]: r["count"] for r in man.collect()}
     assert out == man_d
+
+
+# ------------------------------------------- salsa / asof / inverted idx --
+
+
+def test_salsa_matches_numpy(spark):
+    from webgraph.algos.salsa import salsa
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]
+    g = _graph(spark, edges)
+    state, _ = salsa(g, max_iter=4)
+    got = {r["vid"]: (r["hub"], r["auth"]) for r in state.collect()}
+
+    n = 4
+    outd = {0: 2, 1: 1, 2: 1, 3: 1}
+    ind = {1: 1, 2: 3, 0: 1}
+    hub = {v: 1.0 for v in range(n)}
+    for _ in range(4):
+        auth = {v: 0.0 for v in range(n)}
+        for s, t in edges:
+            auth[t] += hub[s] / outd[s]
+        hub = {v: 0.0 for v in range(n)}
+        for s, t in edges:
+            hub[s] += auth[t] / ind[t]
+    for v in range(n):
+        assert abs(got[v][0] - hub[v]) < 1e-12, (v, got[v], hub[v])
+        assert abs(got[v][1] - auth[v]) < 1e-12
+
+
+def test_as_of_join_semantics(spark):
+    from datetime import datetime
+
+    from webgraph.asof import as_of_join
+
+    ts = lambda m: datetime(2024, 1, 1, 0, m)
+    facts = spark.createDataFrame(
+        [(1, 100, ts(5)), (2, 100, ts(10)), (3, 100, ts(1)), (4, 200, ts(30))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    states = spark.createDataFrame(
+        [(100, ts(2), 10.0), (100, ts(10), 20.0), (200, ts(31), 99.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["event_id"]: r["last_value"]
+        for r in as_of_join(facts, states, "user_id", "ts", "ts", "value").collect()
+    }
+    assert out[1] == 10.0          # state at :02 applies at :05
+    assert out[2] == 20.0          # tie at :10 -> state at the same ts wins
+    assert out[3] is None          # fact before any state
+    assert out[4] is None          # user 200's only state is after the fact
+
+
+def test_inverted_index_cap_and_true_df(spark):
+    from webgraph.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "x x x common"), (2, "x common"), (3, "x y common"), (4, "x common")],
+        "doc_id long, text string",
+    )
+    rows = [r for r in inverted_index(docs, k=2).collect()]
+    x = sorted([r for r in rows if r["token"] == "x"], key=lambda r: r["rank"])
+    assert len(x) == 2                      # capped at k
+    assert x[0]["doc_id"] == 1 and x[0]["tf"] == 3
+    assert x[1]["doc_id"] == 2              # tf tie (1) broken by doc_id
+    assert all(r["df"] == 4 for r in x)     # true df survives the cap
+    y = [r for r in rows if r["token"] == "y"]
+    assert len(y) == 1 and y[0]["df"] == 1

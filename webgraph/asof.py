@@ -1,0 +1,69 @@
+"""As-of join — match each fact row to the most recent state row at or
+before its timestamp. The temporal-join primitive Spark lacks natively
+(finance ticks, slowly-changing dimensions, "user's plan at event
+time"); DuckDB ships it as ASOF JOIN, which is exactly what the contract
+oracle uses, so the semantics here are pinned to the industry-standard
+definition: greatest state_time <= fact_time per key, NULL when no state
+precedes the fact.
+
+Formulation: the union-window method — tag state and fact rows, sort
+within key by (time, state-first-on-ties), and carry the last non-null
+state value forward. ONE shuffle on the key, no join at all; ties at
+equal timestamps resolve state-before-fact (ASOF's <= semantics).
+
+Scale: per-key data lands on one reducer sorted by time — the standard
+layout (same as any sessionization); for pathological single-key volume,
+pre-bucket by coarse time range and stitch the last state across bucket
+boundaries (documented extension, not needed for vertex/user-shaped
+keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    facts: DataFrame,
+    states: DataFrame,
+    key_col: str,
+    fact_time: str,
+    state_time: str,
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """facts + one column `out_col` (default ``last_<value_col>``): the
+    `value_col` of the latest state at or before the fact's time.
+
+    `states` must be unique per (key, state_time) — pre-aggregate
+    otherwise (ambiguous simultaneous states have no defined answer; this
+    operator refuses to pick one silently by construction, since the
+    window would be nondeterministic)."""
+    out_col = out_col or f"last_{value_col}"
+    vtype = dict(states.dtypes)[value_col]
+    fcols = facts.columns
+    f = facts.select(
+        *fcols,
+        F.col(fact_time).alias("_t"),
+        F.lit(0).alias("_is_state"),
+        F.lit(None).cast(vtype).alias("_v"),
+    )
+    s = states.select(
+        F.col(key_col),
+        F.col(state_time).alias("_t"),
+        F.lit(1).alias("_is_state"),
+        F.col(value_col).alias("_v"),
+    )
+    u = f.unionByName(s, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("_t").asc(), F.col("_is_state").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last(F.when(F.col("_is_state") == 1, F.col("_v")), ignorenulls=True)
+    return (
+        u.withColumn(out_col, carried.over(w))
+        .filter(F.col("_is_state") == 0)
+        .select(*fcols, out_col)
+    )

@@ -2552,3 +2552,127 @@ QUERIES.update(
         "r_late_orders": (q_r_late_orders, o_r_late_orders),
     }
 )
+
+
+SALSA_ITERS = 3
+
+
+def q_g_salsa(spark, sf_dir):
+    """SALSA hub/authority scores (degree-normalized HITS — stochastic
+    backward/forward walk steps, no norm pass; see algos/salsa.py)."""
+    from webgraph.algos.salsa import salsa
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    state, _ = salsa(g, max_iter=SALSA_ITERS)
+    return state.select(
+        "vid",
+        F.round(F.col("hub") * 1e6).cast("long").alias("hub_e6"),
+        F.round(F.col("auth") * 1e6).cast("long").alias("auth_e6"),
+    )
+
+
+def o_g_salsa():
+    parts = [
+        f"WITH e AS ({EDGES_SQL}),",
+        f"v AS ({VERTS_SQL}),",
+        "outd AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY src),",
+        "ind AS (SELECT dst, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY dst),",
+        "hf0 AS (SELECT vid, 1e0 AS hub FROM v),",
+    ]
+    for i in range(1, SALSA_ITERS + 1):
+        p = i - 1
+        parts += [
+            f"a{i} AS (SELECT e.dst AS vid, SUM((1e0 / o.deg) * h.hub) AS auth "
+            f"FROM e JOIN hf{p} h ON e.src = h.vid JOIN outd o ON e.src = o.src "
+            f"GROUP BY e.dst),",
+            f"af{i} AS (SELECT v.vid, COALESCE(a.auth, 0e0) AS auth "
+            f"FROM v LEFT JOIN a{i} a USING (vid)),",
+            f"h{i} AS (SELECT e.src AS vid, SUM((1e0 / i.deg) * a.auth) AS hub "
+            f"FROM e JOIN af{i} a ON e.dst = a.vid JOIN ind i ON e.dst = i.dst "
+            f"GROUP BY e.src),",
+            f"hf{i} AS (SELECT v.vid, COALESCE(h.hub, 0e0) AS hub "
+            f"FROM v LEFT JOIN h{i} h USING (vid)),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT v.vid, CAST(ROUND(hf{SALSA_ITERS}.hub * 1000000e0) AS BIGINT) AS hub_e6, "
+        f"CAST(ROUND(af{SALSA_ITERS}.auth * 1000000e0) AS BIGINT) AS auth_e6 "
+        f"FROM v JOIN hf{SALSA_ITERS} ON v.vid = hf{SALSA_ITERS}.vid "
+        f"JOIN af{SALSA_ITERS} ON v.vid = af{SALSA_ITERS}.vid"
+    )
+    return _unrolled(parts)
+
+
+def q_s_asof_state(spark, sf_dir):
+    """As-of join: each click event matched to the user's most recent
+    purchase value at or before the click (greatest state ts <= fact ts;
+    NULL when none) — oracled against DuckDB's native ASOF JOIN."""
+    from webgraph.asof import as_of_join
+
+    ev = load(spark, sf_dir, "events")
+    states = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    facts = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return as_of_join(
+        facts, states, "user_id", "ts", "ts", "value", "last_purchase_value"
+    )
+
+
+def o_s_asof_state():
+    return """
+WITH st AS (
+  SELECT user_id, ts, MAX(value) AS value FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id, ts
+), f AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT f.event_id, f.user_id, f.ts, st.value AS last_purchase_value
+FROM f ASOF LEFT JOIN st ON f.user_id = st.user_id AND f.ts >= st.ts
+"""
+
+
+INVIDX_K = 3
+
+
+def q_t_inverted_index(spark, sf_dir):
+    """Capped inverted index: top-k postings per token by tf (true df
+    reported uncapped); see webgraph/text.py:inverted_index."""
+    from webgraph.text import inverted_index
+
+    docs = load(spark, sf_dir, "documents")
+    return inverted_index(docs, k=INVIDX_K)
+
+
+def o_t_inverted_index():
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT token, doc_id, COUNT(*) AS tf FROM toks WHERE token <> ''
+  GROUP BY token, doc_id
+), dfreq AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), ranked AS (
+  SELECT t.token, t.doc_id, t.tf, d.df,
+    ROW_NUMBER() OVER (PARTITION BY t.token ORDER BY t.tf DESC, t.doc_id ASC) AS rank
+  FROM tf t JOIN dfreq d USING (token)
+)
+SELECT token, doc_id, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+  CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {INVIDX_K}
+"""
+
+
+QUERIES.update(
+    {
+        "g_salsa": (q_g_salsa, o_g_salsa),
+        "s_asof_state": (q_s_asof_state, o_s_asof_state),
+        "t_inverted_index": (q_t_inverted_index, o_t_inverted_index),
+    }
+)

@@ -460,3 +460,44 @@ def redact_pii(
         phones.cast("long").alias("n_phones"),
         clean.alias("clean_text"),
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """Capped inverted index: for every token, the top-k postings by term
+    frequency (ties by id ascending) — the IR primitive behind keyword
+    retrieval and the bounded counterpart of a full posting list (a
+    stopword's postings would otherwise be corpus-sized; the cap is the
+    documented, deterministic bound — not a silent drop, the `df` column
+    reports the TRUE document frequency regardless of the cap).
+
+    Plan: explode -> (token, doc) tf aggregate -> per-token rank window.
+    Spark's rank-limit pushdown (WindowGroupLimit) caps each map
+    partition's shipment at k rows per token, so stopword skew never
+    ships whole posting lists."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("token", id_col).agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    if min_df > 1:
+        docfreq = docfreq.filter(F.col("df") >= min_df)
+    w = Window.partitionBy("token").orderBy(F.desc("tf"), F.asc(id_col))
+    ranked = (
+        tf.join(docfreq, "token", "inner")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    return ranked.select(
+        "token", id_col,
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.col("rank").cast("long").alias("rank"),
+    )
