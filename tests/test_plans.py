@@ -363,3 +363,33 @@ def test_contract_graph_aggregates_after_equi_joins(spark):
     plan = plan_of(contract_graph(g, mapping), mode="simple")
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
     assert "HashAggregate" in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
+    """The 100 TB co-location story: edge tables bucketed+sorted on the
+    join key join with ZERO Exchange — the physical contract that makes
+    repeated vid-keyed joins (degree maintenance, endpoint resolution)
+    scan-local on a real cluster. Bucketing metadata only exists through
+    the catalog, so this writes two external bucketed tables."""
+    d = tmp_path_factory.mktemp("buckets")
+    e1 = spark.range(0, 10000).select(
+        (F.col("id") % 500).alias("src"), (F.col("id") % 97).alias("dst")
+    )
+    e2 = spark.range(0, 5000).select(
+        (F.col("id") % 500).alias("src"), F.col("id").alias("w")
+    )
+    spark.sql("DROP TABLE IF EXISTS bk_e1")
+    spark.sql("DROP TABLE IF EXISTS bk_e2")
+    (e1.write.bucketBy(8, "src").sortBy("src")
+        .option("path", str(d / "e1")).saveAsTable("bk_e1"))
+    (e2.write.bucketBy(8, "src").sortBy("src")
+        .option("path", str(d / "e2")).saveAsTable("bk_e2"))
+    t1, t2 = spark.table("bk_e1"), spark.table("bk_e2")
+    joined = t1.join(t2, "src")
+    plan = plan_of(joined, mode="simple")
+    assert "Exchange" not in plan, plan
+    # sanity: result correct
+    n = joined.count()
+    assert n == e1.join(e2, "src").count() == n
+    spark.sql("DROP TABLE IF EXISTS bk_e1")
+    spark.sql("DROP TABLE IF EXISTS bk_e2")

@@ -374,3 +374,110 @@ def test_inverted_index_cap_and_true_df(spark):
     assert all(r["df"] == 4 for r in x)     # true df survives the cap
     y = [r for r in rows if r["token"] == "y"]
     assert len(y) == 1 and y[0]["df"] == 1
+
+
+def test_pagerank_warm_start_converges_faster_to_same_fixpoint(spark):
+    from webgraph.corpus import synthetic_edges
+
+    e1 = synthetic_edges(spark, n_vertices=2000, n_edges=20000, partitions=4)
+    g1 = from_int_edges(e1)
+    r1, m1 = pagerank(g1, tol=1e-9, max_iter=60, collect_skew=False)
+
+    # graph delta: ~1% extra edges
+    extra = synthetic_edges(
+        spark, n_vertices=2000, n_edges=200, partitions=2, seed=99
+    )
+    g2 = from_int_edges(e1.unionByName(extra))
+    r_cold, m_cold = pagerank(g2, tol=1e-9, max_iter=60, collect_skew=False)
+    r_warm, m_warm = pagerank(
+        g2, tol=1e-9, max_iter=60, collect_skew=False, initial_ranks=r1
+    )
+    assert len(m_warm) < len(m_cold), (len(m_warm), len(m_cold))
+    cold = {r["vid"]: r["rank"] for r in r_cold.collect()}
+    warm = {r["vid"]: r["rank"] for r in r_warm.collect()}
+    for v in cold:
+        assert abs(cold[v] - warm[v]) < 1e-6
+
+
+# --------------------------------------------- hll / assortativity / q17 --
+
+
+def test_hll_distinct_estimate_accuracy(spark):
+    from webgraph.sketches import hll_build, hll_count
+
+    n = 5000
+    items = spark.range(n).select(
+        F.concat(F.lit("tok"), F.col("id").cast("string")).alias("token")
+    )
+    regs = hll_build(items, "token", m=64)
+    assert regs.count() == 64
+    est = hll_count(regs, m=64)
+    assert abs(est - n) / n < 0.3, est
+
+
+def test_hll_merge_is_elementwise_max(spark):
+    from webgraph.sketches import hll_build
+
+    a = spark.createDataFrame([("x",), ("y",)], "token string")
+    b = spark.createDataFrame([("y",), ("z",)], "token string")
+    both = a.unionByName(b)
+    ra = hll_build(a, m=16).withColumnRenamed("reg", "ra")
+    rb = hll_build(b, m=16).withColumnRenamed("reg", "rb")
+    merged = ra.join(rb, "j").select(
+        "j", F.greatest("ra", "rb").alias("reg")
+    )
+    direct = hll_build(both, m=16)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_assortativity_bounds_and_star(spark):
+    from webgraph.contract import q_g_assortativity
+
+    row = q_g_assortativity(spark, "/root/testdata/sf0.001").collect()[0]
+    assert -1_000_000 <= row["assortativity_e6"] <= 1_000_000
+    assert row["n_edges"] > 0
+
+
+# ------------------------------------------- decontaminate / packing --
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    from webgraph.dedup import decontaminate
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    train = _docs(
+        spark,
+        [
+            (1, "prefix words " + shared + " suffix words"),
+            (2, "totally unrelated content with many distinct tokens here"),
+        ],
+    )
+    evals = _docs(spark, [(100, shared + " trailing eval context")])
+    out = {r["doc_id"]: r for r in decontaminate(train, evals, window_tokens=8).collect()}
+    assert out[1]["contaminated"] and out[1]["n_shared_grams"] >= 1
+    assert not out[2]["contaminated"] and out[2]["n_shared_grams"] == 0
+
+
+def test_pack_sequences_chunk_assignment(spark):
+    from webgraph.text import pack_sequences, token_prefix_sums
+
+    docs = _docs(spark, [(i, " ".join(["w"] * 10)) for i in range(1, 21)])
+    out = pack_sequences(docs, 25).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["seq_id"] == (r["cum_tokens"] - r["n_tokens"]) // 25
+    # total stream = 200 tokens -> seq ids span 0..7
+    assert {r["seq_id"] for r in out} == set(range(8))
+    # partition-independence
+    a = sorted(map(tuple, out))
+    b = sorted(map(tuple, pack_sequences(docs.repartition(5), 25).collect()))
+    assert a == b
+
+
+def test_sample_to_token_budget_unchanged_by_refactor(spark):
+    from webgraph.text import sample_to_token_budget
+
+    docs = _docs(spark, [(i, " ".join(["w"] * 10)) for i in range(1, 21)])
+    out = sample_to_token_budget(docs, 95).collect()
+    assert all(r["cum_tokens"] <= 95 for r in out)
+    assert len(out) == 9  # 9 docs x 10 tokens = 90 <= 95 < 100

@@ -123,11 +123,49 @@ def main(argv: list[str] | None = None) -> int:
         sccs.join(eg.vertices, "vid").select("url", "scc").write.mode(
             "overwrite"
         ).parquet(f"{out_dir}/scc")
+        from webgraph.algos.common import contract_graph, from_weighted_edges
+        from webgraph.algos.salsa import salsa
+        from webgraph.algos.triangles import clustering_coefficient
+        from webgraph.algos.walks import deterministic_walks
+        from webgraph.urls import extract_host
+
+        sal, _ = salsa(eg, max_iter=5)
+        sal.join(eg.vertices, "vid").select("url", "hub", "auth").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/salsa")
+        lcc = clustering_coefficient(eg)
+        lcc.join(eg.vertices, "vid").select(
+            "url", "deg", "triangles", "lcc_e6"
+        ).write.mode("overwrite").parquet(f"{out_dir}/clustering")
+        walks = deterministic_walks(eg, walk_len=4)
+        walks.write.mode("overwrite").parquet(f"{out_dir}/walks")
+        # host-level rollup ranked by weighted PageRank (the domain
+        # property grouping, PageNode.java:13, as a contracted graph)
+        host = extract_host(F.col("url"))
+        mapping = eg.vertices.select(
+            "vid", F.xxhash64(host).alias("gid"), host.alias("host")
+        ).persist()
+        ge = contract_graph(eg, mapping.select("vid", "gid"))
+        wg = from_weighted_edges(ge)
+        dranks, _ = pagerank(
+            wg, tol=0.0, max_iter=5, collect_skew=False, weight_col="weight"
+        )
+        dranks.join(
+            mapping.select("gid", "host").distinct(),
+            dranks.vid == F.col("gid"),
+        ).select("host", "rank").write.mode("overwrite").parquet(
+            f"{out_dir}/domain_rank"
+        )
         extended = {
             "hits_iterations": len(hits_metrics),
             "kcore3_vertices": core3.count(),
             "scc_count": sccs.select("scc").distinct().count(),
             "scc_rounds": len(scc_metrics),
+            "mean_lcc_e6": int(
+                lcc.agg(F.coalesce(F.avg("lcc_e6"), F.lit(0.0))).collect()[0][0]
+            ),
+            "walk_rows": walks.count(),
+            "domains_ranked": wg.num_vertices,
         }
 
     ranks.join(eg.vertices, "vid").select("url", "rank").write.mode(

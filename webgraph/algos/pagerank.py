@@ -49,6 +49,7 @@ def pagerank(
     on_iteration=None,
     personalization: DataFrame | None = None,
     weight_col: str | None = None,
+    initial_ranks: DataFrame | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Returns (ranks DataFrame ``(vid, rank)``, per-iteration metrics).
 
@@ -116,7 +117,25 @@ def pagerank(
     metrics: list[dict] = []
     start_iter = 0
 
-    if pers is not None:
+    if initial_ranks is not None:
+        # Warm start (incremental maintenance): seed from a previous run's
+        # ranks — after a small graph delta the old fixpoint is near the
+        # new one, so tol-mode converges in a fraction of the iterations
+        # (power iteration contracts the remaining error by `damping` per
+        # step). New vertices get the uniform prior; the vector is then
+        # L1-renormalized so it is a distribution again (one 1-row agg,
+        # broadcast back — no driver round-trip).
+        seeded = (
+            g.vertices.select("vid")
+            .join(initial_ranks.select("vid", "rank"), "vid", "left")
+            .select("vid", F.coalesce(F.col("rank"), F.lit(1.0 / n)).alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+        tot = seeded.agg(F.sum("rank").alias("_tot"))
+        ranks = seeded.crossJoin(F.broadcast(tot)).select(
+            "vid", (F.col("rank") / F.col("_tot")).alias("rank")
+        )
+    elif pers is not None:
         ranks = pers.select("vid", F.col("p").alias("rank"))
     else:
         ranks = g.vertices.select("vid", F.lit(1.0 / n).alias("rank"))

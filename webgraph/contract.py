@@ -2676,3 +2676,229 @@ QUERIES.update(
         "t_inverted_index": (q_t_inverted_index, o_t_inverted_index),
     }
 )
+
+
+HLL_M = 32
+
+
+def q_t_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-token registers over the corpus token stream
+    (mergeable approx-distinct; register-exact oracle, estimator tested
+    in pytest against the true distinct count)."""
+    from webgraph.sketches import hll_build
+    from webgraph.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    ).filter(F.col("token") != "")
+    return hll_build(toks, "token", m=HLL_M)
+
+
+def o_t_hll_distinct():
+    from webgraph.algos.anf import ANF_MOD, _B1, _B2, rho_sql
+    from webgraph.dedup import POLY_MOD
+
+    return rf"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), th0 AS (
+  SELECT list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, len(tok)+1),
+                     i -> CAST(ord(substr(tok, CAST(i AS INT), 1)) AS BIGINT))),
+    (h, c) -> (h*31 + c) % {POLY_MOD}) AS h0
+  FROM toks WHERE tok <> ''
+), th AS (
+  SELECT (h0 * {_B1} + 42 * {_B2}) % {ANF_MOD} AS h FROM th0
+), cells AS (
+  SELECT CAST(h % {HLL_M} AS INT) AS j, {rho_sql(f"h // {HLL_M}")} AS r FROM th
+), regs AS (
+  SELECT j, MAX(r) AS reg FROM cells GROUP BY j
+), dense AS (
+  SELECT CAST(unnest(range({HLL_M})) AS INT) AS j
+)
+SELECT d.j, CAST(COALESCE(regs.reg, 0) AS BIGINT) AS reg
+FROM dense d LEFT JOIN regs USING (j)
+"""
+
+
+def q_g_assortativity(spark, sf_dir):
+    """Degree assortativity (Pearson correlation of out-degree(src) vs
+    in-degree(dst) across directed edges) — do hubs link to hubs? One
+    degree join + a single moment aggregate."""
+    e = derived_edges(spark, sf_dir)
+    outd = e.groupBy("src").agg(F.count("*").alias("xd"))
+    ind = e.groupBy("dst").agg(F.count("*").alias("yd"))
+    j = (
+        e.join(outd, "src").join(ind, "dst")
+        .select(F.col("xd").cast("double").alias("x"), F.col("yd").cast("double").alias("y"))
+    )
+    agg = j.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_edges"),
+        F.round(r * 1e6).cast("long").alias("assortativity_e6"),
+    )
+
+
+def o_g_assortativity():
+    return f"""
+WITH e AS ({EDGES_SQL}),
+outd AS (SELECT src, COUNT(*) AS xd FROM e GROUP BY src),
+ind AS (SELECT dst, COUNT(*) AS yd FROM e GROUP BY dst),
+j AS (SELECT CAST(xd AS DOUBLE) AS x, CAST(yd AS DOUBLE) AS y
+      FROM e JOIN outd USING (src) JOIN ind USING (dst)),
+agg AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy FROM j)
+SELECT CAST(n AS BIGINT) AS n_edges,
+  CAST(ROUND(1000000e0 * (n * sxy - sx * sy) /
+       (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))) AS BIGINT)
+  AS assortativity_e6
+FROM agg
+"""
+
+
+def q_r_small_qty_revenue(spark, sf_dir):
+    """Correlated scalar-subquery shape (TPC-H Q17): average yearly
+    revenue of lineitems whose quantity is below 20% of their part's
+    average quantity."""
+    li = load(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("aq"))
+    return (
+        li.join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(F.sum("l_extendedprice") * 100 / 7.0).cast("long").alias("avg_yearly_c"),
+        )
+    )
+
+
+def o_r_small_qty_revenue():
+    return """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(ROUND(100e0 * SUM(l_extendedprice) / 7e0) AS BIGINT) AS avg_yearly_c
+FROM lineitem l
+WHERE l.l_quantity < 0.2 * (
+  SELECT AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+)
+"""
+
+
+QUERIES.update(
+    {
+        "t_hll_distinct": (q_t_hll_distinct, o_t_hll_distinct),
+        "g_assortativity": (q_g_assortativity, o_g_assortativity),
+        "r_small_qty_revenue": (q_r_small_qty_revenue, o_r_small_qty_revenue),
+    }
+)
+
+
+DECON_MOD = 7
+DECON_W = 8
+
+
+def q_d_decontaminate(spark, sf_dir):
+    """Train/eval decontamination (GPT-3 appendix-C n-gram overlap):
+    docs with doc_id % 7 == 0 act as the eval set, the rest as training;
+    flag any train doc sharing an 8-token window fingerprint."""
+    from webgraph.dedup import decontaminate
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    tr = docs.filter(F.col("doc_id") % DECON_MOD != 0)
+    return decontaminate(tr, ev, window_tokens=DECON_W)
+
+
+def o_d_decontaminate():
+    from webgraph.dedup import POLY_MOD
+
+    w, P = DECON_W, POLY_MOD
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tok FROM documents
+), th AS (
+  SELECT doc_id, list_transform(tok, t -> list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, len(t)+1),
+                     i -> CAST(ord(substr(t, CAST(i AS INT), 1)) AS BIGINT))),
+    (h, c) -> (h*31 + c) % {P})) AS hs
+  FROM toks
+), win AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) < {w} THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                                              (a, h) -> (a*31 + h) % {P})]
+         ELSE list_transform(range(1, len(hs) - {w} + 2),
+                i -> list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                                    list_slice(hs, CAST(i AS INT), CAST(i + {w} - 1 AS INT))),
+                       (a, h) -> (a*31 + h) % {P}))
+    END AS ws
+  FROM th
+), wh AS (
+  SELECT DISTINCT doc_id, unnest(ws) AS fp FROM win
+), ev AS (
+  SELECT DISTINCT fp FROM wh WHERE doc_id % {DECON_MOD} = 0
+), hits AS (
+  SELECT doc_id, COUNT(*) AS n FROM wh JOIN ev USING (fp)
+  WHERE doc_id % {DECON_MOD} <> 0 GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared_grams,
+  COALESCE(h.n, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {DECON_MOD} <> 0) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
+PACK_SEQ_LEN = 2000
+
+
+def q_t_pack_sequences(spark, sf_dir):
+    """Concatenate-and-chunk sequence packing: each doc assigned to the
+    fixed-length training sequence containing its first token, over the
+    exact distributed prefix sum (webgraph/text.py:pack_sequences)."""
+    from webgraph.text import pack_sequences
+
+    docs = load(spark, sf_dir, "documents")
+    return pack_sequences(docs, PACK_SEQ_LEN)
+
+
+def o_t_pack_sequences():
+    from webgraph.dedup import _MIX_BASE, POLY_MOD
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+    ((doc_id % {POLY_MOD}) * {_MIX_BASE} + 42) % {POLY_MOD} AS k
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+    CAST(SUM(n_tokens) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING)
+         AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens, cum_tokens,
+  CAST((cum_tokens - n_tokens) // {PACK_SEQ_LEN} AS BIGINT) AS seq_id
+FROM c
+"""
+
+
+QUERIES.update(
+    {
+        "d_decontaminate": (q_d_decontaminate, o_d_decontaminate),
+        "t_pack_sequences": (q_t_pack_sequences, o_t_pack_sequences),
+    }
+)

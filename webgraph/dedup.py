@@ -562,3 +562,49 @@ def dedup_clusters(
             (F.col(id_col) == F.col("cluster_id")).alias("keep"),
         )
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 8,
+) -> DataFrame:
+    """Train/eval decontamination (the GPT-3 appendix-C method): flag any
+    training document sharing an `window_tokens`-token window fingerprint
+    with the evaluation set. Returns every train row as
+    (id, n_shared_grams, contaminated).
+
+    Reuses the containment machinery's two-level portable window hash, so
+    the contract oracle replays the identical arithmetic. The eval gram
+    set is tiny relative to the corpus (benchmarks, not crawls): Catalyst
+    broadcasts it, making the scan-side semi-join shuffle-free for the
+    train table; the per-doc gram count then aggregates only matching
+    rows."""
+    from webgraph.text import rolling_fingerprints
+
+    tr = train.select(
+        F.col(id_col),
+        F.explode(rolling_fingerprints(F.col(text_col), window_tokens)).alias("fp"),
+    ).distinct()
+    ev = (
+        eval_df.select(
+            F.explode(rolling_fingerprints(F.col(text_col), window_tokens)).alias("fp")
+        )
+        .distinct()
+    )
+    hits = (
+        tr.join(F.broadcast(ev), "fp", "inner")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_shared_grams"),
+            (F.coalesce(F.col("n"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

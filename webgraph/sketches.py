@@ -116,3 +116,65 @@ def cms_estimate(
         .groupBy("token")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+# ------------------------------------------------------ HLL distinct --
+
+
+def hll_build(
+    items: DataFrame,
+    col: str = "token",
+    m: int = 32,
+) -> DataFrame:
+    """HyperLogLog registers for COUNT DISTINCT over a (string) column —
+    the mergeable streaming-distinct sketch (the corpus-stats companion
+    of the count-min sketch above: CMS answers "how often", HLL answers
+    "how many distinct").
+
+    Registers use the same engine-portable token hash as SimHash/CMS, so
+    the sketch is deterministic and the contract oracle compares every
+    register exactly; the estimator (hll_count) carries the standard
+    ~1.04/sqrt(m) error. Densified to exactly m rows (j, reg) so merges
+    (elementwise max) and comparisons are trivial.
+
+    One explode + one m-row hash aggregate: map-side partial max collapses
+    everything before the shuffle — O(m) state total, any corpus size."""
+    from webgraph.algos.anf import ANF_MOD, _B1, _B2, rho_column
+    from webgraph.dedup import token_hash
+
+    spark = items.sparkSession
+    # Second-level mix (same family as HyperBall's vertex hash): the raw
+    # base-31 polynomial fold leaves low bits under-mixed for sequential
+    # strings, which starves the trailing-zero rank and collapses the
+    # estimate — the multiply by an even 32-bit constant mod an odd prime
+    # rescatters them (measured: est 793 vs truth 5000 unmixed; ~5% error
+    # mixed, m=64).
+    h = (token_hash(F.col(col)) * _B1 + F.lit(42) * _B2) % ANF_MOD
+    regs = (
+        items.select(
+            (h % m).cast("int").alias("j"),
+            rho_column((h / F.lit(m)).cast("long")).cast("long").alias("r"),
+        )
+        .groupBy("j")
+        .agg(F.max("r").alias("reg"))
+    )
+    dense = spark.range(m).select(F.col("id").cast("int").alias("j"))
+    return dense.join(regs, "j", "left").select(
+        "j", F.coalesce(F.col("reg"), F.lit(0)).cast("long").alias("reg")
+    )
+
+
+def hll_count(registers: DataFrame, m: int = 32) -> float:
+    """Standard HLL estimate (with linear-counting small-range correction)
+    from an m-row (j, reg) register table."""
+    import math
+
+    rows = {r["j"]: r["reg"] for r in registers.collect()}
+    regs = [rows.get(j, 0) for j in range(m)]
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    z = sum(2.0 ** -r for r in regs)
+    raw = alpha * m * m / z
+    v0 = regs.count(0)
+    if raw <= 2.5 * m and v0 > 0:
+        return m * math.log(m / v0)
+    return raw

@@ -145,18 +145,16 @@ def quality_filter(
     )
 
 
-def sample_to_token_budget(
+def token_prefix_sums(
     df: DataFrame,
-    budget_tokens: int,
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 42,
     partitions: int | None = None,
 ) -> DataFrame:
-    """Deterministic corpus sampling to a token budget (the standard
-    pretraining-mix primitive): visit documents in a seeded pseudo-random
-    order and keep the prefix whose running token total fits the budget.
-    Returns (id, n_tokens, cum_tokens) for the kept prefix.
+    """(id, n_tokens, cum_tokens): exact running token totals over the
+    corpus in seeded pseudo-random order — the shared core of
+    sample_to_token_budget and pack_sequences.
 
     Distributed EXACT prefix sum — no single-task global window:
       1. order key = portable hash of the id (seeded; same arithmetic is
@@ -200,8 +198,52 @@ def sample_to_token_budget(
     return (
         d.join(F.broadcast(off_df), "_p")
         .withColumn("cum_tokens", F.col("_off") + F.sum("n_tokens").over(w))
-        .filter(F.col("cum_tokens") <= budget_tokens)
         .select(id_col, "n_tokens", "cum_tokens")
+    )
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic corpus sampling to a token budget (the standard
+    pretraining-mix primitive): visit documents in a seeded pseudo-random
+    order and keep the prefix whose running token total fits the budget.
+    Returns (id, n_tokens, cum_tokens) for the kept prefix. See
+    token_prefix_sums for the distributed exact-prefix-sum protocol."""
+    return token_prefix_sums(df, id_col, text_col, seed, partitions).filter(
+        F.col("cum_tokens") <= budget_tokens
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing (the final step of every
+    pretraining data pipeline): documents are laid out in seeded
+    pseudo-random order and the token stream is cut into fixed
+    `seq_len`-token training sequences; a document's sequence id is the
+    chunk containing its FIRST token (documents may span a boundary —
+    the standard concat-then-chunk packing, not bin packing).
+
+    Returns (id, n_tokens, cum_tokens, seq_id) with
+    seq_id = (cum_tokens - n_tokens) DIV seq_len — pure integer
+    arithmetic over the exact distributed prefix sum, so assignment is
+    deterministic across partitionings and engines."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    sums = token_prefix_sums(df, id_col, text_col, seed, partitions)
+    return sums.withColumn(
+        "seq_id", F.expr(f"(cum_tokens - n_tokens) DIV {seq_len}")
     )
 
 
