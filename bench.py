@@ -58,9 +58,12 @@ def run_bench(
         "g_pagerank",
         "g_components",
         "g_triangles",
+        "g_salsa",
         "t_ngram_similar_pairs",
+        "t_repetition",
         "e_cosine_topk",
         "s_sessions",
+        "s_asof_state",
         "r_pricing_summary",
         "r_customer_nation_revenue",
     ]

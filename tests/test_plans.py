@@ -384,12 +384,22 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
         .option("path", str(d / "e1")).saveAsTable("bk_e1"))
     (e2.write.bucketBy(8, "src").sortBy("src")
         .option("path", str(d / "e2")).saveAsTable("bk_e2"))
-    t1, t2 = spark.table("bk_e1"), spark.table("bk_e2")
-    joined = t1.join(t2, "src")
-    plan = plan_of(joined, mode="simple")
-    assert "Exchange" not in plan, plan
-    # sanity: result correct
-    n = joined.count()
-    assert n == e1.join(e2, "src").count() == n
-    spark.sql("DROP TABLE IF EXISTS bk_e1")
-    spark.sql("DROP TABLE IF EXISTS bk_e2")
+    # pin the sort-merge path: with a broadcastable side Catalyst prefers
+    # BroadcastHashJoin and disables bucketed scans entirely ("Bucketed:
+    # false (disabled by query planner)") — the co-location contract under
+    # test is the big-big join, where broadcast isn't an option.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t1, t2 = spark.table("bk_e1"), spark.table("bk_e2")
+        joined = t1.join(t2, "src")
+        plan = plan_of(joined, mode="simple")
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # sanity: result correct
+        n = joined.count()
+        assert n == e1.join(e2, "src").count() == n
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_e1")
+        spark.sql("DROP TABLE IF EXISTS bk_e2")

@@ -481,3 +481,40 @@ def test_sample_to_token_budget_unchanged_by_refactor(spark):
     out = sample_to_token_budget(docs, 95).collect()
     assert all(r["cum_tokens"] <= 95 for r in out)
     assert len(out) == 9  # 9 docs x 10 tokens = 90 <= 95 < 100
+
+
+def test_bfs_path_counts_diamond(spark):
+    from webgraph.algos.bfs import bfs_path_counts
+
+    # diamond: two shortest paths 0->3; plus a longer path through 4
+    g = _graph(spark, [(0, 1), (0, 2), (1, 3), (2, 3), (0, 4), (4, 1)])
+    out = {r["vid"]: (r["depth"], r["sigma"]) for r in
+           bfs_path_counts(g, 0, max_depth=3).collect()}
+    assert out[0] == (0, 1)
+    assert out[1] == (1, 1)   # direct edge wins; path via 4 is longer
+    assert out[2] == (1, 1)
+    assert out[4] == (1, 1)
+    assert out[3] == (2, 2)   # two shortest paths
+
+
+def test_bfs_path_counts_unreachable_and_seed_validation(spark):
+    import pytest as _pytest
+
+    from webgraph.algos.bfs import bfs_path_counts
+
+    g = _graph(spark, [(0, 1), (2, 3)])
+    out = bfs_path_counts(g, 0, max_depth=5)
+    assert {r["vid"] for r in out.collect()} == {0, 1}
+    with _pytest.raises(ValueError):
+        bfs_path_counts(g, 99, max_depth=2)
+
+
+def test_betweenness_contributions_diamond(spark):
+    from webgraph.algos.bfs import betweenness_contributions
+
+    g = _graph(spark, [(0, 1), (0, 2), (1, 3), (2, 3)])
+    out = {r["vid"]: r for r in
+           betweenness_contributions(g, 0, max_depth=3).collect()}
+    assert out[3]["sigma"] == 2 and out[3]["delta"] == 0.0
+    assert out[1]["delta"] == 0.5 and out[2]["delta"] == 0.5
+    assert out[0]["delta"] == 3.0

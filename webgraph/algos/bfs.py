@@ -149,3 +149,124 @@ def harmonic_centrality(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def bfs_path_counts(
+    g: EncodedGraph,
+    seed: int,
+    max_depth: int,
+    directed: bool = True,
+) -> DataFrame:
+    """(vid, depth, sigma) — number of distinct SHORTEST paths from the
+    seed to each reachable vertex (the sigma phase of Brandes'
+    betweenness): sigma(v) = sum of sigma(u) over predecessors u on
+    shortest paths (depth(u) = depth(v) - 1).
+
+    Level-synchronous like bfs_depths, with the frontier carrying path
+    counts: per level, frontier ⋈ edges -> groupBy(dst).sum(sigma) ->
+    anti-join visited. Same scale economics (stationary persisted edges,
+    vertex-shaped frontier); sigma can grow combinatorially on dense
+    DAG-like graphs — int64 holds ~9.2e18 paths, overflow on adversarial
+    graphs would need decimal, documented here rather than silently
+    wrapped."""
+    if max_depth < 0:
+        raise ValueError(f"bfs_path_counts: max_depth must be >= 0, got {max_depth}")
+    edges = g.edges if directed else symmetrize(g.edges)
+    edges = edges.select("src", "dst").persist()
+    edges.count()
+    spark = g.edges.sparkSession
+    if g.vertices.filter(F.col("vid") == seed).count() == 0:
+        raise ValueError(f"bfs_path_counts: seed {seed} not in graph")
+    frontier = spark.createDataFrame(
+        [(int(seed), 1)], "vid long, sigma long"
+    ).localCheckpoint(eager=True)
+    visited = frontier.select("vid", F.lit(0).alias("depth"), "sigma")
+    visited = visited.localCheckpoint(eager=True)
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier.vid == edges.src, "inner")
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited.select("vid"), "vid", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.rdd.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.select("vid", F.lit(d).alias("depth"), "sigma")
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def betweenness_contributions(
+    g: EncodedGraph,
+    seed: int,
+    max_depth: int,
+    directed: bool = True,
+) -> DataFrame:
+    """(vid, depth, sigma, delta) — Brandes' single-source dependency
+    accumulation: after the sigma (shortest-path count) forward sweep,
+    walk the BFS levels BACKWARD accumulating
+
+        delta(v) = sum_{w in succ(v), depth(w)=depth(v)+1}
+                       (sigma(v)/sigma(w)) * (1 + delta(w)).
+
+    Summing delta over a pivot/seed sample is the standard approximate
+    betweenness centrality at scale (exact betweenness is one such sweep
+    per vertex — the pivot count is the explicit cost knob, like
+    harmonic_centrality's landmarks).
+
+    Each backward level is one edges ⋈ level-frame join + a hash
+    aggregate — the same stationary-edges economics as the forward sweep;
+    levels are materialized so the backward pass re-reads state instead
+    of re-planning it."""
+    edges = g.edges if directed else symmetrize(g.edges)
+    edges = edges.select("src", "dst").persist()
+    visited = bfs_path_counts(g, seed, max_depth, directed=directed)
+    visited = visited.persist()
+    depths = [r["d"] for r in visited.select(F.col("depth").alias("d")).distinct().collect()]
+    if not depths:
+        return visited.select("vid", "depth", "sigma", F.lit(0.0).alias("delta"))
+    deepest = max(depths)
+    # level frames keyed by depth, enriched with delta bottom-up
+    level = {
+        d: visited.filter(F.col("depth") == d).select("vid", "sigma")
+        for d in range(deepest + 1)
+    }
+    delta = level[deepest].select(
+        "vid", F.lit(0.0).alias("delta")
+    ).localCheckpoint(eager=True)
+    out = [
+        level[deepest].join(delta, "vid").select(
+            "vid", F.lit(deepest).alias("depth"), "sigma", "delta"
+        )
+    ]
+    for d in range(deepest - 1, -1, -1):
+        cur = level[d]
+        succ = level[d + 1].join(delta, "vid").select(
+            F.col("vid").alias("w"), F.col("sigma").alias("sw"), F.col("delta").alias("dw")
+        )
+        contrib = (
+            cur.join(edges, cur.vid == edges.src, "inner")
+            .join(succ, F.col("dst") == F.col("w"), "inner")
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.sum((F.lit(1.0) + F.col("dw")) / F.col("sw")).alias("frac"))
+        )
+        delta = (
+            cur.join(contrib, cur.vid == F.col("v"), "left")
+            .select(
+                "vid",
+                (F.col("sigma") * F.coalesce(F.col("frac"), F.lit(0.0))).alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out.append(
+            cur.join(delta, "vid").select(
+                "vid", F.lit(d).alias("depth"), "sigma", "delta"
+            )
+        )
+    result = out[0]
+    for df in out[1:]:
+        result = result.unionByName(df)
+    return result

@@ -2902,3 +2902,112 @@ QUERIES.update(
         "t_pack_sequences": (q_t_pack_sequences, o_t_pack_sequences),
     }
 )
+
+
+PC_SEED = 0
+PC_DEPTH = 3
+
+
+def q_g_path_counts(spark, sf_dir):
+    """Shortest-path counting from a seed (Brandes' sigma phase):
+    (vid, depth, sigma) for everything within 3 directed hops."""
+    from webgraph.algos.bfs import bfs_path_counts
+
+    g = from_int_edges(derived_edges2(spark, sf_dir))
+    out = bfs_path_counts(g, PC_SEED, max_depth=PC_DEPTH)
+    return out.select(
+        "vid", F.col("depth").cast("long").alias("depth"),
+        F.col("sigma").cast("long").alias("sigma"),
+    )
+
+
+def o_g_path_counts():
+    parts = [
+        f"WITH e AS ({EDGES2_SQL}),",
+        f"v0 AS (SELECT CAST({PC_SEED} AS BIGINT) AS vid, "
+        f"CAST(0 AS BIGINT) AS depth, CAST(1 AS BIGINT) AS sigma),",
+    ]
+    prev_frontier = "v0"
+    seen = "v0"
+    for d in range(1, PC_DEPTH + 1):
+        parts += [
+            f"n{d} AS (SELECT e.dst AS vid, CAST({d} AS BIGINT) AS depth, "
+            f"CAST(SUM(b.sigma) AS BIGINT) AS sigma "
+            f"FROM {prev_frontier} b JOIN e ON e.src = b.vid "
+            f"WHERE e.dst NOT IN (SELECT vid FROM {seen}) GROUP BY e.dst),",
+            f"s{d} AS (SELECT * FROM {seen} UNION ALL SELECT * FROM n{d}),",
+        ]
+        prev_frontier = f"n{d}"
+        seen = f"s{d}"
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT vid, depth, sigma FROM {seen}")
+    return _unrolled(parts)
+
+
+QUERIES.update({"g_path_counts": (q_g_path_counts, o_g_path_counts)})
+
+
+def q_g_betweenness(spark, sf_dir):
+    """Brandes single-source dependency accumulation (the per-pivot sweep
+    of approximate betweenness centrality): (vid, depth, sigma, delta_e6)
+    from seed 0, 3 levels."""
+    from webgraph.algos.bfs import betweenness_contributions
+
+    g = from_int_edges(derived_edges2(spark, sf_dir))
+    out = betweenness_contributions(g, PC_SEED, max_depth=PC_DEPTH)
+    return out.select(
+        "vid",
+        F.col("depth").cast("long").alias("depth"),
+        F.col("sigma").cast("long").alias("sigma"),
+        F.round(F.col("delta") * 1e6).cast("long").alias("delta_e6"),
+    )
+
+
+def o_g_betweenness():
+    # forward sigma chain (same as o_g_path_counts)
+    parts = [
+        f"WITH e AS ({EDGES2_SQL}),",
+        f"v0 AS (SELECT CAST({PC_SEED} AS BIGINT) AS vid, "
+        f"CAST(0 AS BIGINT) AS depth, CAST(1 AS BIGINT) AS sigma),",
+    ]
+    prev_frontier = "v0"
+    seen = "v0"
+    for d in range(1, PC_DEPTH + 1):
+        parts += [
+            f"n{d} AS (SELECT e.dst AS vid, CAST({d} AS BIGINT) AS depth, "
+            f"CAST(SUM(b.sigma) AS BIGINT) AS sigma "
+            f"FROM {prev_frontier} b JOIN e ON e.src = b.vid "
+            f"WHERE e.dst NOT IN (SELECT vid FROM {seen}) GROUP BY e.dst),",
+            f"s{d} AS (SELECT * FROM {seen} UNION ALL SELECT * FROM n{d}),",
+        ]
+        prev_frontier = f"n{d}"
+        seen = f"s{d}"
+    # backward delta accumulation, mirroring the engine's association:
+    # frac = SUM((1 + delta_w) / sigma_w); delta_v = sigma_v * frac
+    parts.append(
+        f"d{PC_DEPTH} AS (SELECT vid, 0e0 AS delta FROM {seen} WHERE depth = {PC_DEPTH}),"
+    )
+    for d in range(PC_DEPTH - 1, -1, -1):
+        parts += [
+            f"c{d} AS (SELECT e.src AS v, SUM((1e0 + dw.delta) / w.sigma) AS frac "
+            f"FROM {seen} cur JOIN e ON e.src = cur.vid "
+            f"JOIN {seen} w ON w.vid = e.dst AND w.depth = {d + 1} "
+            f"JOIN d{d + 1} dw ON dw.vid = e.dst "
+            f"WHERE cur.depth = {d} GROUP BY e.src),",
+            f"d{d} AS (SELECT cur.vid, cur.sigma * COALESCE(c{d}.frac, 0e0) AS delta "
+            f"FROM {seen} cur LEFT JOIN c{d} ON c{d}.v = cur.vid "
+            f"WHERE cur.depth = {d}),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    unions = " UNION ALL ".join(
+        f"SELECT vid, delta FROM d{d}" for d in range(PC_DEPTH + 1)
+    )
+    parts.append(
+        f"SELECT s.vid, s.depth, s.sigma, "
+        f"CAST(ROUND(dd.delta * 1000000e0) AS BIGINT) AS delta_e6 "
+        f"FROM {seen} s JOIN ({unions}) dd ON dd.vid = s.vid"
+    )
+    return _unrolled(parts)
+
+
+QUERIES.update({"g_betweenness": (q_g_betweenness, o_g_betweenness)})
