@@ -518,3 +518,17 @@ def test_betweenness_contributions_diamond(spark):
     assert out[3]["sigma"] == 2 and out[3]["delta"] == 0.0
     assert out[1]["delta"] == 0.5 and out[2]["delta"] == 0.5
     assert out[0]["delta"] == 3.0
+
+
+def test_hyperball_wide_equals_long(spark):
+    from webgraph.algos.anf import (
+        hyperball_registers,
+        hyperball_registers_wide,
+        wide_to_long,
+    )
+
+    g = _graph(spark, [(0, 1), (1, 2), (2, 0), (0, 3), (3, 4)])
+    long_l = sorted(map(tuple, hyperball_registers(g, radius=2, m=16).collect()))
+    wide = hyperball_registers_wide(g, radius=2, m=16)
+    long_w = sorted(map(tuple, wide_to_long(wide, m=16).collect()))
+    assert long_l == long_w

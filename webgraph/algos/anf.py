@@ -91,8 +91,11 @@ def hyperball_registers(
 ) -> DataFrame:
     """(vid, j, reg) long-layout HyperBall registers after `radius` merge
     rounds: register j of v holds the max rho among hashed members of
-    v's r-ball that map to bucket j. Long layout keeps every round a
-    plain groupBy-max (no arrays shuffled; partial agg map-side)."""
+    v's r-ball that map to bucket j. Simple (one groupBy-max per round)
+    but each edge meets all m register rows — E*m shuffled rows per
+    round. Use hyperball_registers_wide at scale (E rows per round); this
+    layout remains the oracle-checked reference and the merge-friendly
+    exchange format."""
     if radius < 0:
         raise ValueError(f"radius must be >= 0, got {radius}")
     spark = g.edges.sparkSession
@@ -146,4 +149,67 @@ def hyperball_estimate(regs: DataFrame, m: int = 16) -> DataFrame:
         F.when((raw <= 2.5 * m) & (F.col("v0") > 0), lin)
         .otherwise(raw)
         .alias("ball_est"),
+    )
+
+
+def hyperball_registers_wide(
+    g: EncodedGraph,
+    radius: int = 2,
+    m: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """The scale-preferred HyperBall layout: ONE row per vertex with m
+    register COLUMNS (reg0..reg{m-1}), merged per round by m column-wise
+    max aggregates over a single edges ⋈ registers join. The long layout
+    (hyperball_registers) shuffles E*m rows per round (each edge meets m
+    register rows); this one shuffles E rows — at 10^9 edges and m=64
+    that is the difference between 64 billion and 1 billion shuffled rows
+    per round. Results are identical (pytest pins equivalence).
+    """
+    if radius < 0:
+        raise ValueError(f"radius must be >= 0, got {radius}")
+    edges = g.edges.select("src", "dst").persist()
+    v = g.vertices.select("vid")
+    h = vertex_hash(F.col("vid"), seed)
+    rho = rho_column((h / F.lit(m)).cast("long")).cast("long")
+    j = (h % m).cast("int")
+    regs = v.select(
+        "vid",
+        *[
+            F.when(j == i, rho).otherwise(F.lit(0)).cast("long").alias(f"reg{i}")
+            for i in range(m)
+        ],
+    ).localCheckpoint(eager=True)
+    for _ in range(radius):
+        nbr = (
+            edges.join(regs.withColumnRenamed("vid", "dst"), "dst", "inner")
+            .groupBy(F.col("src").alias("vid"))
+            .agg(*[F.max(f"reg{i}").alias(f"n{i}") for i in range(m)])
+        )
+        regs = (
+            regs.join(nbr, "vid", "left")
+            .select(
+                "vid",
+                *[
+                    F.greatest(
+                        F.col(f"reg{i}"), F.coalesce(F.col(f"n{i}"), F.lit(0))
+                    ).alias(f"reg{i}")
+                    for i in range(m)
+                ],
+            )
+            .localCheckpoint(eager=True)
+        )
+    return regs
+
+
+def wide_to_long(regs_wide: DataFrame, m: int = 16) -> DataFrame:
+    """(vid, reg0..reg{m-1}) -> (vid, j, reg) for comparison/estimation."""
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).cast("int").alias("j"), F.col(f"reg{i}").alias("reg"))
+            for i in range(m)
+        ]
+    )
+    return regs_wide.select("vid", F.explode(pairs).alias("p")).select(
+        "vid", F.col("p.j").alias("j"), F.col("p.reg").alias("reg")
     )

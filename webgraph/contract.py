@@ -3011,3 +3011,107 @@ def o_g_betweenness():
 
 
 QUERIES.update({"g_betweenness": (q_g_betweenness, o_g_betweenness)})
+
+
+def q_t_quality_deciles(spark, sf_dir):
+    """NTILE decile binning of documents by length within language — the
+    windowed-distribution companion of the quality filter (keep the top-k
+    deciles per stratum)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return docs.select(
+        "doc_id", "lang", "n_chars",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+
+
+def o_t_quality_deciles():
+    return """
+SELECT doc_id, lang, n_chars,
+  CAST(NTILE(10) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC)
+       AS BIGINT) AS decile
+FROM documents
+"""
+
+
+def q_s_funnel(spark, sf_dir):
+    """First-touch funnel: per user, did a view precede a click precede a
+    purchase (strict timestamp order over first occurrences)? The classic
+    event-sequence analytics query."""
+    ev = load(spark, sf_dir, "events")
+    firsts = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+        )
+    )
+    return firsts.select(
+        "user_id",
+        (
+            F.col("t_view").isNotNull()
+            & F.col("t_click").isNotNull()
+            & F.col("t_buy").isNotNull()
+            & (F.col("t_view") < F.col("t_click"))
+            & (F.col("t_click") < F.col("t_buy"))
+        ).alias("completed_funnel"),
+    )
+
+
+def o_s_funnel():
+    return """
+WITH firsts AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY user_id
+)
+SELECT user_id,
+  t_view IS NOT NULL AND t_click IS NOT NULL AND t_buy IS NOT NULL
+  AND t_view < t_click AND t_click < t_buy AS completed_funnel
+FROM firsts
+"""
+
+
+def q_s_retention(spark, sf_dir):
+    """Day-over-day retention: per calendar day, active users and how
+    many of them were also active the previous day."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    prev = days.select(
+        "user_id", F.date_add("day", 1).alias("day"), F.lit(1).alias("was_prev")
+    )
+    j = days.join(prev, ["user_id", "day"], "left")
+    return j.groupBy("day").agg(
+        F.count("*").cast("long").alias("active_users"),
+        F.sum(F.coalesce(F.col("was_prev"), F.lit(0))).cast("long").alias("retained"),
+    )
+
+
+def o_s_retention():
+    return """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+prev AS (SELECT user_id, day + 1 AS day, 1 AS was_prev FROM days)
+SELECT d.day,
+  CAST(COUNT(*) AS BIGINT) AS active_users,
+  CAST(SUM(COALESCE(p.was_prev, 0)) AS BIGINT) AS retained
+FROM days d LEFT JOIN prev p ON p.user_id = d.user_id AND p.day = d.day
+GROUP BY d.day
+"""
+
+
+QUERIES.update(
+    {
+        "t_quality_deciles": (q_t_quality_deciles, o_t_quality_deciles),
+        "s_funnel": (q_s_funnel, o_s_funnel),
+        "s_retention": (q_s_retention, o_s_retention),
+    }
+)
