@@ -532,3 +532,37 @@ def test_hyperball_wide_equals_long(spark):
     wide = hyperball_registers_wide(g, radius=2, m=16)
     long_w = sorted(map(tuple, wide_to_long(wide, m=16).collect()))
     assert long_l == long_w
+
+
+def test_dedup_clusters_no_pairs_all_singletons(spark):
+    from webgraph.dedup import dedup_clusters
+
+    docs = _docs(
+        spark,
+        [(i, "entirely distinct doc %d with own words w%d x%d" % (i, i, i))
+         for i in range(1, 6)],
+    )
+    out = dedup_clusters(docs, threshold=0.9).collect()
+    assert len(out) == 5
+    assert all(r["keep"] and r["cluster_size"] == 1 for r in out)
+
+
+def test_neighborhood_function_tracks_exact_and_diameter(spark):
+    from webgraph.algos.anf import (
+        effective_diameter,
+        neighborhood_function,
+        neighborhood_sizes_exact,
+    )
+    from webgraph.corpus import synthetic_edges
+
+    g = from_int_edges(synthetic_edges(spark, n_vertices=400, n_edges=2400, partitions=4))
+    nf = neighborhood_function(g, max_r=4, m=64)
+    assert [row["r"] for row in nf] == [0, 1, 2, 3, 4]
+    # monotone nondecreasing curve
+    vals = [row["est_pairs"] for row in nf]
+    assert all(b >= a * 0.99 for a, b in zip(vals, vals[1:]))
+    # r=2 estimate within HLL error of the exact total
+    exact2 = neighborhood_sizes_exact(g, 2).agg(F.sum("ball")).collect()[0][0]
+    assert abs(vals[2] - exact2) / exact2 < 0.2, (vals[2], exact2)
+    d = effective_diameter(nf)
+    assert 0 <= d <= 4

@@ -213,3 +213,66 @@ def wide_to_long(regs_wide: DataFrame, m: int = 16) -> DataFrame:
     return regs_wide.select("vid", F.explode(pairs).alias("p")).select(
         "vid", F.col("p.j").alias("j"), F.col("p.reg").alias("reg")
     )
+
+
+def neighborhood_function(
+    g: EncodedGraph,
+    max_r: int,
+    m: int = 64,
+    seed: int = 42,
+) -> list[dict]:
+    """HyperANF: the neighborhood function N(r) = sum over vertices of
+    |ball(v, r)|, estimated per radius from one shared wide-register
+    sweep (each radius is one more merge round — the whole curve costs
+    the same as the deepest ball). Returns per-radius metrics
+    [{r, est_pairs}] — the curve behind effective-diameter reporting.
+    """
+    edges = g.edges.select("src", "dst").persist()
+    v = g.vertices.select("vid")
+    h = vertex_hash(F.col("vid"), seed)
+    rho = rho_column((h / F.lit(m)).cast("long")).cast("long")
+    j = (h % m).cast("int")
+    regs = v.select(
+        "vid",
+        *[
+            F.when(j == i, rho).otherwise(F.lit(0)).cast("long").alias(f"reg{i}")
+            for i in range(m)
+        ],
+    ).localCheckpoint(eager=True)
+
+    def total_estimate(r_df: DataFrame) -> float:
+        est = hyperball_estimate(wide_to_long(r_df, m), m)
+        return est.agg(F.sum("ball_est")).collect()[0][0]
+
+    out = [{"r": 0, "est_pairs": float(g.num_vertices)}]
+    for r in range(1, max_r + 1):
+        nbr = (
+            edges.join(regs.withColumnRenamed("vid", "dst"), "dst", "inner")
+            .groupBy(F.col("src").alias("vid"))
+            .agg(*[F.max(f"reg{i}").alias(f"n{i}") for i in range(m)])
+        )
+        regs = (
+            regs.join(nbr, "vid", "left")
+            .select(
+                "vid",
+                *[
+                    F.greatest(
+                        F.col(f"reg{i}"), F.coalesce(F.col(f"n{i}"), F.lit(0))
+                    ).alias(f"reg{i}")
+                    for i in range(m)
+                ],
+            )
+            .localCheckpoint(eager=True)
+        )
+        out.append({"r": r, "est_pairs": float(total_estimate(regs))})
+    return out
+
+
+def effective_diameter(nf: list[dict], alpha: float = 0.9) -> int:
+    """Smallest r whose N(r) reaches alpha * N(max_r) — the standard
+    (integer) effective-diameter readout of the neighborhood function."""
+    target = alpha * nf[-1]["est_pairs"]
+    for row in nf:
+        if row["est_pairs"] >= target:
+            return row["r"]
+    return nf[-1]["r"]

@@ -134,6 +134,14 @@ def harmonic_centrality(
     Scale: one level-synchronous BFS per landmark over the shared
     persisted edge table (frontier-sized shuffles only); landmark count is
     the explicit cost knob."""
+    if not directed:
+        # symmetrize ONCE and share across landmark sweeps — calling
+        # bfs_depths(directed=False) per landmark would re-persist K
+        # copies of the symmetrized edge set.
+        sym = symmetrize(g.edges).persist()
+        sym.count()
+        g = EncodedGraph(vertices=g.vertices, edges=sym, num_vertices=g.num_vertices)
+        directed = True
     out = None
     for lm in landmarks:
         depths, _ = bfs_depths(g, [lm], max_depth=max_depth, directed=directed)

@@ -3115,3 +3115,62 @@ QUERIES.update(
         "s_retention": (q_s_retention, o_s_retention),
     }
 )
+
+
+def q_s_stream_cms(spark, sf_dir):
+    """Streaming count-min sketch: the documents corpus drained as a
+    4-batch file stream, each micro-batch's sketch merged cell-wise into
+    the running state. Mergeability makes the drained sketch equal the
+    batch sketch over the whole corpus — which is exactly what the DuckDB
+    oracle computes."""
+    import tempfile
+
+    from webgraph.streaming import streaming_cms
+
+    _STREAM_SINK_N[0] += 1
+    base = tempfile.mkdtemp(prefix=f"stream_cms_{_STREAM_SINK_N[0]}_")
+    docs = load(spark, sf_dir, "documents")
+    docs.repartition(4).write.mode("overwrite").parquet(f"{base}/in")
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/in")
+    )
+    streaming_cms(spark, stream, f"{base}/state", f"{base}/ck")
+    sk = spark.read.parquet(f"{base}/state")
+    return sk.select(
+        F.col("row").cast("int").alias("row"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+def o_s_stream_cms():
+    from webgraph.dedup import _MIX_BASE, _MIX_STEP, POLY_MOD
+    from webgraph.sketches import CMS_DEPTH, CMS_WIDTH
+
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, len(tok)+1), "
+        "i -> CAST(ord(substr(tok, CAST(i AS INT), 1)) AS BIGINT))), "
+        f"(h, c) -> (h*31 + c) % {POLY_MOD})"
+    )
+    bucket = f"((h * ({_MIX_BASE} + {_MIX_STEP} * i) + i) % {POLY_MOD}) % {CMS_WIDTH}"
+    return rf"""
+WITH tf AS (
+  SELECT tok FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), th AS (
+  SELECT {fold} AS h FROM tf
+)
+SELECT CAST(i AS INT) AS row, CAST({bucket} AS BIGINT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS cnt
+FROM th, range(0, {CMS_DEPTH}) r(i) GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"s_stream_cms": (q_s_stream_cms, o_s_stream_cms)})

@@ -314,3 +314,51 @@ def stream_distinct_keys(
             .select(*keys)
         )
     return events.select(*keys).dropDuplicates(keys)
+
+
+def streaming_cms(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    width: int = 1024,
+    depth: int = 3,
+):
+    """Streaming count-min sketch: per micro-batch, build the batch's CMS
+    and merge it cell-wise into the running sketch — the mergeability
+    property exercised as cross-batch state. Because disjoint-corpus
+    sketches merge losslessly, the drained stream's sketch equals the
+    batch sketch over all data (the contract oracle checks exactly that).
+
+    The sketch is <= depth*width rows, so the running state is collected
+    to the driver and rewritten atomically per batch (write-temp would
+    work too; for a bounded sketch the collect IS the cheap, restart-safe
+    option — unlike row data, sketch size is independent of input)."""
+    import os
+
+    from webgraph.sketches import cms_build, cms_merge
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        batch_sketch = cms_build(batch_df, text_col=text_col, width=width, depth=depth)
+        if os.path.isdir(state_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(state_dir)
+        ):
+            current = spark.read.parquet(state_dir)
+            merged = cms_merge(current, batch_sketch)
+        else:
+            merged = batch_sketch
+        rows = [(r["row"], r["bucket"], r["cnt"]) for r in merged.collect()]
+        spark.createDataFrame(
+            rows or [(0, 0, 0)], "row int, bucket bigint, cnt long"
+        ).write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(update)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
