@@ -566,3 +566,19 @@ def test_neighborhood_function_tracks_exact_and_diameter(spark):
     assert abs(vals[2] - exact2) / exact2 < 0.2, (vals[2], exact2)
     d = effective_diameter(nf)
     assert 0 <= d <= 4
+
+
+def test_histogram_quantiles_accuracy_and_degenerate(spark):
+    from webgraph.sketches import histogram_quantiles
+
+    df = spark.range(1, 10001).select((F.col("id") * 1.0).alias("v"))
+    out = {r["q_pct"]: r["est_e6"] / 1e6 for r in
+           histogram_quantiles(df, "v", (50, 90), bins=1000).collect()}
+    binw = (10000 - 1) / 1000
+    assert abs(out[50] - 5000) <= binw + 1
+    assert abs(out[90] - 9000) <= binw + 1
+    # degenerate: constant column
+    const = spark.range(5).select(F.lit(7.5).alias("v"))
+    rows = {r["q_pct"]: r["est_e6"] for r in
+            histogram_quantiles(const, "v", (50,), bins=10).collect()}
+    assert rows[50] == 7_500_000

@@ -3174,3 +3174,45 @@ FROM th, range(0, {CMS_DEPTH}) r(i) GROUP BY 1, 2
 
 
 QUERIES.update({"s_stream_cms": (q_s_stream_cms, o_s_stream_cms)})
+
+
+HQ_BINS = 1000
+HQ_QS = (25, 50, 75, 90, 99)
+
+
+def q_t_hist_quantiles(spark, sf_dir):
+    """Deterministic histogram-sketch quantiles over l_extendedprice —
+    the engine-portable percentile_approx replacement (bin lower-edge
+    readout, error <= one bin width; see sketches.histogram_quantiles)."""
+    from webgraph.sketches import histogram_quantiles
+
+    li = load(spark, sf_dir, "lineitem")
+    return histogram_quantiles(li, "l_extendedprice", HQ_QS, HQ_BINS)
+
+
+def o_t_hist_quantiles():
+    b = HQ_BINS
+    per_q = " UNION ALL ".join(
+        f"(SELECT CAST({q} AS BIGINT) AS q_pct, "
+        f"CAST(ROUND((lh.lo + bin * ((lh.hi - lh.lo) / {b})) * 1000000e0) AS BIGINT) AS est_e6 "
+        f"FROM cum, lh WHERE cum * 100 >= total * {q} ORDER BY bin LIMIT 1)"
+        for q in HQ_QS
+    )
+    return f"""
+WITH lh AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem),
+bins AS (
+  SELECT LEAST(CAST(FLOOR((l_extendedprice - lh.lo) / (lh.hi - lh.lo) * {b}) AS BIGINT),
+               {b - 1}) AS bin
+  FROM lineitem, lh
+),
+hist AS (SELECT bin, COUNT(*) AS cnt FROM bins GROUP BY bin),
+cum AS (
+  SELECT bin, SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER () AS total
+  FROM hist
+)
+{per_q}
+"""
+
+
+QUERIES.update({"t_hist_quantiles": (q_t_hist_quantiles, o_t_hist_quantiles)})

@@ -178,3 +178,65 @@ def hll_count(registers: DataFrame, m: int = 32) -> float:
     if raw <= 2.5 * m and v0 > 0:
         return m * math.log(m / v0)
     return raw
+
+
+# ------------------------------------------------- histogram quantiles --
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: tuple = (25, 50, 75, 90, 99),
+    bins: int = 1000,
+) -> DataFrame:
+    """Deterministic approximate quantiles via a fixed-range histogram
+    sketch — the mergeable alternative to percentile_approx whose result
+    is reproducible across engines, runs, and partitionings (Spark's
+    built-in sketch is neither deterministic nor engine-portable, so it
+    can't be oracle-checked; this one is both).
+
+    Two passes: (1) one min/max aggregate pins the range; (2) one
+    bins-bounded hash aggregate counts per bin (mergeable: bin counts
+    sum). The quantile readout walks the cumulative histogram (<= bins
+    rows — a window over a tiny frame) and reports each quantile's bin
+    LOWER EDGE: error is bounded by one bin width, bins is the explicit
+    accuracy knob. Returns (q_pct, est) with est exact-rounded micro-units.
+    """
+    from pyspark.sql import Window
+
+    lohi = df.agg(
+        F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
+    ).collect()[0]
+    lo, hi = float(lohi["lo"]), float(lohi["hi"])
+    if hi <= lo:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [(int(q), int(round(lo * 1e6))) for q in quantiles],
+            "q_pct long, est_e6 long",
+        )
+    # bin index mirrored verbatim in the SQL oracle: floor of the scaled
+    # offset, top edge clamped into the last bin
+    scaled = (F.col(value_col) - F.lit(lo)) / F.lit(hi - lo) * F.lit(bins)
+    bin_ = F.least(F.floor(scaled).cast("long"), F.lit(bins - 1))
+    hist = df.select(bin_.alias("bin")).groupBy("bin").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy())
+    )
+    out = None
+    for q in quantiles:
+        first = (
+            cum.filter(F.col("cum") * 100 >= F.col("total") * q)
+            .orderBy("bin")
+            .limit(1)
+            .select(
+                F.lit(int(q)).cast("long").alias("q_pct"),
+                F.round(
+                    (F.lit(lo) + F.col("bin") * F.lit((hi - lo) / bins)) * 1e6
+                ).cast("long").alias("est_e6"),
+            )
+        )
+        out = first if out is None else out.unionByName(first)
+    return out
