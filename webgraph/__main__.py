@@ -147,15 +147,19 @@ def main(argv: list[str] | None = None) -> int:
         ).persist()
         ge = contract_graph(eg, mapping.select("vid", "gid"))
         wg = from_weighted_edges(ge)
-        dranks, _ = pagerank(
-            wg, tol=0.0, max_iter=5, collect_skew=False, weight_col="weight"
-        )
-        dranks.join(
-            mapping.select("gid", "host").distinct(),
-            dranks.vid == F.col("gid"),
-        ).select("host", "rank").write.mode("overwrite").parquet(
-            f"{out_dir}/domain_rank"
-        )
+        # single-host crawls contract to an empty inter-host graph
+        # (drop_self removes every edge) — skip the rollup rather than
+        # divide by zero vertices in pagerank
+        if wg.num_vertices > 0:
+            dranks, _ = pagerank(
+                wg, tol=0.0, max_iter=5, collect_skew=False, weight_col="weight"
+            )
+            dranks.join(
+                mapping.select("gid", "host").distinct(),
+                dranks.vid == F.col("gid"),
+            ).select("host", "rank").write.mode("overwrite").parquet(
+                f"{out_dir}/domain_rank"
+            )
         extended = {
             "hits_iterations": len(hits_metrics),
             "kcore3_vertices": core3.count(),

@@ -169,37 +169,49 @@ def hyperball_registers_wide(
     if radius < 0:
         raise ValueError(f"radius must be >= 0, got {radius}")
     edges = g.edges.select("src", "dst").persist()
-    v = g.vertices.select("vid")
+    regs = _wide_init(g, m, seed)
+    for _ in range(radius):
+        regs = _wide_merge_round(edges, regs, m)
+    return regs
+
+
+def _wide_init(g: EncodedGraph, m: int, seed: int) -> DataFrame:
+    """Wide-layout register init: vertex v contributes rho to its own
+    bucket j(v), zero elsewhere. Shared by hyperball_registers_wide and
+    neighborhood_function (one implementation, one equivalence pin)."""
     h = vertex_hash(F.col("vid"), seed)
     rho = rho_column((h / F.lit(m)).cast("long")).cast("long")
     j = (h % m).cast("int")
-    regs = v.select(
+    return g.vertices.select(
         "vid",
         *[
             F.when(j == i, rho).otherwise(F.lit(0)).cast("long").alias(f"reg{i}")
             for i in range(m)
         ],
     ).localCheckpoint(eager=True)
-    for _ in range(radius):
-        nbr = (
-            edges.join(regs.withColumnRenamed("vid", "dst"), "dst", "inner")
-            .groupBy(F.col("src").alias("vid"))
-            .agg(*[F.max(f"reg{i}").alias(f"n{i}") for i in range(m)])
+
+
+def _wide_merge_round(edges: DataFrame, regs: DataFrame, m: int) -> DataFrame:
+    """One HyperBall merge round over the wide layout: column-wise max of
+    each vertex's registers with its out-neighbors'."""
+    nbr = (
+        edges.join(regs.withColumnRenamed("vid", "dst"), "dst", "inner")
+        .groupBy(F.col("src").alias("vid"))
+        .agg(*[F.max(f"reg{i}").alias(f"n{i}") for i in range(m)])
+    )
+    return (
+        regs.join(nbr, "vid", "left")
+        .select(
+            "vid",
+            *[
+                F.greatest(
+                    F.col(f"reg{i}"), F.coalesce(F.col(f"n{i}"), F.lit(0))
+                ).alias(f"reg{i}")
+                for i in range(m)
+            ],
         )
-        regs = (
-            regs.join(nbr, "vid", "left")
-            .select(
-                "vid",
-                *[
-                    F.greatest(
-                        F.col(f"reg{i}"), F.coalesce(F.col(f"n{i}"), F.lit(0))
-                    ).alias(f"reg{i}")
-                    for i in range(m)
-                ],
-            )
-            .localCheckpoint(eager=True)
-        )
-    return regs
+        .localCheckpoint(eager=True)
+    )
 
 
 def wide_to_long(regs_wide: DataFrame, m: int = 16) -> DataFrame:
@@ -228,17 +240,7 @@ def neighborhood_function(
     [{r, est_pairs}] — the curve behind effective-diameter reporting.
     """
     edges = g.edges.select("src", "dst").persist()
-    v = g.vertices.select("vid")
-    h = vertex_hash(F.col("vid"), seed)
-    rho = rho_column((h / F.lit(m)).cast("long")).cast("long")
-    j = (h % m).cast("int")
-    regs = v.select(
-        "vid",
-        *[
-            F.when(j == i, rho).otherwise(F.lit(0)).cast("long").alias(f"reg{i}")
-            for i in range(m)
-        ],
-    ).localCheckpoint(eager=True)
+    regs = _wide_init(g, m, seed)
 
     def total_estimate(r_df: DataFrame) -> float:
         est = hyperball_estimate(wide_to_long(r_df, m), m)
@@ -246,24 +248,7 @@ def neighborhood_function(
 
     out = [{"r": 0, "est_pairs": float(g.num_vertices)}]
     for r in range(1, max_r + 1):
-        nbr = (
-            edges.join(regs.withColumnRenamed("vid", "dst"), "dst", "inner")
-            .groupBy(F.col("src").alias("vid"))
-            .agg(*[F.max(f"reg{i}").alias(f"n{i}") for i in range(m)])
-        )
-        regs = (
-            regs.join(nbr, "vid", "left")
-            .select(
-                "vid",
-                *[
-                    F.greatest(
-                        F.col(f"reg{i}"), F.coalesce(F.col(f"n{i}"), F.lit(0))
-                    ).alias(f"reg{i}")
-                    for i in range(m)
-                ],
-            )
-            .localCheckpoint(eager=True)
-        )
+        regs = _wide_merge_round(edges, regs, m)
         out.append({"r": r, "est_pairs": float(total_estimate(regs))})
     return out
 

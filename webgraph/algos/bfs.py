@@ -134,6 +134,8 @@ def harmonic_centrality(
     Scale: one level-synchronous BFS per landmark over the shared
     persisted edge table (frontier-sized shuffles only); landmark count is
     the explicit cost knob."""
+    if not landmarks:
+        raise ValueError("harmonic_centrality: landmarks must be non-empty")
     if not directed:
         # symmetrize ONCE and share across landmark sweeps — calling
         # bfs_depths(directed=False) per landmark would re-persist K
@@ -159,6 +161,19 @@ def harmonic_centrality(
     return out
 
 
+def _shared_edges(g: EncodedGraph, directed: bool) -> DataFrame:
+    """The (src, dst) traversal frame without redundant caching: directed
+    mode projects the EncodedGraph's ALREADY-persisted edges (the
+    projection scans the cache — persisting it again would hold a second
+    in-memory copy); undirected mode materializes the symmetrized set,
+    which IS new data, once."""
+    if directed:
+        return g.edges.select("src", "dst")
+    sym = symmetrize(g.edges).persist()
+    sym.count()
+    return sym
+
+
 def bfs_path_counts(
     g: EncodedGraph,
     seed: int,
@@ -179,9 +194,7 @@ def bfs_path_counts(
     wrapped."""
     if max_depth < 0:
         raise ValueError(f"bfs_path_counts: max_depth must be >= 0, got {max_depth}")
-    edges = g.edges if directed else symmetrize(g.edges)
-    edges = edges.select("src", "dst").persist()
-    edges.count()
+    edges = _shared_edges(g, directed)
     spark = g.edges.sparkSession
     if g.vertices.filter(F.col("vid") == seed).count() == 0:
         raise ValueError(f"bfs_path_counts: seed {seed} not in graph")
@@ -228,10 +241,15 @@ def betweenness_contributions(
     Each backward level is one edges ⋈ level-frame join + a hash
     aggregate — the same stationary-edges economics as the forward sweep;
     levels are materialized so the backward pass re-reads state instead
-    of re-planning it."""
-    edges = g.edges if directed else symmetrize(g.edges)
-    edges = edges.select("src", "dst").persist()
-    visited = bfs_path_counts(g, seed, max_depth, directed=directed)
+    of re-planning it. The (possibly symmetrized) edge frame is built and
+    persisted ONCE per call and shared with the forward sweep — not one
+    copy per phase (review finding: duplicate persists double the edge
+    cache per pivot)."""
+    edges = _shared_edges(g, directed)
+    g_shared = EncodedGraph(
+        vertices=g.vertices, edges=edges, num_vertices=g.num_vertices
+    )
+    visited = bfs_path_counts(g_shared, seed, max_depth, directed=True)
     visited = visited.persist()
     depths = [r["d"] for r in visited.select(F.col("depth").alias("d")).distinct().collect()]
     if not depths:

@@ -2522,10 +2522,13 @@ def q_r_late_orders(spark, sf_dir):
     date, counted per priority."""
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    # full-timestamp interval arithmetic (NOT date_add, which truncates to
+    # midnight and diverges from the oracle the moment order timestamps
+    # carry a time of day)
     late = orders.join(
         li,
         (orders.o_orderkey == li.l_orderkey)
-        & (li.l_shipdate > F.date_add(orders.o_orderdate, 60)),
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
         "left_semi",
     )
     return late.groupBy("o_orderpriority").agg(

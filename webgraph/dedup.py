@@ -543,7 +543,25 @@ def dedup_clusters(
     g = from_int_edges(
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
-    labels, _ = connected_components(g, max_iter=max_iter, collect_skew=False)
+    labels, cc_metrics = connected_components(
+        g, max_iter=max_iter, collect_skew=False
+    )
+    if cc_metrics and cc_metrics[-1].get("changed", 0) > 0:
+        # Unconverged min-label propagation splits long near-dup chains
+        # into several "clusters", each keeping a survivor — duplicates
+        # would silently pass dedup. Same no-silent-caps policy as the
+        # LSH bucket guards: fail in strict mode, shout otherwise.
+        msg = (
+            f"dedup_clusters: connected components NOT converged after "
+            f"{max_iter} rounds ({cc_metrics[-1]['changed']} labels still "
+            "changing) — near-dup chains longer than max_iter are split; "
+            "raise max_iter"
+        )
+        if strict:
+            raise ValueError(msg)
+        import logging
+
+        logging.getLogger("webgraph.dedup").warning(msg)
     assigned = (
         df.select(F.col(id_col))
         .join(labels.withColumnRenamed("vid", id_col), id_col, "left")

@@ -333,24 +333,37 @@ def streaming_cms(
 
     The sketch is <= depth*width rows, so the running state is collected
     to the driver and rewritten atomically per batch (write-temp would
-    work too; for a bounded sketch the collect IS the cheap, restart-safe
-    option — unlike row data, sketch size is independent of input)."""
+    work too; for a bounded sketch the collect IS the cheap option —
+    unlike row data, sketch size is independent of input).
+
+    Restart-safe: foreachBatch is at-least-once (a crash between the
+    state write and the checkpoint offset commit replays the batch), so
+    the state carries the last merged batch_id and a replayed batch is
+    skipped instead of double-counted."""
     import os
 
     from webgraph.sketches import cms_build, cms_merge
 
     def update(batch_df: DataFrame, batch_id: int) -> None:
-        batch_sketch = cms_build(batch_df, text_col=text_col, width=width, depth=depth)
-        if os.path.isdir(state_dir) and any(
+        has_state = os.path.isdir(state_dir) and any(
             f.endswith(".parquet") for f in os.listdir(state_dir)
-        ):
-            current = spark.read.parquet(state_dir)
-            merged = cms_merge(current, batch_sketch)
+        )
+        current = spark.read.parquet(state_dir) if has_state else None
+        if current is not None:
+            last = current.agg(F.max("last_batch")).collect()[0][0]
+            if last is not None and batch_id <= last:
+                return  # replayed batch: already merged, skip
+        batch_sketch = cms_build(batch_df, text_col=text_col, width=width, depth=depth)
+        if current is not None:
+            merged = cms_merge(current.select("row", "bucket", "cnt"), batch_sketch)
         else:
             merged = batch_sketch
-        rows = [(r["row"], r["bucket"], r["cnt"]) for r in merged.collect()]
+        rows = [
+            (r["row"], r["bucket"], r["cnt"], batch_id) for r in merged.collect()
+        ]
         spark.createDataFrame(
-            rows or [(0, 0, 0)], "row int, bucket bigint, cnt long"
+            rows or [(0, 0, 0, batch_id)],
+            "row int, bucket bigint, cnt long, last_batch long",
         ).write.mode("overwrite").parquet(state_dir)
 
     q = (
