@@ -582,3 +582,33 @@ def test_histogram_quantiles_accuracy_and_degenerate(spark):
     rows = {r["q_pct"]: r["est_e6"] for r in
             histogram_quantiles(const, "v", (50,), bins=10).collect()}
     assert rows[50] == 7_500_000
+
+
+# ------------------------------------------------------ skew stress --
+
+
+def test_extreme_hub_degree_agg_and_pagerank(spark):
+    """Skew regression: one vertex receives 25% of all edges (a 10^5:1
+    hub at bench scale). Degree aggregation and a PageRank iteration must
+    still complete with correct values — map-side partial aggregation is
+    what keeps the hub's fan-in off a single reducer, and salting must
+    not change results."""
+    from webgraph.corpus import synthetic_edges
+
+    n = 40_000
+    base = synthetic_edges(spark, n_vertices=2000, n_edges=n, partitions=8)
+    hub = (
+        spark.range(n // 3)
+        .select((F.col("id") % 1999).alias("src"), F.lit(777_777).alias("dst"))
+    )
+    g = from_int_edges(base.unionByName(hub))
+    indeg = g.edges.groupBy("dst").count()
+    hub_row = indeg.filter(F.col("dst") == 777_777).collect()[0]
+    assert hub_row["count"] >= 1900  # distinct srcs pointing at the hub
+    r_plain, _ = pagerank(g, tol=0.0, max_iter=2, collect_skew=True)
+    r_salted, _ = pagerank(g, tol=0.0, max_iter=2, collect_skew=False, salt_buckets=8)
+    a = {r["vid"]: r["rank"] for r in r_plain.collect()}
+    b = {r["vid"]: r["rank"] for r in r_salted.collect()}
+    assert abs(a[777_777] - b[777_777]) < 1e-12
+    top = max(a, key=a.get)
+    assert top == 777_777  # the hub dominates, as it must

@@ -3219,3 +3219,83 @@ cum AS (
 
 
 QUERIES.update({"t_hist_quantiles": (q_t_hist_quantiles, o_t_hist_quantiles)})
+
+
+def q_m_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing through the REAL Arrow mapInPandas
+    path (one-to-many explode, payload dropped batch-side): frames are
+    derived deterministically from payload size (the stub codec), so the
+    exploded (asset_id, frame_idx, ts_ms) shape is SQL-checkable — the
+    contract ffmpeg slots into at scale."""
+    from webgraph.multimodal import sample_video_frames
+
+    docs = load(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video/mp4").alias("mime"),
+        F.col("text").cast("binary").alias("media"),
+    )
+    frames = sample_video_frames(assets, every_ms=1000, max_frames=16)
+    return frames.select(
+        "asset_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("ts_ms").cast("long").alias("ts_ms"),
+    )
+
+
+def o_m_frame_sample():
+    return """
+WITH a AS (
+  SELECT doc_id AS asset_id,
+    LEAST(16, GREATEST(1, octet_length(encode(text)) // 64)) AS n
+  FROM documents
+)
+SELECT asset_id, CAST(i AS BIGINT) AS frame_idx, CAST(i * 1000 AS BIGINT) AS ts_ms
+FROM a, LATERAL unnest(range(0, n)) t(i)
+"""
+
+
+QUERIES.update({"m_frame_sample": (q_m_frame_sample, o_m_frame_sample)})
+
+
+def q_m_image_decode(spark, sf_dir):
+    """Image decode plumbing through the Arrow mapInPandas path: the stub
+    codec derives dimensions from the payload's sha256 (PIL slots in when
+    REAL_CODECS) — deterministic, so even the fake decode is fully
+    oracle-checked (DuckDB computes the same sha256 over the same utf-8
+    payload bytes)."""
+    from webgraph.multimodal import decode_images
+
+    docs = load(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image/png").alias("mime"),
+        F.col("text").cast("binary").alias("media"),
+    )
+    out = decode_images(assets)
+    return out.select(
+        "asset_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        "sha256",
+    )
+
+
+def o_m_image_decode():
+    # _fake_decode: little-endian uint16 of digest bytes [0:2] and [2:4]
+    b = lambda i: f"CAST(('0x' || substr(h, {2 * i + 1}, 2)) AS INTEGER)"
+    w16 = f"({b(0)} + 256 * {b(1)})"
+    h16 = f"({b(2)} + 256 * {b(3)})"
+    return f"""
+WITH a AS (SELECT doc_id AS asset_id, sha256(text) AS h FROM documents)
+SELECT asset_id,
+  CAST(64 + {w16} % 1985 AS BIGINT) AS width,
+  CAST(64 + {h16} % 1985 AS BIGINT) AS height,
+  CAST(3 AS BIGINT) AS channels,
+  h AS sha256
+FROM a
+"""
+
+
+QUERIES.update({"m_image_decode": (q_m_image_decode, o_m_image_decode)})
