@@ -612,3 +612,40 @@ def test_extreme_hub_degree_agg_and_pagerank(spark):
     assert abs(a[777_777] - b[777_777]) < 1e-12
     top = max(a, key=a.get)
     assert top == 777_777  # the hub dominates, as it must
+
+
+def test_streaming_cms_replay_does_not_double_count(spark, tmp_path):
+    import shutil
+
+    from webgraph.streaming import streaming_cms
+
+    docs = _docs(
+        spark, [(i, "alpha beta gamma token%d" % i) for i in range(40)]
+    )
+    src = str(tmp_path / "in")
+    docs.repartition(4).write.parquet(src)
+
+    def drain(ck):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        streaming_cms(
+            spark, stream, str(tmp_path / "state"), str(tmp_path / ck),
+            width=64, depth=2,
+        )
+
+    drain("ck1")
+    first = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "state"))
+            .select("row", "bucket", "cnt").collect())
+    )
+    # simulate a lost checkpoint: every micro-batch replays with the same
+    # batch ids — the state's last_batch watermark must reject them all
+    drain("ck2")
+    second = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "state"))
+            .select("row", "bucket", "cnt").collect())
+    )
+    assert first == second
