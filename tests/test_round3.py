@@ -649,3 +649,38 @@ def test_streaming_cms_replay_does_not_double_count(spark, tmp_path):
             .select("row", "bucket", "cnt").collect())
     )
     assert first == second
+
+
+# --------------------------------------------------- end-to-end pipeline --
+
+
+def test_clean_corpus_stage_accounting(spark):
+    from webgraph.pipeline import clean_corpus
+
+    rows = []
+    # 10 good docs, pairwise-distinct vocabularies (no shared trigrams)
+    for i in range(1, 11):
+        words = " ".join("w%dtok%d" % (i, k) for k in range(12))
+        rows.append((i, "g%d" % (i % 2), words))
+    rows.append((20, "g0", "x"))                      # fails token floor
+    rows.append((21, "g1", "1 2 3 4 5 6 7 8 9"))      # fails alpha ratio
+    rows.append((22, "g0", rows[0][2]))               # exact dup of doc 1
+    rows.append((23, "g1", rows[1][2] + " extratok")) # near-dup of doc 2
+    docs = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+    evals = spark.createDataFrame(
+        [(100, rows[2][2] + " heldout trailer")], "doc_id long, text string"
+    )
+    out, manifest = clean_corpus(
+        docs, evals, group_col="grp", min_tokens=5, min_alpha_pct10=3,
+        near_threshold=0.5, quota=4, seq_len=30,
+    )
+    assert manifest["input"] == 14
+    assert manifest["quality"] == 12        # 20 and 21 dropped
+    assert manifest["exact_dedup"] == 11    # 22 collapsed into 1
+    assert manifest["near_dedup"] == 10     # 23 clustered under 2
+    assert manifest["decontaminated"] == 9  # doc 3 shares eval 8-grams
+    assert manifest["sampled"] == 8         # quota 4 per group
+    rows_out = out.collect()
+    assert len(rows_out) == 8
+    for r in rows_out:
+        assert r["seq_id"] == (r["cum_tokens"] - r["n_tokens"]) // 30

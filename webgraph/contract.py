@@ -3299,3 +3299,120 @@ FROM a
 
 
 QUERIES.update({"m_image_decode": (q_m_image_decode, o_m_image_decode)})
+
+
+CLEAN_QUOTA = 50
+CLEAN_SEQ_LEN = 2000
+CLEAN_MIN_TOKENS = 5
+CLEAN_ALPHA_PCT10 = 3
+
+
+def q_d_clean_corpus(spark, sf_dir):
+    """THE END-TO-END PIPELINE: quality gate -> exact dedup -> near-dup
+    clustering -> decontamination (docs with doc_id % 7 == 0 act as the
+    held-out eval set) -> stratified sampling -> sequence packing, as one
+    composed call (webgraph/pipeline.py) with ONE composed oracle —
+    stage ordering and hand-off verified, not just each stage alone."""
+    from webgraph.pipeline import clean_corpus
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    evals = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % DECON_MOD != 0)
+    out, _ = clean_corpus(
+        corpus, evals,
+        min_tokens=CLEAN_MIN_TOKENS, min_alpha_pct10=CLEAN_ALPHA_PCT10,
+        near_threshold=0.9, quota=CLEAN_QUOTA, seq_len=CLEAN_SEQ_LEN,
+        strict=True,
+    )
+    return out
+
+
+def o_d_clean_corpus():
+    from webgraph.dedup import _MIX_BASE, POLY_MOD
+
+    P = POLY_MOD
+    w = DECON_W
+    parts = [
+        # ---- stage 0: eval/train split ---------------------------------
+        f"WITH corpus AS (SELECT doc_id, lang, text FROM documents "
+        f"WHERE doc_id % {DECON_MOD} <> 0),",
+        # ---- stage 1: quality gate (integer cross-multiply) ------------
+        f"q AS (SELECT * FROM corpus WHERE "
+        f"len(regexp_split_to_array(trim(text), '\\s+')) >= {CLEAN_MIN_TOKENS} "
+        f"AND 10 * length(regexp_replace(lower(text), '[^a-z]', '', 'g')) "
+        f">= {CLEAN_ALPHA_PCT10} * length(text)),",
+        # ---- stage 2: exact dedup (first-wins per normalized text) -----
+        "ex AS (SELECT doc_id, lang, text FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY "
+        "regexp_replace(lower(text), '\\s+', ' ', 'g') ORDER BY doc_id) AS rn "
+        "FROM q) WHERE rn = 1),",
+        # ---- stage 3: near-dup pairs (exact trigram jaccard >= 0.9) ----
+        "toks3 AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), "
+        "'\\s+') AS tok FROM ex),",
+        "idx3 AS (SELECT doc_id, tok, unnest(range(1, GREATEST(len(tok) - 2, 1) + 1)) "
+        "AS i FROM toks3),",
+        "tris AS (SELECT DISTINCT doc_id, CASE WHEN len(tok) >= 3 "
+        "THEN tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] "
+        "ELSE array_to_string(tok, ' ') END AS tri FROM idx3),",
+        "sz AS (SELECT doc_id, COUNT(*) AS n FROM tris GROUP BY doc_id),",
+        "pair AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common "
+        "FROM tris x JOIN tris y ON x.tri = y.tri AND x.doc_id < y.doc_id "
+        "GROUP BY x.doc_id, y.doc_id),",
+        "p AS (SELECT a, b FROM pair JOIN sz sa ON a = sa.doc_id "
+        "JOIN sz sb ON b = sb.doc_id "
+        "WHERE common / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.9),",
+        "pv AS (SELECT a AS vid FROM p UNION SELECT b FROM p),",
+        "sym AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),",
+        "l0 AS (SELECT vid, vid AS component FROM pv),",
+    ]
+    for i in range(1, DDC_ROUNDS + 1):
+        pr = i - 1
+        parts += [
+            f"m{i} AS (SELECT s.dst AS vid, MIN(l.component) AS nm "
+            f"FROM sym s JOIN l{pr} l ON s.src = l.vid GROUP BY s.dst),",
+            f"l{i} AS (SELECT l.vid, LEAST(l.component, COALESCE(m.nm, l.component)) "
+            f"AS component FROM l{pr} l LEFT JOIN m{i} m USING (vid)),",
+        ]
+    parts += [
+        f"nd AS (SELECT e.* FROM ex e LEFT JOIN l{DDC_ROUNDS} l ON e.doc_id = l.vid "
+        "WHERE COALESCE(l.component, e.doc_id) = e.doc_id),",
+        # ---- stage 4: decontamination (8-token window fingerprints) ----
+        "du AS (SELECT doc_id, text FROM nd "
+        f"UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % {DECON_MOD} = 0),",
+        "toksw AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), "
+        "'\\s+') AS tok FROM du),",
+        "thw AS (SELECT doc_id, list_transform(tok, t -> list_reduce("
+        "list_prepend(CAST(0 AS BIGINT), list_transform(range(1, len(t)+1), "
+        "i -> CAST(ord(substr(t, CAST(i AS INT), 1)) AS BIGINT))), "
+        f"(h, c) -> (h*31 + c) % {P})) AS hs FROM toksw),",
+        f"winw AS (SELECT doc_id, CASE WHEN len(hs) < {w} THEN "
+        f"[list_reduce(list_prepend(CAST(0 AS BIGINT), hs), (a, h) -> (a*31 + h) % {P})] "
+        f"ELSE list_transform(range(1, len(hs) - {w} + 2), i -> list_reduce("
+        f"list_prepend(CAST(0 AS BIGINT), list_slice(hs, CAST(i AS INT), "
+        f"CAST(i + {w} - 1 AS INT))), (a, h) -> (a*31 + h) % {P})) END AS ws FROM thw),",
+        "wh AS (SELECT DISTINCT doc_id, unnest(ws) AS fp FROM winw),",
+        f"evg AS (SELECT DISTINCT fp FROM wh WHERE doc_id % {DECON_MOD} = 0),",
+        f"hits AS (SELECT doc_id FROM wh JOIN evg USING (fp) "
+        f"WHERE doc_id % {DECON_MOD} <> 0 GROUP BY doc_id),",
+        "dc AS (SELECT * FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM hits)),",
+        # ---- stage 5: stratified sample (seeded hash order) ------------
+        f"keyed AS (SELECT *, ((doc_id % {P}) * {_MIX_BASE} + 42) % {P} AS k "
+        "FROM dc),",
+        "st AS (SELECT doc_id, lang, text, k, rn AS sample_rank FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rn "
+        f"FROM keyed) WHERE rn <= {CLEAN_QUOTA}),",
+        # ---- stage 6: sequence packing (prefix sums in hash order) -----
+        "ps AS (SELECT doc_id, lang, sample_rank, "
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens, "
+        "k FROM st),",
+        "c AS (SELECT doc_id, lang, sample_rank, n_tokens, "
+        "CAST(SUM(n_tokens) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) "
+        "AS BIGINT) AS cum_tokens FROM ps)",
+        "SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank, "
+        "n_tokens, cum_tokens, "
+        f"CAST((cum_tokens - n_tokens) // {CLEAN_SEQ_LEN} AS BIGINT) AS seq_id FROM c",
+    ]
+    return _unrolled(parts)
+
+
+QUERIES.update({"d_clean_corpus": (q_d_clean_corpus, o_d_clean_corpus)})
