@@ -296,3 +296,25 @@ def betweenness_contributions(
     for df in out[1:]:
         result = result.unionByName(df)
     return result
+
+
+def approximate_betweenness(
+    g: EncodedGraph,
+    pivots,
+    max_depth: int,
+    directed: bool = True,
+) -> DataFrame:
+    """Pivot-sampled betweenness centrality: sum of Brandes dependency
+    contributions over a pivot set (the standard estimator — exact
+    betweenness is the same sum over ALL sources; pivot count trades
+    accuracy for sweeps, like harmonic_centrality's landmarks). Returns
+    (vid, betweenness) over every vertex reached by any pivot sweep."""
+    if not pivots:
+        raise ValueError("approximate_betweenness: pivots must be non-empty")
+    out = None
+    for s in pivots:
+        d = betweenness_contributions(g, s, max_depth, directed=directed).select(
+            "vid", "delta"
+        )
+        out = d if out is None else out.unionByName(d)
+    return out.groupBy("vid").agg(F.sum("delta").alias("betweenness"))

@@ -3416,3 +3416,77 @@ def o_d_clean_corpus():
 
 
 QUERIES.update({"d_clean_corpus": (q_d_clean_corpus, o_d_clean_corpus)})
+
+
+BTW_PIVOTS = (0, 7, 42)
+
+
+def q_g_betweenness_pivots(spark, sf_dir):
+    """Pivot-sampled betweenness centrality: per-vertex sum of Brandes
+    dependency contributions over 3 pivots (the standard estimator)."""
+    from webgraph.algos.bfs import approximate_betweenness
+
+    g = from_int_edges(derived_edges2(spark, sf_dir))
+    out = approximate_betweenness(g, BTW_PIVOTS, max_depth=PC_DEPTH)
+    return out.select(
+        "vid", F.round(F.col("betweenness") * 1e6).cast("long").alias("btw_e6")
+    )
+
+
+def _brandes_parts(seed: int, sfx: str) -> tuple[list, str]:
+    """Suffixed Brandes forward+backward CTE chain; returns (parts,
+    SQL for this pivot's (vid, delta) union)."""
+    parts = [
+        f"v0{sfx} AS (SELECT CAST({seed} AS BIGINT) AS vid, "
+        f"CAST(0 AS BIGINT) AS depth, CAST(1 AS BIGINT) AS sigma),",
+    ]
+    prev, seen = f"v0{sfx}", f"v0{sfx}"
+    for d in range(1, PC_DEPTH + 1):
+        parts += [
+            f"n{d}{sfx} AS (SELECT e.dst AS vid, CAST({d} AS BIGINT) AS depth, "
+            f"CAST(SUM(b.sigma) AS BIGINT) AS sigma "
+            f"FROM {prev} b JOIN e ON e.src = b.vid "
+            f"WHERE e.dst NOT IN (SELECT vid FROM {seen}) GROUP BY e.dst),",
+            f"s{d}{sfx} AS (SELECT * FROM {seen} UNION ALL SELECT * FROM n{d}{sfx}),",
+        ]
+        prev, seen = f"n{d}{sfx}", f"s{d}{sfx}"
+    parts.append(
+        f"d{PC_DEPTH}{sfx} AS (SELECT vid, 0e0 AS delta FROM {seen} "
+        f"WHERE depth = {PC_DEPTH}),"
+    )
+    for d in range(PC_DEPTH - 1, -1, -1):
+        parts += [
+            f"c{d}{sfx} AS (SELECT e.src AS v, SUM((1e0 + dw.delta) / w.sigma) AS frac "
+            f"FROM {seen} cur JOIN e ON e.src = cur.vid "
+            f"JOIN {seen} w ON w.vid = e.dst AND w.depth = {d + 1} "
+            f"JOIN d{d + 1}{sfx} dw ON dw.vid = e.dst "
+            f"WHERE cur.depth = {d} GROUP BY e.src),",
+            f"d{d}{sfx} AS (SELECT cur.vid, cur.sigma * COALESCE(c{d}{sfx}.frac, 0e0) "
+            f"AS delta FROM {seen} cur LEFT JOIN c{d}{sfx} ON c{d}{sfx}.v = cur.vid "
+            f"WHERE cur.depth = {d}),",
+        ]
+    union = " UNION ALL ".join(
+        f"SELECT vid, delta FROM d{d}{sfx}" for d in range(PC_DEPTH + 1)
+    )
+    return parts, union
+
+
+def o_g_betweenness_pivots():
+    parts = [f"WITH e AS ({EDGES2_SQL}),"]
+    unions = []
+    for i, s in enumerate(BTW_PIVOTS):
+        p, u = _brandes_parts(s, f"p{i}")
+        parts += p
+        unions.append(u)
+    parts[-1] = parts[-1].rstrip(",")
+    all_u = " UNION ALL ".join(unions)
+    parts.append(
+        f"SELECT vid, CAST(ROUND(SUM(delta) * 1000000e0) AS BIGINT) AS btw_e6 "
+        f"FROM ({all_u}) dd GROUP BY vid"
+    )
+    return _unrolled(parts)
+
+
+QUERIES.update(
+    {"g_betweenness_pivots": (q_g_betweenness_pivots, o_g_betweenness_pivots)}
+)
