@@ -617,7 +617,7 @@ def test_extreme_hub_degree_agg_and_pagerank(spark):
 def test_streaming_cms_replay_does_not_double_count(spark, tmp_path):
     import shutil
 
-    from webgraph.streaming import streaming_cms
+    from webgraph.streaming import read_cms_state, streaming_cms
 
     docs = _docs(
         spark, [(i, "alpha beta gamma token%d" % i) for i in range(40)]
@@ -638,14 +638,14 @@ def test_streaming_cms_replay_does_not_double_count(spark, tmp_path):
 
     drain("ck1")
     first = sorted(
-        map(tuple, spark.read.parquet(str(tmp_path / "state"))
+        map(tuple, read_cms_state(spark, str(tmp_path / "state"))
             .select("row", "bucket", "cnt").collect())
     )
     # simulate a lost checkpoint: every micro-batch replays with the same
-    # batch ids — the state's last_batch watermark must reject them all
+    # batch ids — the state's committed-version watermark must reject them
     drain("ck2")
     second = sorted(
-        map(tuple, spark.read.parquet(str(tmp_path / "state"))
+        map(tuple, read_cms_state(spark, str(tmp_path / "state"))
             .select("row", "bucket", "cnt").collect())
     )
     assert first == second

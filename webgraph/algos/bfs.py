@@ -114,6 +114,174 @@ def bfs_depths(
     return visited.select("vid", "depth"), metrics
 
 
+def _shared_edges(g: EncodedGraph, directed: bool) -> tuple[DataFrame, bool]:
+    """The (src, dst) traversal frame without redundant caching: directed
+    mode projects the EncodedGraph's ALREADY-persisted edges (the
+    projection scans the cache — persisting it again would hold a second
+    in-memory copy); undirected mode materializes the symmetrized set,
+    which IS new data, once. Returns (frame, we_persisted_it) so callers
+    unpersist the symmetrized copy once their outputs are materialized
+    (review finding: the per-call caches were never released)."""
+    if directed:
+        return g.edges.select("src", "dst"), False
+    sym = symmetrize(g.edges).persist()
+    sym.count()
+    return sym, True
+
+
+def multi_path_counts(
+    g: EncodedGraph,
+    roots,
+    max_depth: int,
+    directed: bool = True,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """(root, vid, depth, sigma) — shortest-path counts from EVERY root in
+    one batched level-synchronous sweep (the sigma phase of Brandes'
+    betweenness): sigma(root, v) = sum of sigma(root, u) over predecessors
+    u on shortest paths from that root.
+
+    The frontier is keyed (root, vid), so K roots advance through ONE
+    edges-join + ONE hash aggregate per level instead of K sequential job
+    chains — the same multi-source trick bfs_depths uses for crawl depth,
+    extended to carry sigma. At 100 TB the per-level shuffle is
+    (sum of frontier sizes) rows, and driver latency is levels, not
+    levels x pivots. sigma can grow combinatorially on dense DAG-like
+    graphs — int64 holds ~9.2e18 paths; overflow on adversarial graphs
+    would need decimal, documented here rather than silently wrapped."""
+    if max_depth < 0:
+        raise ValueError(f"multi_path_counts: max_depth must be >= 0, got {max_depth}")
+    roots = [int(s) for s in dict.fromkeys(roots)]
+    if not roots:
+        raise ValueError("multi_path_counts: roots must be non-empty")
+    spark = g.edges.sparkSession
+    roots_df = spark.createDataFrame([(s,) for s in roots], "vid long")
+    missing = roots_df.join(g.vertices.select("vid"), "vid", "left_anti").count()
+    if missing:
+        raise ValueError(f"multi_path_counts: {missing} root vid(s) not in the graph")
+    own_edges = edges is None
+    unpersist = False
+    if own_edges:
+        edges, unpersist = _shared_edges(g, directed)
+    frontier = spark.createDataFrame(
+        [(s, s, 1) for s in roots], "root long, vid long, sigma long"
+    ).localCheckpoint(eager=True)
+    visited = frontier.select(
+        "root", "vid", F.lit(0).alias("depth"), "sigma"
+    ).localCheckpoint(eager=True)
+    for d in range(1, max_depth + 1):
+        # ONE probe for all roots: frontier ⋈ edges, partial-aggregated
+        # map-side on (root, dst) before the shuffle
+        nxt = (
+            frontier.join(edges, frontier.vid == edges.src, "inner")
+            .groupBy("root", F.col("dst").alias("vid"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited.select("root", "vid"), ["root", "vid"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        # materialized above — take(1) reads the checkpoint, no re-execution
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(
+            nxt.select("root", "vid", F.lit(d).alias("depth"), "sigma")
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    if unpersist:
+        edges.unpersist()
+    return visited
+
+
+def multi_betweenness_contributions(
+    g: EncodedGraph,
+    roots,
+    max_depth: int,
+    directed: bool = True,
+) -> DataFrame:
+    """(root, vid, depth, sigma, delta) — Brandes' dependency accumulation
+    for EVERY root in one batched backward sweep. After the shared forward
+    sigma sweep (multi_path_counts), walk the BFS levels BACKWARD
+    accumulating, per root,
+
+        delta(v) = sum_{w in succ(v), depth(w)=depth(v)+1}
+                       (sigma(v)/sigma(w)) * (1 + delta(w)).
+
+    Every backward level is ONE edges ⋈ level-frame join + ONE hash
+    aggregate covering all roots (group keys (root, vid)); levels are
+    materialized so the backward pass re-reads state instead of
+    re-planning it. The (possibly symmetrized) edge frame is built and
+    persisted ONCE and shared by both phases and all roots, then released
+    before returning. Roots whose sweep ends shallower than the global
+    deepest level simply have empty successor frames there (frac NULL ->
+    delta 0), so mixed-eccentricity pivot sets batch correctly."""
+    edges, unpersist = _shared_edges(g, directed)
+    visited = multi_path_counts(
+        g, roots, max_depth, directed=True, edges=edges
+    )  # already localCheckpointed per level
+    deepest = visited.agg(F.max("depth")).collect()[0][0]
+    if deepest is None:
+        if unpersist:
+            edges.unpersist()
+        return visited.select(
+            "root", "vid", "depth", "sigma", F.lit(0.0).alias("delta")
+        )
+    # level frames keyed by depth, enriched with delta bottom-up
+    level = {
+        d: visited.filter(F.col("depth") == d).select("root", "vid", "sigma")
+        for d in range(deepest + 1)
+    }
+    delta = level[deepest].select(
+        "root", "vid", F.lit(0.0).alias("delta")
+    ).localCheckpoint(eager=True)
+    out = [
+        level[deepest].join(delta, ["root", "vid"]).select(
+            "root", "vid", F.lit(deepest).alias("depth"), "sigma", "delta"
+        )
+    ]
+    for d in range(deepest - 1, -1, -1):
+        cur = level[d]
+        succ = level[d + 1].join(delta, ["root", "vid"]).select(
+            "root",
+            F.col("vid").alias("w"),
+            F.col("sigma").alias("sw"),
+            F.col("delta").alias("dw"),
+        )
+        contrib = (
+            cur.join(edges, cur.vid == edges.src, "inner")
+            .join(
+                succ,
+                (cur.root == succ.root) & (F.col("dst") == F.col("w")),
+                "inner",
+            )
+            .groupBy(cur.root.alias("root"), F.col("src").alias("v"))
+            .agg(F.sum((F.lit(1.0) + F.col("dw")) / F.col("sw")).alias("frac"))
+        )
+        delta = (
+            cur.join(
+                contrib,
+                (cur.root == contrib.root) & (cur.vid == F.col("v")),
+                "left",
+            )
+            .select(
+                cur.root.alias("root"),
+                cur.vid.alias("vid"),
+                (F.col("sigma") * F.coalesce(F.col("frac"), F.lit(0.0))).alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out.append(
+            cur.join(delta, ["root", "vid"]).select(
+                "root", "vid", F.lit(d).alias("depth"), "sigma", "delta"
+            )
+        )
+    result = out[0]
+    for df in out[1:]:
+        result = result.unionByName(df)
+    result = result.localCheckpoint(eager=True)
+    if unpersist:
+        edges.unpersist()
+    return result
+
+
 def harmonic_centrality(
     g: EncodedGraph,
     landmarks,
@@ -131,47 +299,30 @@ def harmonic_centrality(
     >= 1 — integer micro-units (floor per term) so the value is exactly
     reproducible on any engine, same convention as lcc_e6/rank_e6.
 
-    Scale: one level-synchronous BFS per landmark over the shared
-    persisted edge table (frontier-sized shuffles only); landmark count is
-    the explicit cost knob."""
+    Scale: ONE batched multi-source sweep keyed (root, vid) — all K
+    landmarks share each level's single edges-join (frontier-sized
+    shuffles, stationary edges); K adds rows to the frontier, not jobs to
+    the driver. Landmark count remains the accuracy/cost knob."""
     if not landmarks:
         raise ValueError("harmonic_centrality: landmarks must be non-empty")
-    if not directed:
-        # symmetrize ONCE and share across landmark sweeps — calling
-        # bfs_depths(directed=False) per landmark would re-persist K
-        # copies of the symmetrized edge set.
-        sym = symmetrize(g.edges).persist()
-        sym.count()
-        g = EncodedGraph(vertices=g.vertices, edges=sym, num_vertices=g.num_vertices)
-        directed = True
-    out = None
-    for lm in landmarks:
-        depths, _ = bfs_depths(g, [lm], max_depth=max_depth, directed=directed)
-        row = (
-            depths.filter(F.col("depth") >= 1)
-            .agg(
-                F.count("*").cast("long").alias("n_reached"),
-                F.coalesce(
-                    F.sum(F.expr("1000000 DIV depth")), F.lit(0)
-                ).cast("long").alias("harmonic_e6"),
-            )
-            .select(F.lit(lm).cast("long").alias("vid"), "n_reached", "harmonic_e6")
+    landmarks = [int(s) for s in dict.fromkeys(landmarks)]
+    visited = multi_path_counts(g, landmarks, max_depth, directed=directed)
+    spark = g.edges.sparkSession
+    lm_df = spark.createDataFrame([(s,) for s in landmarks], "vid long")
+    agg = (
+        visited.filter(F.col("depth") >= 1)
+        .groupBy(F.col("root").alias("vid"))
+        .agg(
+            F.count("*").cast("long").alias("n_reached"),
+            F.sum(F.expr("1000000 DIV depth")).cast("long").alias("harmonic_e6"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
-
-
-def _shared_edges(g: EncodedGraph, directed: bool) -> DataFrame:
-    """The (src, dst) traversal frame without redundant caching: directed
-    mode projects the EncodedGraph's ALREADY-persisted edges (the
-    projection scans the cache — persisting it again would hold a second
-    in-memory copy); undirected mode materializes the symmetrized set,
-    which IS new data, once."""
-    if directed:
-        return g.edges.select("src", "dst")
-    sym = symmetrize(g.edges).persist()
-    sym.count()
-    return sym
+    )
+    # landmarks that reach nothing still get a (0, 0) row
+    return lm_df.join(agg, "vid", "left").select(
+        "vid",
+        F.coalesce(F.col("n_reached"), F.lit(0)).cast("long").alias("n_reached"),
+        F.coalesce(F.col("harmonic_e6"), F.lit(0)).cast("long").alias("harmonic_e6"),
+    )
 
 
 def bfs_path_counts(
@@ -180,44 +331,16 @@ def bfs_path_counts(
     max_depth: int,
     directed: bool = True,
 ) -> DataFrame:
-    """(vid, depth, sigma) — number of distinct SHORTEST paths from the
-    seed to each reachable vertex (the sigma phase of Brandes'
-    betweenness): sigma(v) = sum of sigma(u) over predecessors u on
-    shortest paths (depth(u) = depth(v) - 1).
-
-    Level-synchronous like bfs_depths, with the frontier carrying path
-    counts: per level, frontier ⋈ edges -> groupBy(dst).sum(sigma) ->
-    anti-join visited. Same scale economics (stationary persisted edges,
-    vertex-shaped frontier); sigma can grow combinatorially on dense
-    DAG-like graphs — int64 holds ~9.2e18 paths, overflow on adversarial
-    graphs would need decimal, documented here rather than silently
-    wrapped."""
+    """(vid, depth, sigma) — single-source shortest-path counts; thin
+    wrapper over the batched multi_path_counts (one root) so both surfaces
+    share one implementation and one set of tests."""
     if max_depth < 0:
         raise ValueError(f"bfs_path_counts: max_depth must be >= 0, got {max_depth}")
-    edges = _shared_edges(g, directed)
-    spark = g.edges.sparkSession
     if g.vertices.filter(F.col("vid") == seed).count() == 0:
         raise ValueError(f"bfs_path_counts: seed {seed} not in graph")
-    frontier = spark.createDataFrame(
-        [(int(seed), 1)], "vid long, sigma long"
-    ).localCheckpoint(eager=True)
-    visited = frontier.select("vid", F.lit(0).alias("depth"), "sigma")
-    visited = visited.localCheckpoint(eager=True)
-    for d in range(1, max_depth + 1):
-        nxt = (
-            frontier.join(edges, frontier.vid == edges.src, "inner")
-            .groupBy(F.col("dst").alias("vid"))
-            .agg(F.sum("sigma").alias("sigma"))
-            .join(visited.select("vid"), "vid", "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        if nxt.rdd.isEmpty():
-            break
-        visited = visited.unionByName(
-            nxt.select("vid", F.lit(d).alias("depth"), "sigma")
-        ).localCheckpoint(eager=True)
-        frontier = nxt
-    return visited
+    return multi_path_counts(g, [seed], max_depth, directed=directed).select(
+        "vid", "depth", "sigma"
+    )
 
 
 def betweenness_contributions(
@@ -227,75 +350,14 @@ def betweenness_contributions(
     directed: bool = True,
 ) -> DataFrame:
     """(vid, depth, sigma, delta) — Brandes' single-source dependency
-    accumulation: after the sigma (shortest-path count) forward sweep,
-    walk the BFS levels BACKWARD accumulating
-
-        delta(v) = sum_{w in succ(v), depth(w)=depth(v)+1}
-                       (sigma(v)/sigma(w)) * (1 + delta(w)).
-
-    Summing delta over a pivot/seed sample is the standard approximate
-    betweenness centrality at scale (exact betweenness is one such sweep
-    per vertex — the pivot count is the explicit cost knob, like
-    harmonic_centrality's landmarks).
-
-    Each backward level is one edges ⋈ level-frame join + a hash
-    aggregate — the same stationary-edges economics as the forward sweep;
-    levels are materialized so the backward pass re-reads state instead
-    of re-planning it. The (possibly symmetrized) edge frame is built and
-    persisted ONCE per call and shared with the forward sweep — not one
-    copy per phase (review finding: duplicate persists double the edge
-    cache per pivot)."""
-    edges = _shared_edges(g, directed)
-    g_shared = EncodedGraph(
-        vertices=g.vertices, edges=edges, num_vertices=g.num_vertices
-    )
-    visited = bfs_path_counts(g_shared, seed, max_depth, directed=True)
-    visited = visited.persist()
-    depths = [r["d"] for r in visited.select(F.col("depth").alias("d")).distinct().collect()]
-    if not depths:
-        return visited.select("vid", "depth", "sigma", F.lit(0.0).alias("delta"))
-    deepest = max(depths)
-    # level frames keyed by depth, enriched with delta bottom-up
-    level = {
-        d: visited.filter(F.col("depth") == d).select("vid", "sigma")
-        for d in range(deepest + 1)
-    }
-    delta = level[deepest].select(
-        "vid", F.lit(0.0).alias("delta")
-    ).localCheckpoint(eager=True)
-    out = [
-        level[deepest].join(delta, "vid").select(
-            "vid", F.lit(deepest).alias("depth"), "sigma", "delta"
-        )
-    ]
-    for d in range(deepest - 1, -1, -1):
-        cur = level[d]
-        succ = level[d + 1].join(delta, "vid").select(
-            F.col("vid").alias("w"), F.col("sigma").alias("sw"), F.col("delta").alias("dw")
-        )
-        contrib = (
-            cur.join(edges, cur.vid == edges.src, "inner")
-            .join(succ, F.col("dst") == F.col("w"), "inner")
-            .groupBy(F.col("src").alias("v"))
-            .agg(F.sum((F.lit(1.0) + F.col("dw")) / F.col("sw")).alias("frac"))
-        )
-        delta = (
-            cur.join(contrib, cur.vid == F.col("v"), "left")
-            .select(
-                "vid",
-                (F.col("sigma") * F.coalesce(F.col("frac"), F.lit(0.0))).alias("delta"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        out.append(
-            cur.join(delta, "vid").select(
-                "vid", F.lit(d).alias("depth"), "sigma", "delta"
-            )
-        )
-    result = out[0]
-    for df in out[1:]:
-        result = result.unionByName(df)
-    return result
+    accumulation; thin wrapper over multi_betweenness_contributions (one
+    root). Reports the raw sweep INCLUDING the seed's own depth-0 row —
+    estimators that sum sweeps must drop that row (standard Brandes
+    accumulates C_B[w] += delta_s[w] only for w != s; see
+    approximate_betweenness)."""
+    return multi_betweenness_contributions(
+        g, [seed], max_depth, directed=directed
+    ).select("vid", "depth", "sigma", "delta")
 
 
 def approximate_betweenness(
@@ -305,16 +367,25 @@ def approximate_betweenness(
     directed: bool = True,
 ) -> DataFrame:
     """Pivot-sampled betweenness centrality: sum of Brandes dependency
-    contributions over a pivot set (the standard estimator — exact
+    contributions over a pivot set — the standard estimator (exact
     betweenness is the same sum over ALL sources; pivot count trades
-    accuracy for sweeps, like harmonic_centrality's landmarks). Returns
-    (vid, betweenness) over every vertex reached by any pivot sweep."""
+    accuracy for sweeps, like harmonic_centrality's landmarks). Per
+    Brandes, each sweep's SOURCE row is excluded from the sum
+    (C_B[w] += delta_s[w] only for w != s — the depth-0 row); a pivot
+    still accumulates centrality from the other pivots' sweeps.
+
+    Runs as ONE batched forward + ONE batched backward sweep keyed
+    (pivot, vid) — all K pivots share each level's single edges-join
+    (multi_betweenness_contributions), so K scales frontier rows, not
+    driver-serialized job chains. Returns (vid, betweenness) over every
+    vertex reached by any pivot sweep at depth >= 1."""
     if not pivots:
         raise ValueError("approximate_betweenness: pivots must be non-empty")
-    out = None
-    for s in pivots:
-        d = betweenness_contributions(g, s, max_depth, directed=directed).select(
-            "vid", "delta"
-        )
-        out = d if out is None else out.unionByName(d)
-    return out.groupBy("vid").agg(F.sum("delta").alias("betweenness"))
+    contrib = multi_betweenness_contributions(
+        g, pivots, max_depth, directed=directed
+    )
+    return (
+        contrib.filter(F.col("depth") >= 1)
+        .groupBy("vid")
+        .agg(F.sum("delta").alias("betweenness"))
+    )

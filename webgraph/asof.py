@@ -43,6 +43,17 @@ def as_of_join(
     out_col = out_col or f"last_{value_col}"
     vtype = dict(states.dtypes)[value_col]
     fcols = facts.columns
+    clash = [c for c in ("_t", "_is_state", "_v") if c in fcols]
+    if clash:
+        raise ValueError(
+            f"as_of_join: facts carries reserved working column(s) {clash}; "
+            "rename them before joining"
+        )
+    if out_col in fcols:
+        raise ValueError(
+            f"as_of_join: output column {out_col!r} already exists on facts; "
+            "pass a different out_col"
+        )
     f = facts.select(
         *fcols,
         F.col(fact_time).alias("_t"),

@@ -3128,7 +3128,7 @@ def q_s_stream_cms(spark, sf_dir):
     oracle computes."""
     import tempfile
 
-    from webgraph.streaming import streaming_cms
+    from webgraph.streaming import read_cms_state, streaming_cms
 
     _STREAM_SINK_N[0] += 1
     base = tempfile.mkdtemp(prefix=f"stream_cms_{_STREAM_SINK_N[0]}_")
@@ -3142,7 +3142,7 @@ def q_s_stream_cms(spark, sf_dir):
         .parquet(f"{base}/in")
     )
     streaming_cms(spark, stream, f"{base}/state", f"{base}/ck")
-    sk = spark.read.parquet(f"{base}/state")
+    sk = read_cms_state(spark, f"{base}/state")
     return sk.select(
         F.col("row").cast("int").alias("row"),
         F.col("bucket").cast("long").alias("bucket"),
@@ -3423,7 +3423,9 @@ BTW_PIVOTS = (0, 7, 42)
 
 def q_g_betweenness_pivots(spark, sf_dir):
     """Pivot-sampled betweenness centrality: per-vertex sum of Brandes
-    dependency contributions over 3 pivots (the standard estimator)."""
+    dependency contributions over 3 pivots (the standard estimator —
+    each sweep's own source row excluded, all pivots batched through one
+    (pivot, vid)-keyed forward+backward sweep)."""
     from webgraph.algos.bfs import approximate_betweenness
 
     g = from_int_edges(derived_edges2(spark, sf_dir))
@@ -3465,8 +3467,11 @@ def _brandes_parts(seed: int, sfx: str) -> tuple[list, str]:
             f"AS delta FROM {seen} cur LEFT JOIN c{d}{sfx} ON c{d}{sfx}.v = cur.vid "
             f"WHERE cur.depth = {d}),",
         ]
+    # standard Brandes excludes the sweep's own source (C_B[w] += delta_s[w]
+    # only for w != s): the depth-0 frame d0 is exactly that row, so the
+    # per-pivot union starts at depth 1 — mirroring approximate_betweenness
     union = " UNION ALL ".join(
-        f"SELECT vid, delta FROM d{d}{sfx}" for d in range(PC_DEPTH + 1)
+        f"SELECT vid, delta FROM d{d}{sfx}" for d in range(1, PC_DEPTH + 1)
     )
     return parts, union
 

@@ -197,19 +197,21 @@ def histogram_quantiles(
 
     Two passes: (1) one min/max aggregate pins the range; (2) one
     bins-bounded hash aggregate counts per bin (mergeable: bin counts
-    sum). The quantile readout walks the cumulative histogram (<= bins
-    rows — a window over a tiny frame) and reports each quantile's bin
+    sum). The quantile readout is ONE pass over the cumulative histogram
+    (<= bins rows): each quantile's bin is the unique row straddling its
+    rank (prev_cum below, cum at-or-above — a broadcast join of the tiny
+    quantile list against the tiny cumulative frame), reporting the bin
     LOWER EDGE: error is bounded by one bin width, bins is the explicit
     accuracy knob. Returns (q_pct, est) with est exact-rounded micro-units.
     """
     from pyspark.sql import Window
 
+    spark = df.sparkSession
     lohi = df.agg(
         F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
     ).collect()[0]
     lo, hi = float(lohi["lo"]), float(lohi["hi"])
     if hi <= lo:
-        spark = df.sparkSession
         return spark.createDataFrame(
             [(int(q), int(round(lo * 1e6))) for q in quantiles],
             "q_pct long, est_e6 long",
@@ -222,21 +224,24 @@ def histogram_quantiles(
         F.count("*").alias("cnt")
     )
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
-        "total", F.sum("cnt").over(Window.partitionBy())
+    cum = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("total", F.sum("cnt").over(Window.partitionBy()))
+        .withColumn("prev", F.lag("cum", 1, 0).over(Window.orderBy("bin")))
     )
-    out = None
-    for q in quantiles:
-        first = (
-            cum.filter(F.col("cum") * 100 >= F.col("total") * q)
-            .orderBy("bin")
-            .limit(1)
-            .select(
-                F.lit(int(q)).cast("long").alias("q_pct"),
-                F.round(
-                    (F.lit(lo) + F.col("bin") * F.lit((hi - lo) / bins)) * 1e6
-                ).cast("long").alias("est_e6"),
-            )
-        )
-        out = first if out is None else out.unionByName(first)
-    return out
+    qdf = spark.createDataFrame(
+        [(int(q),) for q in quantiles], "q_pct long"
+    )
+    # first bin whose cumulative count reaches the quantile's rank: cum
+    # straddles total*q (hist rows all have cnt > 0, so the q=0 edge case
+    # resolves to the first bin via prev == 0)
+    hit = (F.col("cum") * 100 >= F.col("total") * F.col("q_pct")) & (
+        (F.col("prev") * 100 < F.col("total") * F.col("q_pct"))
+        | ((F.col("q_pct") == 0) & (F.col("prev") == 0))
+    )
+    return cum.join(F.broadcast(qdf), hit).select(
+        F.col("q_pct").cast("long").alias("q_pct"),
+        F.round(
+            (F.lit(lo) + F.col("bin") * F.lit((hi - lo) / bins)) * 1e6
+        ).cast("long").alias("est_e6"),
+    )

@@ -316,6 +316,37 @@ def stream_distinct_keys(
     return events.select(*keys).dropDuplicates(keys)
 
 
+def _latest_cms_version(state_dir: str) -> int | None:
+    """Largest COMMITTED sketch version under state_dir — a ``v=<batch>``
+    subdir counts only once its ``_SUCCESS`` marker exists, so a crash
+    mid-write leaves an ignorable partial dir, never a readable one."""
+    import os
+
+    if not os.path.isdir(state_dir):
+        return None
+    best = None
+    for name in os.listdir(state_dir):
+        if not name.startswith("v="):
+            continue
+        try:
+            b = int(name[2:])
+        except ValueError:
+            continue
+        if os.path.isfile(os.path.join(state_dir, name, "_SUCCESS")):
+            best = b if best is None or b > best else best
+    return best
+
+
+def read_cms_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The current (latest committed) streaming-CMS sketch as
+    ``(row, bucket, cnt)``. Raises FileNotFoundError before the first
+    commit."""
+    v = _latest_cms_version(state_dir)
+    if v is None:
+        raise FileNotFoundError(f"no committed CMS state under {state_dir}")
+    return spark.read.parquet(f"{state_dir}/v={v}").select("row", "bucket", "cnt")
+
+
 def streaming_cms(
     spark: SparkSession,
     stream_df: DataFrame,
@@ -332,39 +363,46 @@ def streaming_cms(
     batch sketch over all data (the contract oracle checks exactly that).
 
     The sketch is <= depth*width rows, so the running state is collected
-    to the driver and rewritten atomically per batch (write-temp would
-    work too; for a bounded sketch the collect IS the cheap option —
-    unlike row data, sketch size is independent of input).
+    to the driver and written as a NEW version dir ``v=<batch_id>`` per
+    batch; readers (read_cms_state) take the largest version with a
+    ``_SUCCESS`` marker. No live data is ever deleted before its
+    replacement commits — a crash at any point leaves either the old
+    version intact or the old + an ignorable partial (review finding:
+    the previous mode("overwrite") on a single dir had a delete-then-
+    write window that could lose ALL merged state). Superseded versions
+    are pruned only after the new one commits.
 
     Restart-safe: foreachBatch is at-least-once (a crash between the
     state write and the checkpoint offset commit replays the batch), so
-    the state carries the last merged batch_id and a replayed batch is
-    skipped instead of double-counted."""
+    the committed version id IS the last-merged-batch watermark and a
+    replayed batch is skipped instead of double-counted. Empty batches
+    commit an empty (schema-only) version — no placeholder cells that
+    would pollute later merges (review finding)."""
     import os
+    import shutil
 
     from webgraph.sketches import cms_build, cms_merge
 
     def update(batch_df: DataFrame, batch_id: int) -> None:
-        has_state = os.path.isdir(state_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(state_dir)
-        )
-        current = spark.read.parquet(state_dir) if has_state else None
-        if current is not None:
-            last = current.agg(F.max("last_batch")).collect()[0][0]
-            if last is not None and batch_id <= last:
-                return  # replayed batch: already merged, skip
+        last = _latest_cms_version(state_dir)
+        if last is not None and batch_id <= last:
+            return  # replayed batch: already merged, skip
         batch_sketch = cms_build(batch_df, text_col=text_col, width=width, depth=depth)
-        if current is not None:
-            merged = cms_merge(current.select("row", "bucket", "cnt"), batch_sketch)
+        if last is not None:
+            current = read_cms_state(spark, state_dir).filter(F.col("cnt") > 0)
+            merged = cms_merge(current, batch_sketch)
         else:
             merged = batch_sketch
-        rows = [
-            (r["row"], r["bucket"], r["cnt"], batch_id) for r in merged.collect()
-        ]
-        spark.createDataFrame(
-            rows or [(0, 0, 0, batch_id)],
-            "row int, bucket bigint, cnt long, last_batch long",
-        ).write.mode("overwrite").parquet(state_dir)
+        rows = [(r["row"], r["bucket"], r["cnt"]) for r in merged.collect()]
+        # overwrite is safe HERE: v=<batch_id> is only ever written by this
+        # batch, so the only thing it can clobber is this batch's own
+        # crashed partial attempt (which no reader trusts — no _SUCCESS)
+        spark.createDataFrame(rows, "row int, bucket bigint, cnt long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{state_dir}/v={batch_id}")
+        for name in os.listdir(state_dir):  # prune AFTER the new commit
+            if name.startswith("v=") and name != f"v={batch_id}":
+                shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
 
     q = (
         stream_df.writeStream.foreachBatch(update)
