@@ -213,3 +213,91 @@ def test_as_of_join_rejects_reserved_and_clashing_columns(spark):
     ok = spark.createDataFrame([(1, 12)], "uid long, ts long")
     rows = as_of_join(ok, states, "uid", "ts", "ts", "plan").collect()
     assert rows[0]["last_plan"] == "basic"
+
+
+# ------------------------------------------- SALSA / walks resumability --
+
+RING = [(i, (i + 1) % 8) for i in range(8)] + [(0, 4), (5, 2), (6, 1)]
+
+
+def test_salsa_checkpoint_resume_bit_identical(spark, tmp_path):
+    from webgraph.algos.salsa import salsa
+
+    g = _graph(spark, RING)
+    full, _ = salsa(g, max_iter=5)
+    want = {r["vid"]: (r["hub"], r["auth"]) for r in full.collect()}
+
+    d = str(tmp_path / "ck")
+    salsa(g, max_iter=2, checkpoint_dir=d)  # "crash" after iteration 1
+    resumed, metrics = salsa(g, max_iter=5, checkpoint_dir=d, resume=True)
+    got = {r["vid"]: (r["hub"], r["auth"]) for r in resumed.collect()}
+    assert got == want  # bit-identical, not just allclose
+    assert metrics[0]["iteration"] == 2  # resumed, not restarted
+
+    from webgraph.checkpoint import CheckpointManager
+
+    entries = CheckpointManager(d, "salsa").entries()
+    assert [e["iteration"] for e in entries] == list(range(5))
+    assert all("messages" in e["metrics"] for e in entries)
+
+
+def test_walks_checkpoint_resume_bit_identical(spark, tmp_path):
+    from webgraph.algos.walks import deterministic_walks
+
+    g = _graph(spark, RING + [(3, 7)])
+    want = sorted(
+        map(tuple, deterministic_walks(g, walk_len=4, seed=7).collect())
+    )
+
+    d = str(tmp_path / "ck")
+    deterministic_walks(g, walk_len=2, seed=7, checkpoint_dir=d)  # "crash"
+    resumed = deterministic_walks(
+        g, walk_len=4, seed=7, checkpoint_dir=d, resume=True
+    )
+    assert sorted(map(tuple, resumed.collect())) == want
+
+    from webgraph.checkpoint import CheckpointManager
+
+    entries = CheckpointManager(d, "walks").entries()
+    assert [e["iteration"] for e in entries] == [1, 2, 3, 4]
+
+
+# --------------------------------------------- multimodal codec seam --
+
+
+def test_injected_image_decoder_runs_through_arrow_path(spark):
+    # The slot-in claim made concrete: a "real" decoder with the seam
+    # signature runs through the SAME mapInPandas batch function and
+    # produces its values in the output schema.
+    from webgraph.multimodal import decode_images, synthetic_assets
+
+    def real_decoder(data, embed_dim):
+        return len(data) % 100, 42, 1, [float(len(data))] * embed_dim
+
+    assets = synthetic_assets(spark, n=12)
+    out = {r["asset_id"]: r
+           for r in decode_images(assets, embed_dim=4, decoder=real_decoder).collect()}
+    assert out  # image/* rows survived the filter
+    for r in out.values():
+        assert r["height"] == 42 and r["channels"] == 1
+        assert len(r["embedding"]) == 4
+        assert int(r["embedding"][0]) % 100 == r["width"]  # decoder's values
+        assert len(r["sha256"]) == 64  # hashing stays in the shared path
+    # schema identical to the stub path
+    stub_cols = decode_images(assets).columns
+    assert decode_images(assets, decoder=real_decoder).columns == stub_cols
+
+
+def test_injected_frame_sampler_one_to_many(spark):
+    from webgraph.multimodal import sample_video_frames, synthetic_assets
+
+    def real_sampler(data, every_ms, max_frames):
+        return [(i, i * every_ms, "f" * 64) for i in range(3)]  # always 3 frames
+
+    assets = synthetic_assets(spark, n=12)
+    out = sample_video_frames(assets, every_ms=500, sampler=real_sampler)
+    rows = out.collect()
+    n_videos = assets.filter("mime like 'video/%'").count()
+    assert len(rows) == 3 * n_videos  # one-to-many expansion preserved
+    assert {r["ts_ms"] for r in rows} == {0, 500, 1000}
+    assert out.columns == sample_video_frames(assets).columns

@@ -57,6 +57,8 @@ def deterministic_walks(
     g: EncodedGraph,
     walk_len: int = 4,
     seed: int = 42,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """One walk per vertex, `walk_len` steps (or until a dangling vertex
     ends it early). Returns (walk_id, step, vid) with step 0 = the seed
@@ -66,26 +68,58 @@ def deterministic_walks(
     persisted edge table — identical join key and physical layout every
     step, so only the small frontier re-shuffles (the PageRank iteration
     economics). The per-walk argmin is a hash aggregate, not a window: no
-    per-key sort, partial aggregation map-side."""
+    per-key sort, partial aggregation map-side.
+
+    With ``checkpoint_dir`` each step commits the accumulated
+    (walk_id, step, vid) table via CheckpointManager; ``resume=True``
+    reloads the last committed step and continues — the frontier is
+    exactly the max-step rows (walks that ended early have no row there),
+    so a resumed run is bit-identical to an uninterrupted one (the
+    deterministic step hash carries no RNG state to restore)."""
+    from webgraph.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(checkpoint_dir, "walks") if checkpoint_dir else None
     edges = g.edges.select("src", "dst").persist()
     frontier = g.vertices.select(
         F.col("vid").alias("walk_id"), F.col("vid").alias("cur")
     )
-    out = [frontier.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("vid"))]
-    for t in range(1, walk_len + 1):
+    acc = frontier.select(
+        "walk_id", F.lit(0).alias("step"), F.col("cur").alias("vid")
+    )
+    start_step = 1
+    if ckpt and resume:
+        loaded = ckpt.load_latest(g.edges.sparkSession)
+        if loaded is not None:
+            acc, last = loaded
+            frontier = acc.filter(F.col("step") == last).select(
+                "walk_id", F.col("vid").alias("cur")
+            )
+            start_step = last + 1
+    for t in range(start_step, walk_len + 1):
         h = _step_hash(F.col("cur"), t, F.col("dst"), seed)
         nxt = (
             frontier.join(edges, frontier.cur == edges.src, "inner")
             .groupBy("walk_id")
             .agg(F.min(F.struct(h.alias("h"), F.col("dst").alias("d"))).alias("m"))
             .select("walk_id", F.col("m.d").alias("cur"))
-            .localCheckpoint(eager=True)  # truncate per-step lineage
         )
-        out.append(
-            nxt.select("walk_id", F.lit(t).alias("step"), F.col("cur").alias("vid"))
-        )
-        frontier = nxt
-    result = out[0]
-    for df in out[1:]:
-        result = result.unionByName(df)
-    return result
+        if ckpt:
+            acc = ckpt.commit(
+                acc.unionByName(
+                    nxt.select(
+                        "walk_id", F.lit(t).alias("step"), F.col("cur").alias("vid")
+                    )
+                ),
+                t,
+                {"step": t},
+            )
+            frontier = acc.filter(F.col("step") == t).select(
+                "walk_id", F.col("vid").alias("cur")
+            )
+        else:
+            nxt = nxt.localCheckpoint(eager=True)  # truncate per-step lineage
+            acc = acc.unionByName(
+                nxt.select("walk_id", F.lit(t).alias("step"), F.col("cur").alias("vid"))
+            )
+            frontier = nxt
+    return acc

@@ -75,22 +75,40 @@ def _fake_embedding(payload: bytes, dim: int = 16) -> list[float]:
     ]
 
 
-def decode_images(assets: DataFrame, embed_dim: int = 16) -> DataFrame:
+def _default_image_decoder(data: bytes, embed_dim: int):
+    """The shipped decoder: deterministic fake, or a loud refusal when the
+    deployment claims real codecs but none is injected. A REAL decoder
+    (PIL.Image.open -> size/mode + any embedding model) has exactly this
+    signature — bytes in, (w, h, c, embedding) out — and slots into
+    decode_images via the `decoder=` seam with zero plumbing changes
+    (proved by tests/test_round4.py's injected-decoder test)."""
+    if REAL_CODECS:
+        raise NotImplementedError(
+            "real image decode requires Pillow; not shipped in this container"
+        )
+    w, h, c = _fake_decode(data)
+    return w, h, c, _fake_embedding(data, embed_dim)
+
+
+def decode_images(
+    assets: DataFrame, embed_dim: int = 16, decoder=None
+) -> DataFrame:
     """image bytes -> (dims, hash, feature vector) via Arrow batches.
 
     The payload column is dropped inside the batch function — downstream
-    stages shuffle ~100 B/row of features instead of megabyte blobs."""
+    stages shuffle ~100 B/row of features instead of megabyte blobs.
+    `decoder(data, embed_dim) -> (w, h, channels, embedding)` is the
+    codec seam: the default is the deterministic fake (or the REAL_CODECS
+    refusal); injecting a real one exercises the identical mapInPandas
+    batch path."""
+    decode = decoder or _default_image_decoder
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if REAL_CODECS:
-                raise NotImplementedError(
-                    "real image decode requires Pillow; not shipped in this container"
-                )
             rows = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["media"]):
                 data = bytes(payload) if payload is not None else b""
-                w, h, c = _fake_decode(data)
+                w, h, c, emb = decode(data, embed_dim)
                 rows.append(
                     {
                         "asset_id": asset_id,
@@ -98,7 +116,7 @@ def decode_images(assets: DataFrame, embed_dim: int = 16) -> DataFrame:
                         "height": h,
                         "channels": c,
                         "sha256": hashlib.sha256(data).hexdigest(),
-                        "embedding": _fake_embedding(data, embed_dim),
+                        "embedding": emb,
                     }
                 )
             yield pd.DataFrame(rows)
@@ -109,33 +127,47 @@ def decode_images(assets: DataFrame, embed_dim: int = 16) -> DataFrame:
 
 
 def sample_video_frames(
-    assets: DataFrame, every_ms: int = 1000, max_frames: int = 16
+    assets: DataFrame, every_ms: int = 1000, max_frames: int = 16, sampler=None
 ) -> DataFrame:
     """video bytes -> sampled frame records. Frame extraction itself is the
     stub (deterministic frame hashes from (content, idx)); the exploded
     one-to-many shape and timestamps are the real contract ffmpeg slots
-    into."""
+    into, via the same `sampler=` seam as decode_images' `decoder=`."""
+    return _sample_video_frames(assets, every_ms, max_frames, sampler=sampler)
+
+
+def _default_frame_sampler(data: bytes, every_ms: int, max_frames: int):
+    """bytes -> [(frame_idx, ts_ms, frame_sha256)]. A real ffmpeg sampler
+    has this exact signature (decode, seek every_ms, hash each frame)."""
+    if REAL_CODECS:
+        raise NotImplementedError(
+            "real frame sampling requires ffmpeg; not shipped in this container"
+        )
+    # fake duration: proportional to payload size
+    n = min(max_frames, max(1, len(data) // 64))
+    return [
+        (i, i * every_ms, hashlib.sha256(data + i.to_bytes(4, "little")).hexdigest())
+        for i in range(n)
+    ]
+
+
+def _sample_video_frames(
+    assets: DataFrame, every_ms: int, max_frames: int, sampler=None
+) -> DataFrame:
+    sample = sampler or _default_frame_sampler
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if REAL_CODECS:
-                raise NotImplementedError(
-                    "real frame sampling requires ffmpeg; not shipped in this container"
-                )
             rows = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["media"]):
                 data = bytes(payload) if payload is not None else b""
-                # fake duration: proportional to payload size
-                n = min(max_frames, max(1, len(data) // 64))
-                for i in range(n):
+                for i, ts, sha in sample(data, every_ms, max_frames):
                     rows.append(
                         {
                             "asset_id": asset_id,
                             "frame_idx": i,
-                            "ts_ms": i * every_ms,
-                            "frame_sha256": hashlib.sha256(
-                                data + i.to_bytes(4, "little")
-                            ).hexdigest(),
+                            "ts_ms": ts,
+                            "frame_sha256": sha,
                         }
                     )
             yield pd.DataFrame(rows)
