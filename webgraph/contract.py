@@ -3327,7 +3327,10 @@ def q_d_clean_corpus(spark, sf_dir):
     return out
 
 
-def o_d_clean_corpus():
+def _clean_corpus_parts() -> list[str]:
+    """The composed 6-stage pipeline CTE chain, shared by the row-level
+    oracle (o_d_clean_corpus) and the manifest-count oracle
+    (o_d_clean_manifest) — one derivation, two readouts."""
     from webgraph.dedup import _MIX_BASE, POLY_MOD
 
     P = POLY_MOD
@@ -3407,15 +3410,64 @@ def o_d_clean_corpus():
         "k FROM st),",
         "c AS (SELECT doc_id, lang, sample_rank, n_tokens, "
         "CAST(SUM(n_tokens) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) "
-        "AS BIGINT) AS cum_tokens FROM ps)",
+        "AS BIGINT) AS cum_tokens FROM ps),",
+    ]
+    return parts
+
+
+def o_d_clean_corpus():
+    parts = _clean_corpus_parts()
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
         "SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank, "
         "n_tokens, cum_tokens, "
-        f"CAST((cum_tokens - n_tokens) // {CLEAN_SEQ_LEN} AS BIGINT) AS seq_id FROM c",
-    ]
+        f"CAST((cum_tokens - n_tokens) // {CLEAN_SEQ_LEN} AS BIGINT) AS seq_id FROM c"
+    )
     return _unrolled(parts)
 
 
 QUERIES.update({"d_clean_corpus": (q_d_clean_corpus, o_d_clean_corpus)})
+
+
+def q_d_clean_manifest(spark, sf_dir):
+    """The pipeline's per-stage drop accounting as a contract row: the
+    manifest clean_corpus returns (stage -> surviving count) is exactly
+    what a production run reports, so it is verified against the same
+    composed oracle derivation as the row-level output."""
+    from webgraph.pipeline import clean_corpus
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    evals = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % DECON_MOD != 0)
+    _, manifest = clean_corpus(
+        corpus, evals,
+        min_tokens=CLEAN_MIN_TOKENS, min_alpha_pct10=CLEAN_ALPHA_PCT10,
+        near_threshold=0.9, quota=CLEAN_QUOTA, seq_len=CLEAN_SEQ_LEN,
+        strict=True,
+    )
+    return spark.createDataFrame(
+        [(k, int(v)) for k, v in manifest.items()], "stage string, n_rows long"
+    )
+
+
+def o_d_clean_manifest():
+    parts = _clean_corpus_parts()
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        "SELECT stage, n_rows FROM ("
+        "SELECT 'input' AS stage, CAST(COUNT(*) AS BIGINT) AS n_rows FROM corpus "
+        "UNION ALL SELECT 'quality', COUNT(*) FROM q "
+        "UNION ALL SELECT 'exact_dedup', COUNT(*) FROM ex "
+        "UNION ALL SELECT 'near_dedup', COUNT(*) FROM nd "
+        "UNION ALL SELECT 'decontaminated', COUNT(*) FROM dc "
+        "UNION ALL SELECT 'sampled', COUNT(*) FROM st "
+        f"UNION ALL SELECT 'sequences', MAX(cum_tokens // {CLEAN_SEQ_LEN}) + 1 FROM c"
+        ") t"
+    )
+    return _unrolled(parts)
+
+
+QUERIES.update({"d_clean_manifest": (q_d_clean_manifest, o_d_clean_manifest)})
 
 
 BTW_PIVOTS = (0, 7, 42)
@@ -3494,4 +3546,114 @@ def o_g_betweenness_pivots():
 
 QUERIES.update(
     {"g_betweenness_pivots": (q_g_betweenness_pivots, o_g_betweenness_pivots)}
+)
+
+
+# ------------------------------------------- warm-start PageRank (r04) --
+
+WARM_ITERS = 3
+
+
+def q_g_pagerank_warm(spark, sf_dir):
+    """Warm-started PageRank: seed the rank vector from a deterministic
+    prior (1 + vid % 3, L1-normalized by the engine) and run WARM_ITERS
+    fixed iterations — the incremental-maintenance path (re-rank after a
+    graph delta starting from the old fixpoint), previously pytest-only,
+    now oracle-checked via the same unrolled-SQL pattern as g_pagerank."""
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    seed = g.vertices.select(
+        "vid", (F.lit(1.0) + (F.col("vid") % 3).cast("double")).alias("rank")
+    )
+    ranks, _ = pagerank(
+        g, damping=DAMPING, tol=0.0, max_iter=WARM_ITERS,
+        initial_ranks=seed, collect_skew=False,
+    )
+    return ranks.select(
+        "vid", F.round(F.col("rank") * 1e6).cast("long").alias("rank_e6")
+    )
+
+
+def o_g_pagerank_warm():
+    d = DAMPING
+    parts = [
+        f"WITH e AS ({EDGES_SQL}),",
+        f"v AS ({VERTS_SQL}),",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),",
+        "outd AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY src),",
+        # seeded prior, L1-normalized — mirrors pagerank(initial_ranks=...)
+        "r0 AS (SELECT vid, (1e0 + CAST(vid % 3 AS DOUBLE)) "
+        "/ (SELECT SUM(1e0 + CAST(vid % 3 AS DOUBLE)) FROM v) AS rank FROM v),",
+    ]
+    for i in range(1, WARM_ITERS + 1):
+        p = i - 1
+        parts += [
+            f"d{i} AS (SELECT COALESCE(SUM(rank), 0e0) AS dm FROM r{p} "
+            f"WHERE vid NOT IN (SELECT src FROM e)),",
+            f"c{i} AS (SELECT e.dst AS vid, SUM(r.rank / o.deg) AS contrib "
+            f"FROM e JOIN r{p} r ON e.src = r.vid JOIN outd o ON e.src = o.src "
+            f"GROUP BY e.dst),",
+            f"r{i} AS (SELECT v.vid, (SELECT {1.0 - d}e0/n FROM nn) "
+            f"+ {d}e0 * ((SELECT dm FROM d{i}) / (SELECT n FROM nn) "
+            f"+ COALESCE(c.contrib, 0e0)) AS rank "
+            f"FROM v LEFT JOIN c{i} c USING (vid)),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT vid, CAST(ROUND(rank * 1000000e0) AS BIGINT) AS rank_e6 "
+        f"FROM r{WARM_ITERS}"
+    )
+    return _unrolled(parts)
+
+
+QUERIES.update({"g_pagerank_warm": (q_g_pagerank_warm, o_g_pagerank_warm)})
+
+
+# --------------------------------- incremental edge merge parity (r04) --
+
+
+def q_s_incremental_merge(spark, sf_dir):
+    """Drained-stream-equals-batch parity for the incremental graph
+    maintainer: lineitem rows drained as a 4-file stream, each micro-batch
+    mapped to (src, dst) edges and merged into the append-only edge state
+    (per-batch delta anti-joined against committed state, write-then-log
+    manifest). The drained state must equal the one-shot batch derivation
+    — which IS the oracle's EDGES_SQL."""
+    import tempfile
+
+    from webgraph.streaming import incremental_edge_merge, read_edge_state
+
+    _STREAM_SINK_N[0] += 1
+    base = tempfile.mkdtemp(prefix=f"inc_merge_{_STREAM_SINK_N[0]}_")
+    load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_partkey").cast("long").alias("l_partkey"),
+    ).repartition(4).write.parquet(f"{base}/in")
+    stream = (
+        spark.readStream.schema("l_orderkey long, l_partkey long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/in")
+    )
+
+    def extract(batch):
+        return batch.select(
+            (F.col("l_orderkey") % N_NODES).alias("src"),
+            (F.col("l_partkey") % N_NODES).alias("dst"),
+        ).distinct()
+
+    q = incremental_edge_merge(
+        spark, stream, f"{base}/state", [], f"{base}/ck", extract_fn=extract
+    )
+    q.awaitTermination()
+    edges = read_edge_state(spark, f"{base}/state")
+    return edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+
+
+def o_s_incremental_merge():
+    return f"WITH e AS ({EDGES_SQL}) SELECT src, dst FROM e"
+
+
+QUERIES.update(
+    {"s_incremental_merge": (q_s_incremental_merge, o_s_incremental_merge)}
 )

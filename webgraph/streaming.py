@@ -230,11 +230,19 @@ def incremental_edge_merge(
     state_dir: str,
     domains: list[str],
     checkpoint_dir: str,
+    extract_fn=None,
 ):
     """Micro-batch graph maintenance: every batch of new documents is
     extracted/filtered and merged into the persistent edge table with the
     same get-or-create/dedup semantics as the batch build (J1/J3) — the
     observer-consumer loop as foreachBatch. Returns the StreamingQuery.
+
+    ``extract_fn(batch_df) -> (src, dst) DataFrame`` overrides the default
+    crawl-corpus extraction (build_graph over `domains`) — the merge/commit
+    protocol is extraction-agnostic, so any edge derivation streams through
+    the same exactly-once state machinery (the contract's
+    s_incremental_merge drains lineitem-derived edges through it and checks
+    drained-state == batch-derivation equality).
 
     Commit protocol (append-only, per-batch cost O(|batch|) written bytes):
 
@@ -265,7 +273,11 @@ def incremental_edge_merge(
         committed = {e["batch_id"] for e in _edge_manifest_entries(state_dir)}
         if batch_id in committed:
             return  # replayed batch already durable: exactly-once
-        new_edges = build_graph(batch_df, domains).edges
+        new_edges = (
+            extract_fn(batch_df)
+            if extract_fn is not None
+            else build_graph(batch_df, domains).edges
+        )
         existing = read_edge_state(spark, state_dir)
         delta = (
             new_edges
