@@ -43,7 +43,10 @@ def neighborhood_sizes_exact(g: EncodedGraph, radius: int = 2) -> DataFrame:
     and correctness oracles; switch to hyperball at scale."""
     if radius < 0:
         raise ValueError(f"radius must be >= 0, got {radius}")
-    edges = g.edges.select("src", "dst").persist()
+    # project the ALREADY-persisted EncodedGraph edges — re-persisting
+    # the projection would hold a second in-memory copy (the
+    # _shared_edges rule, webgraph/algos/bfs.py)
+    edges = g.edges.select("src", "dst")
     ball = g.vertices.select(F.col("vid").alias("root"), F.col("vid").alias("member"))
     for _ in range(radius):
         grown = ball.join(
@@ -99,7 +102,10 @@ def hyperball_registers(
     if radius < 0:
         raise ValueError(f"radius must be >= 0, got {radius}")
     spark = g.edges.sparkSession
-    edges = g.edges.select("src", "dst").persist()
+    # project the ALREADY-persisted EncodedGraph edges — re-persisting
+    # the projection would hold a second in-memory copy (the
+    # _shared_edges rule, webgraph/algos/bfs.py)
+    edges = g.edges.select("src", "dst")
     v = g.vertices.select("vid")
     h = vertex_hash(F.col("vid"), seed)
     own = v.select(
@@ -168,7 +174,10 @@ def hyperball_registers_wide(
     """
     if radius < 0:
         raise ValueError(f"radius must be >= 0, got {radius}")
-    edges = g.edges.select("src", "dst").persist()
+    # project the ALREADY-persisted EncodedGraph edges — re-persisting
+    # the projection would hold a second in-memory copy (the
+    # _shared_edges rule, webgraph/algos/bfs.py)
+    edges = g.edges.select("src", "dst")
     regs = _wide_init(g, m, seed)
     for _ in range(radius):
         regs = _wide_merge_round(edges, regs, m)
@@ -239,7 +248,10 @@ def neighborhood_function(
     the same as the deepest ball). Returns per-radius metrics
     [{r, est_pairs}] — the curve behind effective-diameter reporting.
     """
-    edges = g.edges.select("src", "dst").persist()
+    # project the ALREADY-persisted EncodedGraph edges — re-persisting
+    # the projection would hold a second in-memory copy (the
+    # _shared_edges rule, webgraph/algos/bfs.py)
+    edges = g.edges.select("src", "dst")
     regs = _wide_init(g, m, seed)
 
     def total_estimate(r_df: DataFrame) -> float:

@@ -53,7 +53,10 @@ def modularity(g: EncodedGraph, mapping: DataFrame) -> DataFrame:
             * (F.col("d").cast("double") / F.lit(float(s)))
         ).alias("q"),
     )
-    return per_c.agg(
+    out = per_c.agg(
         F.count("*").cast("long").alias("n_communities"),
         F.round(F.sum("q") * 1e6).cast("long").alias("modularity_e6"),
-    )
+    ).localCheckpoint(eager=True)  # 1 row — materialize, then free the caches
+    tagged.unpersist()
+    sym.unpersist()
+    return out

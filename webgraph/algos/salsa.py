@@ -111,4 +111,9 @@ def salsa(
         metrics.append(m)
         if ckpt:
             ckpt.log_entry(it, m)
+    # state is materialized (localCheckpoint / parquet re-read), so the
+    # normalized edge caches can be released (review finding: per-call
+    # caches were never unpersisted)
+    e_fwd.unpersist()
+    e_bwd.unpersist()
     return state, metrics

@@ -79,7 +79,9 @@ def deterministic_walks(
     from webgraph.checkpoint import CheckpointManager
 
     ckpt = CheckpointManager(checkpoint_dir, "walks") if checkpoint_dir else None
-    edges = g.edges.select("src", "dst").persist()
+    # projection of the already-persisted EncodedGraph edges (no second
+    # cache copy — the _shared_edges rule, webgraph/algos/bfs.py)
+    edges = g.edges.select("src", "dst")
     frontier = g.vertices.select(
         F.col("vid").alias("walk_id"), F.col("vid").alias("cur")
     )
