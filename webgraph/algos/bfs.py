@@ -325,6 +325,47 @@ def harmonic_centrality(
     )
 
 
+def closeness_centrality(
+    g: EncodedGraph,
+    landmarks,
+    max_depth: int,
+    directed: bool = True,
+) -> DataFrame:
+    """Landmark closeness centrality: n_reached / sum(d(l, v)) over the
+    depth-bounded reachable set — harmonic_centrality's sibling (the two
+    are the standard pivot pair; closeness penalizes a few far vertices
+    where harmonic discounts them). Returns (vid, n_reached, sum_depth,
+    closeness_e6) with closeness_e6 = 1e6 * n_reached DIV sum_depth —
+    pure integer arithmetic, exactly engine-reproducible; landmarks that
+    reach nothing get (0, 0, 0).
+
+    Scale: identical economics to harmonic_centrality — the SAME batched
+    (root, vid)-keyed multi-source sweep, so K landmarks cost one
+    edges-join per level, then one tiny aggregate per landmark."""
+    if not landmarks:
+        raise ValueError("closeness_centrality: landmarks must be non-empty")
+    landmarks = [int(s) for s in dict.fromkeys(landmarks)]
+    visited = multi_path_counts(g, landmarks, max_depth, directed=directed)
+    spark = g.edges.sparkSession
+    lm_df = spark.createDataFrame([(s,) for s in landmarks], "vid long")
+    agg = (
+        visited.filter(F.col("depth") >= 1)
+        .groupBy(F.col("root").alias("vid"))
+        .agg(
+            F.count("*").cast("long").alias("n_reached"),
+            F.sum("depth").cast("long").alias("sum_depth"),
+        )
+    )
+    return lm_df.join(agg, "vid", "left").select(
+        "vid",
+        F.coalesce(F.col("n_reached"), F.lit(0)).cast("long").alias("n_reached"),
+        F.coalesce(F.col("sum_depth"), F.lit(0)).cast("long").alias("sum_depth"),
+        F.coalesce(
+            F.expr("1000000 * n_reached DIV sum_depth"), F.lit(0)
+        ).cast("long").alias("closeness_e6"),
+    )
+
+
 def bfs_path_counts(
     g: EncodedGraph,
     seed: int,

@@ -2329,6 +2329,47 @@ def o_g_harmonic():
 QUERIES.update({"g_harmonic": (q_g_harmonic, o_g_harmonic)})
 
 
+def q_g_closeness(spark, sf_dir):
+    """Landmark closeness centrality (reachable count over summed hop
+    distance, integer micro-units) — harmonic's sibling over the same
+    graph/landmarks, sharing the one batched multi-source sweep."""
+    from webgraph.algos.bfs import closeness_centrality
+
+    g = from_int_edges(derived_edges2(spark, sf_dir))
+    return closeness_centrality(g, HC_LANDMARKS, max_depth=HC_DEPTH)
+
+
+def o_g_closeness():
+    blocks = []
+    selects = []
+    for i, lm in enumerate(HC_LANDMARKS):
+        blocks.append(
+            f"c{i} (vid, depth) AS (\n"
+            f"  SELECT {lm}, 0\n"
+            f"  UNION\n"
+            f"  SELECT e.dst, c{i}.depth + 1 FROM c{i} JOIN e ON e.src = c{i}.vid\n"
+            f"  WHERE c{i}.depth < {HC_DEPTH}\n)"
+        )
+        selects.append(
+            f"SELECT CAST({lm} AS BIGINT) AS vid, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_reached, "
+            f"CAST(COALESCE(SUM(d), 0) AS BIGINT) AS sum_depth, "
+            f"CAST(COALESCE(1000000 * COUNT(*) // SUM(d), 0) AS BIGINT) "
+            f"AS closeness_e6 "
+            f"FROM (SELECT vid, MIN(depth) AS d FROM c{i} GROUP BY vid) t{i} "
+            f"WHERE d >= 1"
+        )
+    return (
+        f"WITH RECURSIVE e AS ({EDGES2_SQL}),\n"
+        + ",\n".join(blocks)
+        + "\n"
+        + " UNION ALL ".join(selects)
+    )
+
+
+QUERIES.update({"g_closeness": (q_g_closeness, o_g_closeness)})
+
+
 BALL_RADIUS = 2
 HB_M = 16
 HB_SEED = 42
@@ -3657,3 +3698,196 @@ def o_s_incremental_merge():
 QUERIES.update(
     {"s_incremental_merge": (q_s_incremental_merge, o_s_incremental_merge)}
 )
+
+
+# ------------------------------------------- line-level dedup (r04) --
+
+# The driver corpus is single-line, so the contract exercises the
+# identical explode -> key-agg -> join-back -> rebuild plan at phrase
+# granularity: ' the ' (a hot stop-token) acts as the line separator,
+# yielding ~1.2k multi-token "lines" of which ~100 instances collide —
+# all three semantic branches (unique kept, first-instance kept,
+# repeat dropped) fire. Real newline behavior is pinned by pytest.
+LINE_SEP = " the "
+
+
+def q_d_line_dedup(spark, sf_dir):
+    """C4/CCNet-style line-level exact dedup within+across documents:
+    a line instance survives iff its normalized form is globally rare
+    (< min_count instances) or it is the corpus-wide first instance of
+    its form; documents are rebuilt in original line order."""
+    from webgraph.dedup import dedup_lines
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_lines(
+        docs, id_col="doc_id", text_col="text", sep=LINE_SEP, min_count=2
+    ).select("doc_id", "text_dedup", "n_kept", "n_dropped")
+
+
+def o_d_line_dedup():
+    # ROW_NUMBER ordered by (doc_id, idx) == Spark's min(struct(id, idx)):
+    # both pick the lexicographically first instance of each form
+    return f"""
+WITH lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, '{LINE_SEP}')) AS line,
+         generate_subscripts(string_split(text, '{LINE_SEP}'), 1) - 1 AS idx
+  FROM documents),
+keyed AS (SELECT doc_id, idx, line, trim(lower(line)) AS k FROM lines),
+flagged AS (
+  SELECT doc_id, idx, line,
+         COUNT(*) OVER (PARTITION BY k) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id, idx) AS rn
+  FROM keyed),
+kept AS (SELECT * FROM flagged WHERE cnt < 2 OR rn = 1),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, '{LINE_SEP}' ORDER BY idx) AS text_dedup,
+         COUNT(*) AS n_kept FROM kept GROUP BY doc_id),
+totals AS (SELECT doc_id, COUNT(*) AS n_total FROM lines GROUP BY doc_id)
+SELECT t.doc_id,
+       COALESCE(r.text_dedup, '') AS text_dedup,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.n_total - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+QUERIES.update({"d_line_dedup": (q_d_line_dedup, o_d_line_dedup)})
+
+
+# ------------------------------------- temperature source mixing (r04) --
+
+# The driver corpus's `source` column is perfectly uniform (25 docs per
+# source at sf0.01) — useless for demonstrating temperature flattening —
+# so the contract derives a deterministic 60/30/10 skew from doc_id and
+# mixes over that: sqrt-temperature yields 94/66/38 where raw
+# proportions would give 120/60/20.
+MIX_TARGET = 200
+
+
+def q_t_mix_sources(spark, sf_dir):
+    """GPT-3/PaLM-style data mixing: per-source quotas proportional to
+    sqrt(n_s), deterministic without-replacement draw (portable-hash
+    order), exact integer quota arithmetic replayed by the oracle."""
+    from webgraph.text import mix_sources
+
+    binned = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 6, "head")
+        .when(F.col("doc_id") % 10 < 9, "mid")
+        .otherwise("tail")
+        .alias("src_bin"),
+    )
+    out = mix_sources(
+        binned, target_rows=MIX_TARGET, source_col="src_bin",
+        id_col="doc_id", alpha="sqrt", seed=42,
+    )
+    return out.select("doc_id", "src_bin", F.col("mix_rank").cast("long").alias("mix_rank"))
+
+
+def o_t_mix_sources():
+    from webgraph.dedup import _MIX_BASE, POLY_MOD
+
+    return f"""
+WITH binned AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 6 THEN 'head'
+              WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'tail' END AS src_bin
+  FROM documents),
+counts AS (SELECT src_bin, COUNT(*) AS n FROM binned GROUP BY src_bin),
+w AS (SELECT src_bin, n, CAST(FLOOR(SQRT(n)*1000) AS BIGINT) AS wt FROM counts),
+tot AS (SELECT SUM(wt) AS tw FROM w),
+q AS (SELECT src_bin, LEAST(n, CAST(({MIX_TARGET} * wt) // tw AS BIGINT)) AS quota
+      FROM w, tot),
+keyed AS (SELECT doc_id, src_bin,
+          ((doc_id % {POLY_MOD}) * {_MIX_BASE} + 42) % {POLY_MOD} AS k FROM binned),
+ranked AS (SELECT doc_id, src_bin,
+           ROW_NUMBER() OVER (PARTITION BY src_bin ORDER BY k, doc_id) AS mix_rank
+           FROM keyed)
+SELECT r.doc_id, r.src_bin, CAST(r.mix_rank AS BIGINT) AS mix_rank
+FROM ranked r JOIN q USING (src_bin) WHERE mix_rank <= quota
+"""
+
+
+QUERIES.update({"t_mix_sources": (q_t_mix_sources, o_t_mix_sources)})
+
+
+# ------------------------------------------- bloom seen-filter (r04) --
+
+BLOOM_SEED = 7
+
+
+def q_t_bloom_seen(spark, sf_dir):
+    """Visited-set Bloom filter: build over the 'seen' 80% of synthetic
+    URL keys, probe with ALL keys — no false negatives by construction,
+    and false positives are bit-reproducible (portable hash), so the
+    oracle checks membership exactly, collisions included."""
+    from webgraph.sketches import bloom_build, bloom_contains
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws("/", F.col("source"), F.col("doc_id").cast("string")).alias(
+            "url_key"
+        ),
+    )
+    seen = docs.filter(F.col("doc_id") % 5 != 0)
+    bits = bloom_build(seen, "url_key", seed=BLOOM_SEED)
+    return bloom_contains(bits, docs, "doc_id", "url_key", seed=BLOOM_SEED)
+
+
+def o_t_bloom_seen():
+    from webgraph.dedup import _MIX_BASE, _MIX_STEP, POLY_MOD
+    from webgraph.sketches import BLOOM_K, BLOOM_M
+
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, len(url_key)+1), "
+        "i -> CAST(ord(substr(url_key, CAST(i AS INT), 1)) AS BIGINT))), "
+        f"(h, c) -> (h*31 + c) % {POLY_MOD})"
+    )
+    ks = ", ".join(str(BLOOM_SEED + i) for i in range(BLOOM_K))
+    pos = f"((h * ({_MIX_BASE} + {_MIX_STEP} * j) + j) % {POLY_MOD}) % {BLOOM_M}"
+    return f"""
+WITH d AS (
+  SELECT doc_id, source || '/' || CAST(doc_id AS VARCHAR) AS url_key FROM documents),
+th AS (SELECT doc_id, {fold} AS h FROM d),
+pr AS (SELECT doc_id, h, unnest([{ks}]) AS j FROM th),
+pp AS (SELECT DISTINCT doc_id, {pos} AS bit_pos FROM pr),
+bits AS (SELECT DISTINCT bit_pos FROM pp WHERE doc_id % 5 <> 0)
+SELECT doc_id, BOOL_AND(bit_pos IN (SELECT bit_pos FROM bits)) AS maybe_present
+FROM pp GROUP BY doc_id
+"""
+
+
+QUERIES.update({"t_bloom_seen": (q_t_bloom_seen, o_t_bloom_seen)})
+
+
+# --------------------------------------------- unigram LM score (r04) --
+
+
+def q_t_lm_score(spark, sf_dir):
+    """Perplexity-bucket quality signal: mean per-token negative
+    log-likelihood under the corpus's own add-one unigram LM, micro-nats."""
+    from webgraph.text import lm_score
+
+    return lm_score(load(spark, sf_dir, "documents"))
+
+
+def o_t_lm_score():
+    return """
+WITH toks0 AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+toks AS (SELECT * FROM toks0 WHERE tok <> ''),
+c AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT SUM(cnt) AS n_total, COUNT(*) AS v_size FROM c),
+s AS (SELECT doc_id, -ln((cnt + 1) / (n_total + v_size)) AS nll
+      FROM toks JOIN c USING (tok), tot)
+SELECT d.doc_id, sc.nll_e6
+FROM documents d LEFT JOIN (
+  SELECT doc_id, CAST(ROUND(AVG(nll) * 1000000) AS BIGINT) AS nll_e6
+  FROM s GROUP BY doc_id) sc USING (doc_id)
+"""
+
+
+QUERIES.update({"t_lm_score": (q_t_lm_score, o_t_lm_score)})

@@ -626,3 +626,76 @@ def decontaminate(
             (F.coalesce(F.col("n"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_count: int = 2,
+) -> DataFrame:
+    """Line-level exact deduplication — the C4/CCNet cleaning step the
+    document-level dedups above can't express: boilerplate lines (nav
+    bars, cookie banners, license headers) repeat across otherwise-unique
+    pages, so dedup must act WITHIN documents at line granularity.
+
+    Semantics (first-wins, deterministic): a line instance survives iff
+    its normalized form (lower+trim) occurs in fewer than `min_count`
+    line instances corpus-wide, OR it is the globally first instance of
+    its form (ordered by (id, line position)). Documents are then
+    reconstructed in original line order. Returns
+    (id, text_dedup, n_kept, n_dropped) — one row per input document,
+    empty string when nothing survives.
+
+    Scale: one explode -> one hash aggregate on the line key carrying
+    (count, argmin-of-(id, idx)) -> one key join back -> one per-doc
+    rebuild aggregate. The line-key aggregate partial-aggregates map-side,
+    so hot boilerplate lines (the skew being removed) collapse before the
+    shuffle — the same economics as exact_duplicates; no per-key sort
+    (a window row_number would sort every hot key's instances).
+
+    `sep` is a regex for line splitting ('\\n' default; the contract
+    exercises the identical plan at token granularity since the driver
+    corpus is single-line)."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("idx", "line"),
+    )
+    keyed = lines.select(
+        id_col, "idx", "line", F.trim(F.lower(F.col("line"))).alias("k")
+    )
+    stats = keyed.groupBy("k").agg(
+        F.count("*").alias("cnt"),
+        F.min(F.struct(F.col(id_col).alias("fid"), F.col("idx").alias("fidx"))).alias(
+            "first"
+        ),
+    )
+    kept = keyed.join(stats, "k").filter(
+        (F.col("cnt") < min_count)
+        | ((F.col("first.fid") == F.col(id_col)) & (F.col("first.fidx") == F.col("idx")))
+    )
+    sep_lit = sep.replace("\\n", "\n")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(idx, line))), "
+            "s -> s.line), '"
+            + sep_lit.replace("'", "\\'")
+            + "')"
+        ).alias("text_dedup"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_total"))
+    return (
+        docs.select(id_col)
+        .join(totals, id_col, "inner")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_total") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )

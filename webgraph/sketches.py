@@ -180,6 +180,81 @@ def hll_count(registers: DataFrame, m: int = 32) -> float:
     return raw
 
 
+# ----------------------------------------------------- bloom filter --
+
+BLOOM_M = 4096
+BLOOM_K = 3
+
+
+def _bloom_pos(h: Column, i: int, m: int, seed: int) -> Column:
+    """Probe position i for element hash h — the CMS row-mix family with
+    the seed folded into the multiplier index, portable integer
+    arithmetic mirrored verbatim by the SQL oracle."""
+    j = seed + i
+    return ((h * F.lit(_MIX_BASE + _MIX_STEP * j) + F.lit(j)) % POLY_MOD) % F.lit(m)
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    seed: int = 0,
+) -> DataFrame:
+    """Bloom filter over a key column as a set-bit relation
+    ``(bit_pos long)`` — the crawler's visited-URL set
+    (AbstractObservableGraphImporter.java:116-123 re-checks existing
+    links per add; a frontier at 100 TB keeps the seen-set as exactly
+    this broadcastable sketch instead of a billion-row join side).
+
+    Scale: ONE narrow projection -> explode(k probes) -> distinct over at
+    most m values; the result is <= m rows regardless of input size, so
+    downstream membership joins BROADCAST it. Mergeable across
+    corpora/days by union-distinct (`bloom_merge`). Hashing is the
+    portable char-fold + row-mix family, so the filter (and hence every
+    false positive) is bit-reproducible in the DuckDB oracle — membership
+    is checked exactly, collisions included."""
+    h = token_hash(F.col(col))
+    probes = F.array(*[_bloom_pos(h, i, m, seed) for i in range(k)])
+    return (
+        df.select(F.explode(probes).alias("bit_pos"))
+        .distinct()
+    )
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Cell-wise OR = union-distinct of the set-bit relations."""
+    return reduce(lambda a, b: a.unionByName(b), filters).distinct()
+
+
+def bloom_contains(
+    bits: DataFrame,
+    probes_df: DataFrame,
+    id_col: str,
+    col: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    seed: int = 0,
+) -> DataFrame:
+    """Membership test: (id, maybe_present) — true iff ALL k probe bits
+    are set (no false negatives; false positives at the classic
+    (1-e^{-kn/m})^k rate, and deterministically identical across engines).
+
+    Scale: the filter side is <= m rows -> broadcast hash join against
+    the exploded probe relation (<= k rows per element), then one
+    all-present aggregate keyed by the element id. No shuffle of the
+    probe corpus beyond the id-keyed agg."""
+    h = token_hash(F.col(col))
+    probes = F.array_distinct(F.array(*[_bloom_pos(h, i, m, seed) for i in range(k)]))
+    pos = probes_df.select(F.col(id_col), F.explode(probes).alias("bit_pos"))
+    hit = F.broadcast(bits.select("bit_pos").distinct().withColumn("_hit", F.lit(1)))
+    return (
+        pos.join(hit, "bit_pos", "left")
+        .groupBy(id_col)
+        .agg((F.min(F.coalesce(F.col("_hit"), F.lit(0))) == 1).alias("maybe_present"))
+    )
+
+
 # ------------------------------------------------- histogram quantiles --
 
 

@@ -8,6 +8,8 @@ inside whole-stage codegen over a 100 TB documents table with only the
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -425,6 +427,123 @@ def stratified_sample(
         .filter(F.col("sample_rank") <= quota)
         .drop("_k")
     )
+
+
+def mix_sources(
+    df: DataFrame,
+    target_rows: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: str | float = "sqrt",
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-flattened source mixing — the GPT-3/PaLM data-mixing
+    primitive: per-source quotas proportional to n_s^alpha (alpha < 1
+    up-weights small sources relative to their raw share), then a
+    deterministic without-replacement draw per source. Returns the
+    selected rows plus ``mix_rank`` (1-based within source).
+
+    alpha: "uniform" (equal quotas), "sqrt" (n^0.5), "linear" (raw
+    proportions), or a float exponent. The three named modes use exact
+    integer weights — "sqrt" is floor(sqrt(n)*1000), and IEEE sqrt is
+    correctly rounded — so quotas are bit-reproducible across engines
+    and an ANSI-SQL oracle can replay them; a float alpha goes through
+    Python pow on the driver and is reproducible across runs/partitions
+    but not SQL-replayable (libm pow is not correctly rounded).
+
+    Scale: one count aggregate, a driver-side quota computation over ONE
+    ROW PER SOURCE (sources are bounded like languages — same documented
+    economics as kmeans_centroids' k x dim), a broadcast quota join, and
+    the stratified_sample rank window. Quota arithmetic is Python
+    arbitrary-precision integers: quota_s = min(n_s, target*w_s // W)
+    never overflows and never rounds, unlike in-plan DECIMAL division.
+    The draw keys on the seeded portable hash, so membership is stable
+    across runs, partitionings, and cluster sizes.
+    """
+    from pyspark.sql import Window
+
+    from webgraph.dedup import _MIX_BASE, POLY_MOD
+
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n")).collect()
+    if alpha == "uniform":
+        weights = {r[source_col]: 1 for r in counts}
+    elif alpha == "sqrt":
+        weights = {r[source_col]: int(math.sqrt(r["n"]) * 1000) for r in counts}
+    elif alpha == "linear":
+        weights = {r[source_col]: r["n"] for r in counts}
+    else:
+        weights = {r[source_col]: int(r["n"] ** float(alpha) * 1000) for r in counts}
+    total_w = sum(weights.values()) or 1
+    quotas = [
+        (r[source_col], min(r["n"], target_rows * weights[r[source_col]] // total_w))
+        for r in counts
+    ]
+    spark = df.sparkSession
+    src_type = df.schema[source_col].dataType.simpleString()
+    qdf = spark.createDataFrame(quotas, f"{source_col} {src_type}, _quota long")
+    key = ((F.col(id_col) % POLY_MOD) * F.lit(_MIX_BASE) + F.lit(seed)) % POLY_MOD
+    w = Window.partitionBy(source_col).orderBy("_k", id_col)
+    return (
+        df.join(F.broadcast(qdf), source_col)
+        .withColumn("_k", key)
+        .withColumn("mix_rank", F.row_number().over(w))
+        # literal bound first: quota_s <= target_rows always, so the
+        # rank-limit pushdown can cut map-side at the literal before the
+        # exact per-source quota cut applies post-shuffle
+        .filter(
+            (F.col("mix_rank") <= F.lit(int(target_rows)))
+            & (F.col("mix_rank") <= F.col("_quota"))
+        )
+        .drop("_k", "_quota")
+    )
+
+
+def lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality score: per-document mean
+    negative log-likelihood under a self-trained add-one-smoothed unigram
+    LM (p(t) = (cnt(t)+1)/(N+V)). Low score = stereotypical text, high =
+    rare-token-heavy (gibberish/boilerplate outliers) — the standard
+    perplexity-bucket signal for corpus filtering, here without an
+    external model artifact. Returns (id, nll_e6) in micro-nats;
+    documents with no tokens get NULL.
+
+    Scale: explode -> one token-count hash aggregate (map-side combine
+    absorbs hot-token skew) -> one token-keyed shuffle join of instances
+    to counts (vocabulary-partitioned; AQE splits residual hot keys) ->
+    one per-doc average. The (N, V) totals ride along as a broadcast
+    1-row cross join. Everything is codegen built-ins; the float path is
+    division + ln whose cross-engine wobble (<= 1 ulp) is orders of
+    magnitude inside the micro-unit rounding."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    ).filter(F.col("tok") != "")  # split('') == [''] in Spark AND DuckDB
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("n_total"), F.count("*").alias("v_size")
+    )
+    scored = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.avg(
+                    -F.log(
+                        (F.col("cnt") + 1)
+                        / (F.col("n_total") + F.col("v_size"))
+                    )
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("nll_e6")
+        )
+    )
+    return df.select(id_col).join(scored, id_col, "left")
 
 
 def repetition_score(
