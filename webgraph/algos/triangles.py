@@ -127,3 +127,158 @@ def clustering_coefficient(g: EncodedGraph) -> DataFrame:
             .cast("long"),
         )
     )
+
+
+def link_prediction(
+    g: EncodedGraph,
+    top_k: int = 50,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Neighborhood-overlap link prediction over the undirected graph:
+    for every non-adjacent pair {a, b} sharing >= 1 common neighbor,
+    (a, b, common_neighbors, ra_e6, jaccard_e6, adamic_adar_e6), top_k
+    pairs by (common_neighbors, ra_e6, a, b) descending. The three
+    classic indices in one pass: common-neighbor count, Resource
+    Allocation (Zhou et al. 2009: sum over shared z of 1/deg(z)), Jaccard
+    of neighborhoods, and Adamic-Adar (sum of 1/ln deg(z)). The crawl
+    analog of "pages that should link but don't" — the ranking signal the
+    reference's in-degree table (README.md:107-112) can't express because
+    it needs the wedge join, not a degree scan.
+
+    Determinism/oracle: ranking uses ONLY integer-exact columns — cn is a
+    count, ra_e6 sums per-center integer terms 1000000 DIV deg(z), and
+    the (a, b) tail makes the sort key unique — so the selected set is
+    bit-identical across engines. adamic_adar_e6 is the lone float column
+    (ln), rounded to micro-units like every *_e6 float in the repo.
+
+    Scale: the wedge generation is sum(deg(z)^2) over centers — the hub
+    blowup triangle counting avoids via orientation is inherent here
+    (both endpoints of a candidate pair are needed). `max_degree` caps
+    the center degree, the standard mitigation (a 10^6-degree hub's
+    common-neighbor evidence is saturated long before 10^12 wedges);
+    None enumerates exactly. One wedge self-join -> one (a,b) hash
+    aggregate (map-side combine collapses repeated pairs) -> one
+    anti-join against the edge set -> two broadcast-size degree joins ->
+    global top-k via TakeOrderedAndProject.
+    """
+    sym = symmetrize(g.edges).persist()
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg")).select(
+        F.col("src").alias("vid"), "deg"
+    )
+    # centers: (z, nbr, deg(z)) — one row per directed edge, deg of the CENTER
+    centers = sym.join(deg, sym["src"] == deg["vid"]).select(
+        F.col("src").alias("z"), F.col("dst").alias("nbr"), F.col("deg").alias("zdeg")
+    )
+    if max_degree is not None:
+        centers = centers.filter(F.col("zdeg") <= max_degree)
+    n1 = centers.select("z", F.col("nbr").alias("a"), "zdeg")
+    n2 = centers.select("z", F.col("nbr").alias("b"))
+    wedges = n1.join(n2, "z").filter(F.col("a") < F.col("b"))
+    cand = wedges.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("common_neighbors"),
+        F.sum(F.expr("1000000 DIV zdeg")).cast("long").alias("ra_e6"),
+        F.sum(1.0 / F.log(F.col("zdeg"))).alias("_aa"),
+    )
+    und = sym.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    nonedges = cand.join(und, ["a", "b"], "left_anti")
+    da = deg.select(F.col("vid").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("vid").alias("b"), F.col("deg").alias("db"))
+    out = (
+        nonedges.join(da, "a").join(db, "b")
+        .select(
+            "a", "b", "common_neighbors", "ra_e6",
+            F.expr(
+                "1000000 * common_neighbors DIV (da + db - common_neighbors)"
+            ).cast("long").alias("jaccard_e6"),
+            F.round(F.col("_aa") * 1e6).cast("long").alias("adamic_adar_e6"),
+        )
+        .orderBy(
+            F.desc("common_neighbors"), F.desc("ra_e6"), F.asc("a"), F.asc("b")
+        )
+        .limit(top_k)
+    )
+    return out
+
+
+def k_truss(
+    g: EncodedGraph,
+    k: int,
+    rounds: int | None = None,
+    max_iter: int = 64,
+) -> DataFrame:
+    """k-truss decomposition: the maximal subgraph whose every edge lies
+    on >= k-2 triangles WITHIN the subgraph — the standard edge-level
+    density backbone one notch above k_core's vertex criterion (every
+    k-truss is inside the (k-1)-core, not vice versa). Returns the
+    surviving undirected edges (a, b, support) with a < b and `support`
+    the triangle count that justified survival in the final round.
+
+    `rounds=None` peels to the fixpoint (raises past `max_iter`, never a
+    silent superset — the k_core no-silent-caps rule); an explicit
+    `rounds` runs exactly that many support/prune rounds (oracle mode:
+    the unrolled-SQL oracle mirrors round-for-round).
+
+    Scale per round: one oriented wedge self-join bounded like J7, one
+    left-semi close, one explode of each triangle to its 3 edges, one
+    (a, b) hash aggregate, one anti/semi prune — all shapes already in
+    triangle_count; per-round localCheckpoint truncates the iterative
+    lineage (SURVEY §4 item 3). Rounds are O(max support) in the worst
+    case but converge in a handful on web graphs.
+    """
+    if k < 2:
+        raise ValueError(f"k_truss: k must be >= 2, got {k}")
+    need = k - 2
+    e = (
+        symmetrize(g.edges)
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    it = 0
+    while True:
+        if rounds is not None and it >= rounds:
+            break
+        if rounds is None and it >= max_iter:
+            raise RuntimeError(
+                f"k_truss(k={k}): no fixpoint after max_iter={max_iter} "
+                "rounds; raise max_iter — a capped result is a superset "
+                "of the true truss, never returned silently"
+            )
+        e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        tri = (
+            e1.join(e2, "y")
+            .join(
+                e.select(F.col("a").alias("x"), F.col("b").alias("z")),
+                ["x", "z"],
+                "left_semi",
+            )
+        )
+        sides = (
+            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+            .unionAll(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+            .unionAll(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+        )
+        sup = sides.groupBy("a", "b").agg(F.count("*").cast("long").alias("support"))
+        kept = (
+            e.join(sup, ["a", "b"], "left")
+            .select(
+                "a", "b",
+                F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support"),
+            )
+            .filter(F.col("support") >= need)
+            .localCheckpoint(eager=True)
+        )
+        n_prev, n_now = e.count(), kept.count()
+        e = kept.select("a", "b").localCheckpoint(eager=True)
+        it += 1
+        if rounds is None and n_now == n_prev:
+            return kept
+    # oracle mode: recompute nothing — `kept` carries round-`rounds` support
+    if rounds == 0:
+        return e.withColumn("support", F.lit(None).cast("long")).select(
+            "a", "b", "support"
+        )
+    return kept

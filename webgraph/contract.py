@@ -3891,3 +3891,161 @@ FROM documents d LEFT JOIN (
 
 
 QUERIES.update({"t_lm_score": (q_t_lm_score, o_t_lm_score)})
+
+
+# ------------------------------------------- link prediction (r04) --
+
+
+def q_g_link_predict(spark, sf_dir):
+    """Top-50 missing-link candidates by neighborhood overlap (common
+    neighbors / Resource Allocation / Jaccard / Adamic-Adar in one wedge
+    pass) — ranking is integer-exact, see algos/triangles.py."""
+    from webgraph.algos.triangles import link_prediction
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    return link_prediction(g, top_k=50)
+
+
+def o_g_link_predict():
+    return f"""
+WITH e AS ({EDGES_SQL}),
+s AS ({SYM_SQL}),
+deg AS (SELECT src AS vid, COUNT(*) AS deg FROM s GROUP BY src),
+c AS (SELECT s.src AS z, s.dst AS nbr, d.deg AS zdeg
+      FROM s JOIN deg d ON s.src = d.vid),
+w AS (SELECT n1.nbr AS a, n2.nbr AS b, n1.zdeg
+      FROM c n1 JOIN c n2 ON n1.z = n2.z WHERE n1.nbr < n2.nbr),
+cand AS (SELECT a, b, COUNT(*) AS cn, SUM(1000000 // zdeg) AS ra,
+                SUM(1.0 / LN(zdeg)) AS aa
+         FROM w GROUP BY a, b),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e WHERE src <> dst),
+ne AS (SELECT cand.* FROM cand
+       WHERE NOT EXISTS (SELECT 1 FROM und
+                         WHERE und.a = cand.a AND und.b = cand.b))
+SELECT ne.a, ne.b,
+  CAST(cn AS BIGINT) AS common_neighbors,
+  CAST(ra AS BIGINT) AS ra_e6,
+  CAST(1000000 * cn // (da.deg + db.deg - cn) AS BIGINT) AS jaccard_e6,
+  CAST(ROUND(aa * 1000000) AS BIGINT) AS adamic_adar_e6
+FROM ne JOIN deg da ON ne.a = da.vid JOIN deg db ON ne.b = db.vid
+ORDER BY cn DESC, ra DESC, ne.a, ne.b LIMIT 50
+"""
+
+
+QUERIES.update({"g_link_predict": (q_g_link_predict, o_g_link_predict)})
+
+
+# ------------------------------------------------- k-truss (r04) --
+
+KT_K = 3
+KT_ROUNDS = 3
+
+
+def q_g_ktruss(spark, sf_dir):
+    """k-truss edges after exactly KT_ROUNDS support/prune rounds (oracle
+    mode; the fixpoint API is pytest-pinned) — edge-level density
+    backbone, algos/triangles.py:k_truss."""
+    from webgraph.algos.triangles import k_truss
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    return k_truss(g, k=KT_K, rounds=KT_ROUNDS)
+
+
+def o_g_ktruss():
+    need = KT_K - 2
+    parts = [
+        f"WITH e AS ({EDGES_SQL}),",
+        "und0 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b "
+        "FROM e WHERE src <> dst),",
+    ]
+    for i in range(1, KT_ROUNDS + 1):
+        p = i - 1
+        parts += [
+            f"tri{i} AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            f"FROM und{p} e1 JOIN und{p} e2 ON e1.b = e2.a "
+            f"JOIN und{p} e3 ON e3.a = e1.a AND e3.b = e2.b),",
+            f"sup{i} AS (SELECT a, b, COUNT(*) AS support FROM ("
+            f"SELECT x AS a, y AS b FROM tri{i} "
+            f"UNION ALL SELECT y, z FROM tri{i} "
+            f"UNION ALL SELECT x, z FROM tri{i}) sides GROUP BY a, b),",
+            f"k{i} AS (SELECT u.a, u.b, COALESCE(s.support, 0) AS support "
+            f"FROM und{p} u LEFT JOIN sup{i} s USING (a, b) "
+            f"WHERE COALESCE(s.support, 0) >= {need}),",
+            f"und{i} AS (SELECT a, b FROM k{i}),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts += [
+        f"SELECT a, b, CAST(support AS BIGINT) AS support FROM k{KT_ROUNDS}",
+    ]
+    return _unrolled(parts)
+
+
+QUERIES.update({"g_ktruss": (q_g_ktruss, o_g_ktruss)})
+
+
+# ----------------------------------------- DSIR selection (r04) --
+
+DSIR_BUCKETS = 512
+DSIR_N = 200
+
+
+def q_t_dsir_sample(spark, sf_dir):
+    """DSIR importance selection: rank the corpus by hashed-n-gram
+    log-likelihood ratio against the English subset as target, keep the
+    top DSIR_N (webgraph/text.py:dsir_sample — integer micro-nat scores,
+    engine-exact selection)."""
+    from webgraph.text import dsir_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_sample(
+        docs, docs.filter(F.col("lang") == "en"), n_select=DSIR_N,
+        buckets=DSIR_BUCKETS,
+    )
+
+
+def o_t_dsir_sample():
+    hash_tok = (
+        "t -> list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, len(t) + 1), "
+        "i -> CAST(ord(substr(t, CAST(i AS INT), 1)) AS BIGINT))), "
+        "(h, c) -> (h * 31 + c) % 1000000007)"
+    )
+    feats = (
+        "SELECT doc_id, unnest(list_concat("
+        f"list_transform(hs, h -> h % {DSIR_BUCKETS}), "
+        "CASE WHEN len(hs) >= 2 THEN list_transform(range(1, len(hs)), "
+        f"i -> ((hs[CAST(i AS INT)] * 31 + hs[CAST(i AS INT) + 1]) % 1000000007) % {DSIR_BUCKETS}) "
+        "ELSE CAST([] AS BIGINT[]) END)) AS bucket"
+    )
+    return f"""
+WITH harr AS (
+  SELECT doc_id, lang, list_transform(
+    regexp_split_to_array(trim(lower(text)), '\\s+'), {hash_tok}) AS hs
+  FROM documents),
+featsr AS ({feats} FROM harr),
+featst AS ({feats} FROM harr WHERE lang = 'en'),
+tb AS (SELECT bucket, COUNT(*) AS ct FROM featst GROUP BY bucket),
+rb AS (SELECT bucket, COUNT(*) AS cr FROM featsr GROUP BY bucket),
+tot AS (SELECT (SELECT COUNT(*) FROM featst) AS nt,
+               (SELECT COUNT(*) FROM featsr) AS nr),
+lam AS (
+  SELECT r.range AS bucket,
+    CAST(ROUND((LN((COALESCE(ct, 0) + 1) / CAST(nt + {DSIR_BUCKETS} AS DOUBLE))
+              - LN((COALESCE(cr, 0) + 1) / CAST(nr + {DSIR_BUCKETS} AS DOUBLE)))
+         * 1000000) AS BIGINT) AS lam_e6
+  FROM range(0, {DSIR_BUCKETS}) r
+  LEFT JOIN tb ON tb.bucket = r.range
+  LEFT JOIN rb ON rb.bucket = r.range
+  CROSS JOIN tot),
+scored AS (SELECT f.doc_id, SUM(lam_e6) AS dsir_e6
+           FROM featsr f JOIN lam USING (bucket) GROUP BY doc_id),
+allv AS (SELECT d.doc_id, CAST(COALESCE(s.dsir_e6, 0) AS BIGINT) AS dsir_e6
+         FROM documents d LEFT JOIN scored s USING (doc_id)),
+topn AS (SELECT doc_id FROM allv ORDER BY dsir_e6 DESC, doc_id LIMIT {DSIR_N})
+SELECT a.doc_id, a.dsir_e6, (t.doc_id IS NOT NULL) AS selected
+FROM allv a LEFT JOIN topn t USING (doc_id)
+"""
+
+
+QUERIES.update({"t_dsir_sample": (q_t_dsir_sample, o_t_dsir_sample)})

@@ -662,3 +662,126 @@ def inverted_index(
         F.col("df").cast("long").alias("df"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+) -> DataFrame:
+    """(id, bucket) — one row per hashed uni/bigram feature INSTANCE.
+
+    The DSIR feature map (Xie et al. 2023: data selection via importance
+    resampling works on hashed n-gram bag models): lowercase whitespace
+    unigrams plus consecutive-token bigrams, each mapped to one of
+    `buckets` slots via the repo's engine-portable char-fold hash
+    (bigram = (h1*31 + h2) mod POLY_MOD, the same fold rolling
+    fingerprints use at token level). Everything is codegen built-ins —
+    transform/element_at over the token-hash array, no Python in the
+    row path — and integer-exact, so a SQL oracle replays the bucket
+    assignment bit-for-bit."""
+    from webgraph.dedup import POLY_MOD, token_hash
+
+    toks = tokens(F.lower(F.col(text_col)))
+    th = F.transform(toks, token_hash)
+    bi = F.when(
+        F.size(th) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(th) - 1),
+            lambda i: (F.element_at(th, i) * 31 + F.element_at(th, i.cast("int") + 1))
+            % POLY_MOD,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return df.select(
+        F.col(id_col), F.explode(F.concat(th, bi)).alias("h")
+    ).select(id_col, (F.col("h") % buckets).alias("bucket"))
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    n_select: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style data selection: score every raw document by how much
+    more likely its hashed n-gram bag is under a model of the TARGET
+    distribution than under the raw distribution, then keep the top
+    `n_select`. Returns one row per raw document:
+    (id, dsir_e6, selected) with dsir_e6 = sum over the document's
+    feature instances of the per-bucket log-likelihood ratio
+    lambda(b) = ln((ct_b+1)/(Nt+B)) - ln((cr_b+1)/(Nr+B)) in micro-nats.
+
+    Determinism/oracle: lambda is rounded to integer micro-nats PER
+    BUCKET (B values, each a single ln whose cross-engine wobble is <=
+    1 ulp — flipping a rounding needs the true value within ~1e-9 of a
+    half-boundary), and document scores are INTEGER SUMS of those bucket
+    values, so the top-n selection never rides on float summation order.
+    Ties break by id.
+
+    Scale: two explode->hash-aggregate passes build the <= `buckets`-row
+    score table (counts + a broadcast 1-row totals cross join); the raw
+    corpus then makes ONE pass — explode, broadcast-join the score
+    table, per-doc integer sum. Selection is a global
+    TakeOrderedAndProject of the top n ids (never a full sort), flagged
+    back onto the score frame with one more broadcast join. Unknown
+    buckets are add-one smoothed, never dropped."""
+    spark = raw.sparkSession
+    tfeat = hashed_ngram_features(target, id_col, text_col, buckets)
+    rfeat = hashed_ngram_features(raw, id_col, text_col, buckets)
+    tb = tfeat.groupBy("bucket").agg(F.count("*").alias("ct"))
+    rb = rfeat.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tot = tfeat.agg(F.count("*").alias("nt")).crossJoin(
+        rfeat.agg(F.count("*").alias("nr"))
+    )
+    base = spark.range(0, buckets).select(F.col("id").alias("bucket"))
+    lam = (
+        base.join(F.broadcast(tb), "bucket", "left")
+        .join(F.broadcast(rb), "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                        / (F.col("nt") + F.lit(buckets))
+                    )
+                    - F.log(
+                        (F.coalesce(F.col("cr"), F.lit(0)) + 1)
+                        / (F.col("nr") + F.lit(buckets))
+                    )
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("lam_e6"),
+        )
+    )
+    scored = (
+        rfeat.join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("lam_e6").cast("long").alias("dsir_e6"))
+    )
+    allv = (
+        raw.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("dsir_e6"), F.lit(0)).cast("long").alias("dsir_e6"),
+        )
+        # both the top-n probe and the flagged output read the scores:
+        # materialize ONCE so the explode->join->agg scoring pass never
+        # re-executes (lineage truncation, ContextCleaner reclaims it)
+        .localCheckpoint(eager=True)
+    )
+    topn = (
+        allv.orderBy(F.desc("dsir_e6"), F.asc(id_col))
+        .limit(n_select)
+        .select(F.col(id_col), F.lit(True).alias("_sel"))
+    )
+    return allv.join(F.broadcast(topn), id_col, "left").select(
+        id_col, "dsir_e6", F.coalesce(F.col("_sel"), F.lit(False)).alias("selected")
+    )
