@@ -695,3 +695,23 @@ def test_dsir_score_table_broadcasts(spark):
     # checkpointed score frame, never re-running the explode (Generate)
     assert "BroadcastHashJoin" in plan
     assert "Generate" not in plan  # no second scoring pass in the output plan
+
+
+# ------------------------------------------------------ butterflies --
+
+
+def test_butterfly_count_exact_and_hub_cap(spark):
+    from webgraph.algos.cocitation import butterfly_count
+
+    # srcs {10, 11} both cite {1, 2, 3}: dst pairs (1,2),(1,3),(2,3) each
+    # have common=2 -> 3 butterflies; src 12 cites only 1 -> adds none
+    e = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 3), (11, 1), (11, 2), (11, 3), (12, 1)],
+        "src long, dst long",
+    )
+    assert butterfly_count(e).collect()[0]["n_butterflies"] == 3
+    # capping out-degree at 2 silences both 3-outlink hubs -> zero
+    assert butterfly_count(e, max_out_degree=2).collect()[0]["n_butterflies"] == 0
+    # empty edge set -> explicit 0 row, not an empty frame
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert butterfly_count(empty).collect()[0]["n_butterflies"] == 0

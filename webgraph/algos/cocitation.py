@@ -93,3 +93,31 @@ def coupling(
     return cocitation(
         transposed, min_common=min_common, max_out_degree=max_in_degree
     )
+
+
+def butterfly_count(
+    edges: DataFrame,
+    max_out_degree: int | None = None,
+) -> DataFrame:
+    """1-row ``(n_butterflies)`` — the number of butterflies (complete
+    2x2 bipartite subgraphs: two citing pages that BOTH link to the same
+    two targets) in the directed edge set viewed as a src->dst bipartite
+    graph. The standard cohesion motif for bipartite link data (the
+    4-cycle analog of the triangle), and the natural next number after
+    ``cocitation``: a dst pair with `common` shared citers closes
+    C(common, 2) butterflies, so the total is one aggregate over the
+    co-citation pair frame.
+
+    Integer-exact (counts and DIV only), so the DuckDB oracle matches
+    bit-for-bit. ``max_out_degree`` is the same documented hub cap as
+    cocitation — a directory page citing everything closes a butterfly
+    with every pair of its co-citers' targets; exact when None.
+
+    Scale: identical economics to cocitation (wedge join + pair
+    aggregate, no new shapes) plus one global sum."""
+    pairs = cocitation(edges, min_common=2, max_out_degree=max_out_degree)
+    return pairs.agg(
+        F.coalesce(F.sum(F.expr("common * (common - 1) DIV 2")), F.lit(0))
+        .cast("long")
+        .alias("n_butterflies")
+    )

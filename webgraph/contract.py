@@ -4049,3 +4049,31 @@ FROM allv a LEFT JOIN topn t USING (doc_id)
 
 
 QUERIES.update({"t_dsir_sample": (q_t_dsir_sample, o_t_dsir_sample)})
+
+
+# ----------------------------------------- butterfly count (r04) --
+
+
+def q_g_butterflies(spark, sf_dir):
+    """Bipartite 4-cycle (butterfly) count over the src->dst edge set —
+    one aggregate over the co-citation pair frame
+    (algos/cocitation.py:butterfly_count)."""
+    from webgraph.algos.cocitation import butterfly_count
+
+    return butterfly_count(derived_edges(spark, sf_dir))
+
+
+def o_g_butterflies():
+    return f"""
+WITH e AS ({EDGES_SQL}),
+w AS (SELECT l.dst AS a, r.dst AS b
+      FROM e l JOIN e r ON l.src = r.src WHERE l.dst < r.dst),
+p AS (SELECT a, b, COUNT(*) AS common FROM w GROUP BY a, b
+      HAVING COUNT(*) >= 2)
+SELECT CAST(COALESCE(SUM(common * (common - 1) // 2), 0) AS BIGINT)
+  AS n_butterflies
+FROM p
+"""
+
+
+QUERIES.update({"g_butterflies": (q_g_butterflies, o_g_butterflies)})
