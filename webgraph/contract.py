@@ -4077,3 +4077,65 @@ FROM p
 
 
 QUERIES.update({"g_butterflies": (q_g_butterflies, o_g_butterflies)})
+
+
+# ---------------------------------- streaming PageRank refresh (r04) --
+
+
+def q_s_pagerank_refresh(spark, sf_dir):
+    """The north-rule maintenance loop end to end as ONE query: drain the
+    edge stream through the incremental merger (per-batch delta anti-join
+    + manifest commit, as s_incremental_merge), then WARM-START PageRank
+    from the seeded prior on the drained state and run WARM_ITERS fixed
+    iterations. Stream-fed graph == batch graph, so the oracle is
+    g_pagerank_warm's unrolled SQL verbatim — one oracle certifying the
+    composition (incremental maintenance feeding warm re-rank), not just
+    the parts."""
+    import tempfile
+
+    from webgraph.streaming import incremental_edge_merge, read_edge_state
+
+    _STREAM_SINK_N[0] += 1
+    base = tempfile.mkdtemp(prefix=f"pr_refresh_{_STREAM_SINK_N[0]}_")
+    load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_partkey").cast("long").alias("l_partkey"),
+    ).repartition(4).write.parquet(f"{base}/in")
+    stream = (
+        spark.readStream.schema("l_orderkey long, l_partkey long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/in")
+    )
+
+    def extract(batch):
+        return batch.select(
+            (F.col("l_orderkey") % N_NODES).alias("src"),
+            (F.col("l_partkey") % N_NODES).alias("dst"),
+        ).distinct()
+
+    q = incremental_edge_merge(
+        spark, stream, f"{base}/state", [], f"{base}/ck", extract_fn=extract
+    )
+    q.awaitTermination()
+    edges = read_edge_state(spark, f"{base}/state").select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    g = from_int_edges(edges)
+    seed = g.vertices.select(
+        "vid", (F.lit(1.0) + (F.col("vid") % 3).cast("double")).alias("rank")
+    )
+    ranks, _ = pagerank(
+        g, damping=DAMPING, tol=0.0, max_iter=WARM_ITERS,
+        initial_ranks=seed, collect_skew=False,
+    )
+    return ranks.select(
+        "vid", F.round(F.col("rank") * 1e6).cast("long").alias("rank_e6")
+    )
+
+
+def o_s_pagerank_refresh():
+    return o_g_pagerank_warm()
+
+
+QUERIES.update({"s_pagerank_refresh": (q_s_pagerank_refresh, o_s_pagerank_refresh)})
