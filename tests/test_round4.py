@@ -572,11 +572,28 @@ def test_link_prediction_max_degree_drops_hub_wedges(spark):
 
 
 def test_link_prediction_topk_plan_is_take_ordered(spark):
+    from webgraph.algos.triangles import _link_prediction_plan
+
+    g = _graph(spark, K4_MINUS)
+    lazy, sym = _link_prediction_plan(g, 5, None)
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    sym.unpersist()
+    assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
+
+
+def test_link_prediction_releases_its_cache(spark):
     from webgraph.algos.triangles import link_prediction
 
     g = _graph(spark, K4_MINUS)
-    plan = link_prediction(g, top_k=5)._jdf.queryExecution().executedPlan().toString()
-    assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
+    before = {r.toString() for r in
+              spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+    out = link_prediction(g, top_k=5)
+    after = [r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+             if r.toString() not in before]
+    # exactly ONE new cached RDD survives the call: the materialized
+    # <=k-row checkpoint. A leaked symmetrized cache would make it two.
+    assert out.count() <= 5
+    assert len(after) == 1, [r.toString() for r in after]
 
 
 # --------------------------------------------------------- k-truss --

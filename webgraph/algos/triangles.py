@@ -161,6 +161,22 @@ def link_prediction(
     anti-join against the edge set -> two broadcast-size degree joins ->
     global top-k via TakeOrderedAndProject.
     """
+    plan, sym = _link_prediction_plan(g, top_k, max_degree)
+    # <= top_k rows — materialize, then free the symmetrized cache
+    # (the modularity release pattern; never leak a per-call persist)
+    out = plan.localCheckpoint(eager=True)
+    sym.unpersist()
+    return out
+
+
+def _link_prediction_plan(
+    g: EncodedGraph,
+    top_k: int,
+    max_degree: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """The lazy top-k plan plus the symmetrized cache it reads — split
+    out so tests can pin the plan shape (TakeOrderedAndProject) before
+    the public wrapper materializes it."""
     sym = symmetrize(g.edges).persist()
     deg = sym.groupBy("src").agg(F.count("*").alias("deg")).select(
         F.col("src").alias("vid"), "deg"
@@ -199,7 +215,7 @@ def link_prediction(
         )
         .limit(top_k)
     )
-    return out
+    return out, sym
 
 
 def k_truss(
