@@ -288,7 +288,8 @@ def k_truss(
             .localCheckpoint(eager=True)
         )
         n_prev, n_now = e.count(), kept.count()
-        e = kept.select("a", "b").localCheckpoint(eager=True)
+        # kept is already materialized; its projection needs no second copy
+        e = kept.select("a", "b")
         it += 1
         if rounds is None and n_now == n_prev:
             return kept
