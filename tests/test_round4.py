@@ -732,3 +732,88 @@ def test_butterfly_count_exact_and_hub_cap(spark):
     # empty edge set -> explicit 0 row, not an empty frame
     empty = spark.createDataFrame([], "src long, dst long")
     assert butterfly_count(empty).collect()[0]["n_butterflies"] == 0
+
+
+# ----------------------------------- property tests for round-4 ops --
+
+
+def test_dedup_lines_matches_python_replica_property(spark):
+    """dedup_lines == a 10-line sequential replica on arbitrary corpora:
+    the distributed argmin/count plan reproduces first-wins semantics
+    exactly, including within-doc repeats, whitespace-normalized
+    collisions, and empty survivor sets."""
+    from hypothesis import given, settings, strategies as st
+
+    from webgraph.dedup import dedup_lines
+
+    line_st = st.sampled_from(
+        ["alpha", "Alpha", " alpha ", "beta", "b e t a", "", "  ", "gamma x"]
+    )
+    docs_st = st.lists(
+        st.lists(line_st, min_size=1, max_size=5), min_size=1, max_size=5
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(docs_st, st.integers(min_value=1, max_value=4))
+    def check(doc_lines, min_count):
+        rows = [(i, "\n".join(ls)) for i, ls in enumerate(doc_lines)]
+        got = {r["doc_id"]: (r["text_dedup"], r["n_kept"], r["n_dropped"])
+               for r in dedup_lines(_docs(spark, rows), min_count=min_count).collect()}
+
+        from collections import Counter
+        inst = [(i, j, ln, ln.strip().lower())
+                for i, ls in enumerate(doc_lines) for j, ln in enumerate(ls)]
+        cnt = Counter(k for *_, k in inst)
+        first = {}
+        for i, j, _, k in inst:
+            first.setdefault(k, (i, j))
+        want = {}
+        for i, ls in enumerate(doc_lines):
+            kept = [ln for j, ln in enumerate(ls)
+                    if cnt[ln.strip().lower()] < min_count
+                    or first[ln.strip().lower()] == (i, j)]
+            want[i] = ("\n".join(kept), len(kept), len(ls) - len(kept))
+        assert got == want
+
+    check()
+
+
+def test_mix_sources_quota_arithmetic_property(spark):
+    """Per-source take counts equal the exact integer quota formula for
+    every alpha mode, and the union of takes is a subset of the corpus."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from webgraph.text import mix_sources
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.dictionaries(
+            st.sampled_from(["w", "x", "y", "z"]),
+            st.integers(min_value=1, max_value=40),
+            min_size=1, max_size=4,
+        ),
+        st.integers(min_value=1, max_value=60),
+        st.sampled_from(["uniform", "sqrt", "linear"]),
+    )
+    def check(sizes, target, alpha):
+        rows, i = [], 0
+        for s, n in sorted(sizes.items()):
+            for _ in range(n):
+                rows.append((i, s)); i += 1
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        got = {r["source"]: r["c"] for r in
+               mix_sources(df, target, alpha=alpha)
+               .groupBy("source").agg(F.count("*").alias("c")).collect()}
+        if alpha == "uniform":
+            w = {s: 1 for s in sizes}
+        elif alpha == "sqrt":
+            w = {s: int(math.sqrt(n) * 1000) for s, n in sizes.items()}
+        else:
+            w = dict(sizes)
+        tw = sum(w.values())
+        want = {s: min(sizes[s], target * w[s] // tw) for s in sizes}
+        assert got == {s: q for s, q in want.items() if q > 0}
+
+    check()
