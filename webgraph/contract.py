@@ -4484,3 +4484,71 @@ QUERIES.update(
         "c_repo_dedup": (q_c_repo_dedup, o_c_repo_dedup),
     }
 )
+
+
+# ------------------------------------------- SemDeDup (r04) --
+
+
+def q_e_semdedup(spark, sf_dir):
+    """SemDeDup (similarity.py:semdedup): k-means clusters -> within-
+    cluster exact-cosine pairs -> connected components -> min-id keep.
+    Input is the doubled embedding corpus (each vector + an identical
+    copy at vec_id + DUP_SHIFT), so every dup pair is an IDENTICAL
+    vector pair: k-means assigns identical inputs to the same centroid
+    by construction, which makes co-clustering of all true pairs
+    structural rather than probabilistic — the oracle (global all-pairs
+    cosine + unrolled min-label components) is exact without replicating
+    the quantizer in SQL. The natural corpus has max pairwise cosine
+    0.513, far from tau=0.9999, so the pair set is precisely the
+    constructed matching. The cluster column itself is engine-specific
+    and excluded from the contract projection; the keep/drop decision is
+    what the contract certifies."""
+    from webgraph.similarity import semdedup
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shifted = emb.select((F.col("vec_id") + DUP_SHIFT).alias("vec_id"), "embedding")
+    out = semdedup(
+        emb.unionByName(shifted),
+        n_clusters=8,
+        tau=0.9999,
+        kmeans_iters=3,
+        strict=True,
+    )
+    return out.select("vec_id", "dup_group", "group_size", "keep")
+
+
+def o_e_semdedup():
+    # Min-label propagation unrolled 3 rounds (>= pair-graph diameter on
+    # this corpus, a perfect matching with diameter 1) over the global
+    # exact-cosine pair graph — same pattern as o_g_components.
+    parts = [
+        f"""WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL SELECT vec_id + {DUP_SHIFT}, embedding::DOUBLE[] FROM embeddings
+),""",
+        """p AS (
+  SELECT x.vec_id AS a, y.vec_id AS b FROM base x JOIN base y
+  ON x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(x.v, y.v) >= 0.9999
+),""",
+        "sym AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),",
+        "l0 AS (SELECT vec_id AS vid, vec_id AS component FROM base),",
+    ]
+    for i in range(1, 4):
+        q = i - 1
+        parts += [
+            f"m{i} AS (SELECT s.dst AS vid, MIN(l.component) AS nm "
+            f"FROM sym s JOIN l{q} l ON s.src = l.vid GROUP BY s.dst),",
+            f"l{i} AS (SELECT l.vid, LEAST(l.component, COALESCE(m.nm, l.component)) "
+            f"AS component FROM l{q} l LEFT JOIN m{i} m USING (vid)),",
+        ]
+    parts += [
+        "gs AS (SELECT component, COUNT(*) AS n FROM l3 GROUP BY component)",
+        "SELECT l.vid AS vec_id, l.component AS dup_group, "
+        "CAST(gs.n AS BIGINT) AS group_size, l.vid = l.component AS keep "
+        "FROM l3 l JOIN gs USING (component)",
+    ]
+    return _unrolled(parts)
+
+
+QUERIES.update({"e_semdedup": (q_e_semdedup, o_e_semdedup)})

@@ -203,3 +203,115 @@ def ivf_topk(
         .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    tau: float = 0.95,
+    kmeans_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_cluster: int = 2000,
+    cc_max_iter: int = 8,
+    strict: bool = False,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): semantic deduplication by k-means
+    clustering + within-cluster cosine pruning. Embedding-space near-dups
+    (paraphrases, re-encodings, boilerplate variants) rarely share exact
+    n-grams, so MinHash misses them; clustering bounds the candidate set
+    so the quadratic step runs per-cluster, never corpus-wide.
+
+    Pipeline, each stage keeping its own economics at 100 TB:
+    1. Coarse clusters via the IVF quantizer (build_ivf_index: broadcast
+       centroid join, map-side argmin — the shuffle carries |emb| rows).
+    2. Within-cluster pair join with EXACT cosine >= tau (per-cluster
+       quadratic — the paper's design point: k scales with corpus size so
+       clusters stay bounded; `max_cluster` guards the quadratic blowup
+       the same way LSH bucket caps do, and `strict` makes an overflow
+       fail loudly instead of shrinking the answer).
+    3. Connected components over the (tiny) pair graph; survivor = min id
+       per component — the same first-wins canonical rule as
+       dedup.dedup_clusters, deterministic under any partitioning. The
+       paper keeps the item farthest from the centroid; min-id is used
+       here so keep/drop is engine-reproducible (documented deviation).
+
+    Returns (id_col, cluster, dup_group, group_size, keep): every input
+    row appears; singletons keep themselves.
+    """
+    from webgraph.algos.common import from_int_edges
+    from webgraph.algos.components import connected_components
+
+    indexed, _cents = build_ivf_index(
+        emb, n_clusters, id_col=id_col, vec_col=vec_col,
+        seed=seed, iters=kmeans_iters,
+    )
+    base = indexed.select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("v"),
+        "bucket",
+    ).persist()
+
+    sizes = base.groupBy("bucket").agg(F.count("*").alias("n"))
+    if strict:
+        biggest = sizes.agg(F.max("n").alias("m")).collect()[0]["m"] or 0
+        if biggest > max_cluster:
+            raise ValueError(
+                f"semdedup: cluster of size {biggest} exceeds "
+                f"max_cluster={max_cluster} in strict mode — raise "
+                "n_clusters so the per-cluster quadratic stays bounded"
+            )
+    ok = sizes.filter((F.col("n") > 1) & (F.col("n") <= max_cluster))
+    inb = base.join(ok.select("bucket"), "bucket", "left_semi")
+    a = inb.select("bucket", F.col("id").alias("a"), F.col("v").alias("va"))
+    b = inb.select("bucket", F.col("id").alias("b"), F.col("v").alias("vb"))
+    cos = dot(F.col("va"), F.col("vb")) / (
+        l2_norm(F.col("va")) * l2_norm(F.col("vb"))
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", cos.alias("cos"))
+        .filter(F.col("cos") >= tau)
+    )
+
+    g = from_int_edges(pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    labels, cc_metrics = connected_components(
+        g, max_iter=cc_max_iter, collect_skew=False
+    )
+    if cc_metrics and cc_metrics[-1].get("changed", 0) > 0:
+        msg = (
+            f"semdedup: connected components NOT converged after "
+            f"{cc_max_iter} rounds — duplicate groups are split; raise "
+            "cc_max_iter"
+        )
+        if strict:
+            raise ValueError(msg)
+        import logging
+
+        logging.getLogger("webgraph.similarity").warning(msg)
+
+    assigned = (
+        base.select("id", "bucket")
+        .join(labels.withColumnRenamed("vid", "id"), "id", "left")
+        .select(
+            "id",
+            "bucket",
+            F.coalesce(F.col("component"), F.col("id")).alias("dup_group"),
+        )
+    )
+    grp = assigned.groupBy("dup_group").agg(F.count("*").alias("group_size"))
+    out = (
+        assigned.join(grp, "dup_group")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("bucket").alias("cluster"),
+            "dup_group",
+            F.col("group_size").cast("long").alias("group_size"),
+            (F.col("id") == F.col("dup_group")).alias("keep"),
+        )
+        .localCheckpoint()
+    )
+    base.unpersist()
+    return out
