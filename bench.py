@@ -87,6 +87,7 @@ def run_bench(
         "g_salsa",
         "t_ngram_similar_pairs",
         "t_repetition",
+        "c_stack_filter",
         "e_cosine_topk",
         "s_sessions",
         "s_asof_state",

@@ -4552,3 +4552,121 @@ def o_e_semdedup():
 
 
 QUERIES.update({"e_semdedup": (q_e_semdedup, o_e_semdedup)})
+
+
+# ------------------------- Katz centrality + effective diameter (r04) --
+
+KATZ_ALPHA = 0.05
+KATZ_ITERS = 5
+
+
+def q_g_katz(spark, sf_dir):
+    """Truncated Katz centrality (algos/katz.py): k fixed iterations of
+    x = beta + alpha * A^T x — in-degree's transitive closure, the same
+    per-iteration join+agg shape as PageRank with no dangling pass, so
+    the unrolled-SQL oracle is exact."""
+    from webgraph.algos.katz import katz_centrality
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    state, _ = katz_centrality(g, alpha=KATZ_ALPHA, beta=1.0, max_iter=KATZ_ITERS)
+    # milli-units, not micro: katz values on this graph reach ~6e3, and
+    # micro-rounding at that magnitude demands 1e-10 RELATIVE agreement —
+    # beyond cross-engine float-summation reproducibility (observed: 7 of
+    # 500 rows land one ulp apart at e6). e3 keeps a 1e-7 relative
+    # contract with ~3 orders of margin over summation-order noise.
+    return state.select(
+        "vid", F.round(F.col("katz") * 1e3).cast("long").alias("katz_e3")
+    )
+
+
+def o_g_katz():
+    parts = [
+        f"WITH e AS ({EDGES_SQL}),",
+        f"v AS ({VERTS_SQL}),",
+        "l0 AS (SELECT vid, 1.0e0 AS x FROM v),",
+    ]
+    for i in range(1, KATZ_ITERS + 1):
+        p = i - 1
+        parts += [
+            f"m{i} AS (SELECT e.dst AS vid, SUM(l.x) AS nm "
+            f"FROM e JOIN l{p} l ON e.src = l.vid GROUP BY e.dst),",
+            f"l{i} AS (SELECT v.vid, 1.0e0 + {KATZ_ALPHA} * COALESCE(m.nm, 0e0) "
+            f"AS x FROM v LEFT JOIN m{i} m USING (vid)),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT vid, CAST(ROUND(x * 1000e0) AS BIGINT) AS katz_e3 FROM l{KATZ_ITERS}"
+    )
+    return _unrolled(parts)
+
+
+EFFDIAM_MAX_R = 3
+EFFDIAM_ALPHA = 0.9
+
+
+def q_g_eff_diameter(spark, sf_dir):
+    """Neighborhood function N(r) (total reachable pairs within r hops,
+    undirected) for r = 0..3 plus the standard effective-diameter readout
+    (smallest r with N(r) >= alpha * N(max_r)). Exact ball expansion
+    (algos/anf.py:neighborhood_sizes_exact) — the oracle-able twin of the
+    HyperBall estimator (g_hyperball) whose pytest pins estimator-vs-exact
+    agreement; at 10^9 vertices the hyperball registers replace the pair
+    table and this curve costs one wide-register sweep."""
+    from webgraph.algos.anf import neighborhood_sizes_exact
+
+    e = derived_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    g = from_int_edges(sym)
+    nf = []
+    for r in range(EFFDIAM_MAX_R + 1):
+        total = (
+            neighborhood_sizes_exact(g, radius=r)
+            .agg(F.sum("ball").alias("t"))
+            .collect()[0]["t"]
+        )
+        nf.append((r, int(total)))
+    target = EFFDIAM_ALPHA * nf[-1][1]
+    eff = min(r for r, t in nf if t >= target)
+    return spark.createDataFrame(
+        [(r, t, r == eff) for r, t in nf], "r int, nf_pairs long, is_eff boolean"
+    )
+
+
+def o_g_eff_diameter():
+    parts = [
+        f"WITH e AS ({EDGES_SQL}),",
+        f"sym AS ({SYM_SQL}),",
+        # vertex set of the SYMMETRIZED loop-free graph (matches
+        # from_int_edges(sym): a vertex whose only edges are self-loops
+        # does not appear)
+        "b0 AS (SELECT vid AS root, vid AS m FROM (SELECT src AS vid FROM sym "
+        "UNION SELECT dst FROM sym)),",
+    ]
+    for i in range(1, EFFDIAM_MAX_R + 1):
+        p = i - 1
+        parts.append(
+            f"b{i} AS (SELECT root, m FROM b{p} UNION "
+            f"SELECT b.root, s.dst FROM b{p} b JOIN sym s ON s.src = b.m),"
+        )
+    nf_union = " UNION ALL ".join(
+        f"SELECT {r} AS r, (SELECT COUNT(*) FROM b{r}) AS nf_pairs"
+        for r in range(EFFDIAM_MAX_R + 1)
+    )
+    parts += [
+        f"nf AS ({nf_union}),",
+        f"eff AS (SELECT MIN(r) AS er FROM nf WHERE nf_pairs >= "
+        f"{EFFDIAM_ALPHA} * (SELECT nf_pairs FROM nf WHERE r = {EFFDIAM_MAX_R}))",
+        "SELECT CAST(r AS INT) AS r, CAST(nf_pairs AS BIGINT) AS nf_pairs, "
+        "r = (SELECT er FROM eff) AS is_eff FROM nf",
+    ]
+    return _unrolled(parts)
+
+
+QUERIES.update(
+    {
+        "g_katz": (q_g_katz, o_g_katz),
+        "g_eff_diameter": (q_g_eff_diameter, o_g_eff_diameter),
+    }
+)
