@@ -4670,3 +4670,62 @@ QUERIES.update(
         "g_eff_diameter": (q_g_eff_diameter, o_g_eff_diameter),
     }
 )
+
+
+# --------------------------------------- block clone detection (r04) --
+
+
+def q_c_block_clones(spark, sf_dir):
+    """Type-1 code-clone groups (code.py:block_clones): blank-line block
+    explode -> one fingerprint-keyed hash aggregate. Seed: every doc gets
+    one of three shared boilerplate blocks (license header / Makefile
+    stanza / main() stub, ~125 copies each across all 20 repos) or a
+    per-doc unique block (dropped by min_copies). The engine-specific
+    xxhash64 fingerprint is the Spark-side group key but is projected out
+    of the contract result; the oracle groups by the block text itself —
+    same partition of the corpus, portable columns only."""
+    from webgraph.code import block_clones
+
+    d = F.col("doc_id")
+    blk = (
+        F.when(d % 4 == 0, F.lit("Copyright (c) Example Corp.\nLicensed under the MIT license."))
+        .when(d % 4 == 1, F.lit(".PHONY: all clean\nall: build test"))
+        .when(d % 4 == 2, F.lit("def main():\n    run()"))
+        .otherwise(F.concat(F.lit("unique block marker number "), d.cast("string")))
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("source").alias("repo"),
+        F.concat(F.col("text"), F.lit("\n\n"), blk).alias("content"),
+    )
+    return block_clones(docs).select(
+        "block_len", "n_copies", "n_repos", "first_repo"
+    )
+
+
+def o_c_block_clones():
+    return """
+WITH seeded AS (
+  SELECT source AS repo,
+    text || chr(10) || chr(10) ||
+    CASE doc_id % 4
+      WHEN 0 THEN 'Copyright (c) Example Corp.' || chr(10) || 'Licensed under the MIT license.'
+      WHEN 1 THEN '.PHONY: all clean' || chr(10) || 'all: build test'
+      WHEN 2 THEN 'def main():' || chr(10) || '    run()'
+      ELSE 'unique block marker number ' || CAST(doc_id AS VARCHAR)
+    END AS content
+  FROM documents
+), blocks AS (
+  SELECT repo, trim(unnest(string_split(content, chr(10) || chr(10)))) AS block
+  FROM seeded
+), sized AS (
+  SELECT repo, block FROM blocks WHERE length(block) >= 20
+)
+SELECT CAST(length(block) AS BIGINT) AS block_len,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(COUNT(DISTINCT repo) AS BIGINT) AS n_repos,
+       MIN(repo) AS first_repo
+FROM sized GROUP BY block HAVING COUNT(*) >= 2
+"""
+
+
+QUERIES.update({"c_block_clones": (q_c_block_clones, o_c_block_clones)})
