@@ -4729,3 +4729,49 @@ FROM sized GROUP BY block HAVING COUNT(*) >= 2
 
 
 QUERIES.update({"c_block_clones": (q_c_block_clones, o_c_block_clones)})
+
+
+# ---------------------------------- weighted shortest paths (r04) --
+
+SSSP_SRC = 0
+SSSP_ITERS = 6
+
+
+def q_g_sssp(spark, sf_dir):
+    """Weighted SSSP (algos/sssp.py): Bellman-Ford relaxation rounds over
+    the derived graph with deterministic integer weights
+    w = 1 + (src + dst) % 5. Round k holds the exact <= k-edge optimum,
+    so the unrolled min-plus SQL oracle is exact; NULL dist = unreachable
+    within SSSP_ITERS hops (both engines' LEAST skips NULLs, so infinity
+    needs no sentinel)."""
+    from webgraph.algos.sssp import shortest_paths
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    w = F.lit(1) + (F.col("src") + F.col("dst")) % 5
+    state, _ = shortest_paths(g, source=SSSP_SRC, weight=w, max_iter=SSSP_ITERS)
+    return state.select("vid", F.col("dist").cast("long").alias("dist"))
+
+
+def o_g_sssp():
+    parts = [
+        f"WITH e AS (SELECT src, dst, 1 + (src + dst) % 5 AS w FROM ({EDGES_SQL})),",
+        f"v AS (SELECT src AS vid FROM e UNION SELECT dst AS vid FROM e),",
+        f"l0 AS (SELECT vid, CASE WHEN vid = {SSSP_SRC} THEN 0 ELSE NULL END AS dist FROM v),",
+    ]
+    for i in range(1, SSSP_ITERS + 1):
+        p = i - 1
+        parts += [
+            f"m{i} AS (SELECT e.dst AS vid, MIN(l.dist + e.w) AS nd "
+            f"FROM e JOIN l{p} l ON e.src = l.vid WHERE l.dist IS NOT NULL "
+            f"GROUP BY e.dst),",
+            f"l{i} AS (SELECT l.vid, LEAST(l.dist, m.nd) AS dist "
+            f"FROM l{p} l LEFT JOIN m{i} m USING (vid)),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT vid, CAST(dist AS BIGINT) AS dist FROM l{SSSP_ITERS}"
+    )
+    return _unrolled(parts)
+
+
+QUERIES.update({"g_sssp": (q_g_sssp, o_g_sssp)})
