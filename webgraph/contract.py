@@ -4775,3 +4775,44 @@ def o_g_sssp():
 
 
 QUERIES.update({"g_sssp": (q_g_sssp, o_g_sssp)})
+
+
+# ------------------------------------- running-total window (r04) --
+
+
+def q_r_running_revenue(spark, sf_dir):
+    """Cumulative per-customer revenue — the running-aggregate window
+    frame (ROWS UNBOUNDED PRECEDING..CURRENT ROW), the one §2.5 window
+    shape rank/NTILE don't exercise. Order within a customer is made
+    total by (o_orderdate, o_orderkey), so the sequential accumulation
+    visits rows in the same order on both engines and the double sums
+    agree to cents. One Exchange on o_custkey + one sort per partition —
+    the minimal physical plan for any running aggregate."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .withColumn(
+            "running_cents",
+            F.round(F.sum("o_totalprice").over(w) * 1e2).cast("long"),
+        )
+        .select("o_custkey", "o_orderkey", "running_cents")
+    )
+
+
+def o_r_running_revenue():
+    return """
+SELECT o_custkey, o_orderkey,
+  CAST(ROUND(SUM(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100e0) AS BIGINT)
+  AS running_cents
+FROM orders
+"""
+
+
+QUERIES.update({"r_running_revenue": (q_r_running_revenue, o_r_running_revenue)})
