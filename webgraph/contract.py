@@ -4816,3 +4816,78 @@ FROM orders
 
 
 QUERIES.update({"r_running_revenue": (q_r_running_revenue, o_r_running_revenue)})
+
+
+# ------------------------------------------ repo health rollup (r04) --
+
+
+def q_c_repo_stats(spark, sf_dir):
+    """Per-repo health rollup (code.py:repo_stats) over the same seeded
+    code corpus as c_code_stats plus the secret seeds of c_secret_scan —
+    all per-file metrics ride one scan into one hash aggregate on repo."""
+    from webgraph.code import repo_stats
+
+    d = F.col("doc_id")
+    content = F.concat(
+        F.when(d % 7 == 0, F.lit("// auto-generated\n")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.regexp_replace("text", " ", "\n")).otherwise(
+            F.col("text")
+        ),
+        F.when(
+            d % 11 == 0,
+            F.concat(F.lit("\n"), F.repeat(F.lit("x"), (F.lit(900) + d % 300).cast("int"))),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit("\npassword = hunter"), (d % 10).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("source").alias("repo"), content.alias("content")
+    )
+    return repo_stats(docs)
+
+
+def o_c_repo_stats():
+    return """
+WITH seeded AS (
+  SELECT source AS repo,
+    CASE WHEN doc_id % 7 = 0 THEN '// auto-generated' || chr(10) ELSE '' END
+    || CASE WHEN doc_id % 3 = 0 THEN replace(text, ' ', chr(10)) ELSE text END
+    || CASE WHEN doc_id % 11 = 0
+            THEN chr(10) || repeat('x', 900 + doc_id % 300) ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN chr(10) || 'password = hunter' || CAST(doc_id % 10 AS VARCHAR)
+            ELSE '' END AS content
+  FROM documents
+), m AS (
+  SELECT repo,
+    len(string_split(content, chr(10))) AS n_lines,
+    (length(content) - (len(string_split(content, chr(10))) - 1))
+      * 1000000e0 / len(string_split(content, chr(10))) AS avg_ll_e6,
+    list_max(list_transform(string_split(content, chr(10)), x -> length(x)))
+      AS max_ll,
+    length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g'))
+      * 1000000e0 / GREATEST(length(content), 1) AS alnum_e6,
+    regexp_matches(content, '(?i)(auto-?generated|do not edit|generated by)')
+      AS autogen,
+    len(regexp_extract_all(content, 'AKIA[0-9A-Z]{16}'))
+      + len(regexp_extract_all(content, '-----BEGIN [A-Z ]*PRIVATE KEY-----'))
+      + len(regexp_extract_all(content,
+          '(?i)(password|secret|api_key)[ ]*[=:][ ]*[^ ' || chr(10) || ']+'))
+      AS n_secrets
+  FROM seeded
+)
+SELECT repo,
+  CAST(COUNT(*) AS BIGINT) AS n_files,
+  CAST(SUM(n_lines) AS BIGINT) AS total_lines,
+  CAST(SUM(CASE WHEN ROUND(avg_ll_e6) <= 100000000 AND max_ll <= 1000
+       AND ROUND(alnum_e6) >= 250000 AND NOT autogen THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_kept,
+  CAST(SUM(CASE WHEN autogen THEN 1 ELSE 0 END) AS BIGINT) AS n_autogen,
+  CAST(SUM(CASE WHEN n_secrets > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_secret_files
+FROM m GROUP BY repo
+"""
+
+
+QUERIES.update({"c_repo_stats": (q_c_repo_stats, o_c_repo_stats)})
