@@ -46,7 +46,10 @@ def katz_centrality(
     if max_iter < 1:
         raise ValueError(f"katz_centrality: max_iter must be >= 1, got {max_iter}")
     spark = g.edges.sparkSession
-    edges = g.edges.select("src", "dst").persist()
+    # project the ALREADY-persisted EncodedGraph edges — re-persisting
+    # the projection would hold a second in-memory copy (the
+    # _shared_edges rule, webgraph/algos/bfs.py)
+    edges = g.edges.select("src", "dst")
     num_edges = edges.count()
     verts = g.vertices.select("vid")
 
@@ -84,5 +87,4 @@ def katz_centrality(
         if ckpt:
             ckpt.log_entry(it, m)
 
-    edges.unpersist()
     return state, metrics

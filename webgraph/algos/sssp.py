@@ -51,7 +51,11 @@ def shortest_paths(
         raise ValueError(f"shortest_paths: max_iter must be >= 1, got {max_iter}")
     spark = g.edges.sparkSession
     w = F.lit(1).cast("long") if weight is None else weight.cast("long")
-    edges = g.edges.select("src", "dst", w.alias("w")).persist()
+    # project + weight over the ALREADY-persisted EncodedGraph edges —
+    # the weight is per-scan codegen arithmetic; persisting this
+    # projection would hold a second in-memory copy of the edge table
+    # (the _shared_edges rule, webgraph/algos/bfs.py)
+    edges = g.edges.select("src", "dst", w.alias("w"))
     num_edges = edges.count()
     verts = g.vertices.select("vid")
 
@@ -91,5 +95,4 @@ def shortest_paths(
         if ckpt:
             ckpt.log_entry(it, m)
 
-    edges.unpersist()
     return state, metrics
