@@ -37,6 +37,28 @@ _B1 = 2_654_435_761
 _B2 = 40_503
 
 
+def neighborhood_function_exact(g: EncodedGraph, max_r: int) -> list[int]:
+    """Exact neighborhood function N(r) = total reachable (root, member)
+    pairs within <= r hops, for r = 0..max_r, from ONE incremental ball
+    expansion (each radius reuses the previous radius' materialized pair
+    table — not one re-expansion per radius). The exact twin of
+    neighborhood_function (HyperANF) for small graphs and oracles."""
+    if max_r < 0:
+        raise ValueError(f"max_r must be >= 0, got {max_r}")
+    edges = g.edges.select("src", "dst")
+    ball = g.vertices.select(
+        F.col("vid").alias("root"), F.col("vid").alias("member")
+    ).localCheckpoint(eager=True)
+    totals = [ball.count()]
+    for _ in range(max_r):
+        grown = ball.join(
+            edges, ball.member == edges.src, "inner"
+        ).select("root", F.col("dst").alias("member"))
+        ball = ball.unionByName(grown).distinct().localCheckpoint(eager=True)
+        totals.append(ball.count())
+    return totals
+
+
 def neighborhood_sizes_exact(g: EncodedGraph, radius: int = 2) -> DataFrame:
     """(vid, ball) — exact count of distinct vertices within <= radius
     directed hops, self included. Pair-table expansion: use for small r

@@ -4612,21 +4612,15 @@ def q_g_eff_diameter(spark, sf_dir):
     HyperBall estimator (g_hyperball) whose pytest pins estimator-vs-exact
     agreement; at 10^9 vertices the hyperball registers replace the pair
     table and this curve costs one wide-register sweep."""
-    from webgraph.algos.anf import neighborhood_sizes_exact
+    from webgraph.algos.anf import neighborhood_function_exact
 
     e = derived_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     g = from_int_edges(sym)
-    nf = []
-    for r in range(EFFDIAM_MAX_R + 1):
-        total = (
-            neighborhood_sizes_exact(g, radius=r)
-            .agg(F.sum("ball").alias("t"))
-            .collect()[0]["t"]
-        )
-        nf.append((r, int(total)))
+    totals = neighborhood_function_exact(g, EFFDIAM_MAX_R)
+    nf = list(enumerate(int(t) for t in totals))
     target = EFFDIAM_ALPHA * nf[-1][1]
     eff = min(r for r, t in nf if t >= target)
     return spark.createDataFrame(
