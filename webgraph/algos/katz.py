@@ -21,6 +21,7 @@ CheckpointManager (parquet + manifest), resumable like PR/CC/LP/HITS.
 from __future__ import annotations
 
 import time
+import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -36,12 +37,24 @@ def katz_centrality(
     max_iter: int = 5,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    tol: float = 0.0,
 ) -> tuple[DataFrame, list[dict]]:
     """Returns ((vid, katz) DataFrame, per-iteration metrics).
 
     ``alpha`` must stay below 1/lambda_max(A) for the infinite series to
     converge; the truncated k-step result is well-defined for any alpha
     and is what the contract oracle checks.
+
+    ``tol`` > 0 turns on the convergence pass: after each materialized
+    round, one join+agg computes delta = sum(|x_t - x_{t-1}|) and the
+    loop breaks when delta < tol (same shape as PageRank's tol loop).
+    The same pass doubles as the divergence guard: for alpha below
+    1/lambda_max the per-round increments shrink geometrically (ratio
+    ~ alpha*lambda_max), so a round whose delta EXCEEDS the previous
+    round's signals alpha > 1/lambda_max — the series is diverging and
+    "iterating to convergence" would never terminate; a RuntimeWarning
+    fires. tol = 0 (the default, and what the fixed-iteration contract
+    oracle uses) skips the extra pass entirely.
     """
     if max_iter < 1:
         raise ValueError(f"katz_centrality: max_iter must be >= 1, got {max_iter}")
@@ -63,6 +76,7 @@ def katz_centrality(
             start_iter += 1
 
     metrics: list[dict] = []
+    prev_delta = None
     for it in range(start_iter, max_iter):
         t0 = time.time()
         contrib = (
@@ -77,14 +91,37 @@ def katz_centrality(
                 + F.lit(float(alpha)) * F.coalesce(F.col("inflow"), F.lit(0.0))
             ).alias("katz"),
         )
+        prev_state = state
         if ckpt:
             state = ckpt.write_state(new_state, it)
         else:
             state = new_state.localCheckpoint(eager=True)
+        delta = None
+        if tol > 0:
+            delta = (
+                state.join(prev_state.withColumnRenamed("katz", "prev"), "vid")
+                .agg(F.sum(F.abs(F.col("katz") - F.col("prev"))))
+                .collect()[0][0]
+            )
         m = {"iteration": it, "wall_sec": round(time.time() - t0, 3),
              "messages": num_edges}
+        if delta is not None:
+            m["delta"] = float(delta)
         metrics.append(m)
         if ckpt:
             ckpt.log_entry(it, m)
+        if delta is not None:
+            if prev_delta is not None and delta > prev_delta:
+                warnings.warn(
+                    f"katz_centrality: delta grew {prev_delta:.4g} -> "
+                    f"{delta:.4g} at iteration {it}; alpha={alpha} likely "
+                    "exceeds 1/lambda_max — the series is diverging and "
+                    "will never meet tol",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            if delta < tol:
+                break
+            prev_delta = delta
 
     return state, metrics

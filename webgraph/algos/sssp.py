@@ -37,6 +37,7 @@ def shortest_paths(
     max_iter: int = 10,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    early_stop: bool = True,
 ) -> tuple[DataFrame, list[dict]]:
     """Returns ((vid, dist) DataFrame — dist NULL = unreachable within
     ``max_iter`` hops — and per-iteration metrics).
@@ -46,6 +47,15 @@ def shortest_paths(
     the relaxation but, as in any Bellman-Ford, a negative cycle makes
     the fixpoint undefined — fixed-iteration mode still returns the
     exact <= k-edge optimum.
+
+    ``early_stop``: break when a round changes no distance. Min-plus
+    relaxation is a monotone fixpoint, so a zero-change round means the
+    <= k-edge optimum already equals the unbounded optimum — the result
+    is bit-identical to running all ``max_iter`` rounds, only cheaper.
+    The check is one sum aggregate over the ALREADY-materialized state
+    joined to the previous state (same shape as PageRank's tol pass,
+    pagerank.py); fixed-round oracles that must execute exactly k joins
+    pass ``early_stop=False``.
     """
     if max_iter < 1:
         raise ValueError(f"shortest_paths: max_iter must be >= 1, got {max_iter}")
@@ -85,14 +95,32 @@ def shortest_paths(
         new_state = verts.join(state, "vid", "left").join(cand, "vid", "left").select(
             "vid", F.least(F.col("dist"), F.col("nd")).alias("dist")
         )
+        prev_state = state
         if ckpt:
             state = ckpt.write_state(new_state, it)
         else:
             state = new_state.localCheckpoint(eager=True)
+        changed = None
+        if early_stop:
+            # one agg over the materialized state; NULL-safe inequality so
+            # unreached->unreached rounds count as unchanged
+            changed = (
+                state.join(prev_state.withColumnRenamed("dist", "prev"), "vid")
+                .agg(
+                    F.sum(
+                        (~F.col("dist").eqNullSafe(F.col("prev"))).cast("long")
+                    ).alias("chg")
+                )
+                .collect()[0][0]
+            )
         m = {"iteration": it, "wall_sec": round(time.time() - t0, 3),
              "messages": num_edges}
+        if changed is not None:
+            m["changed"] = int(changed)
         metrics.append(m)
         if ckpt:
             ckpt.log_entry(it, m)
+        if changed == 0:
+            break
 
     return state, metrics
