@@ -92,3 +92,73 @@ def test_katz_fixed_iteration_mode_has_no_delta_pass(spark):
     _, metrics = katz_centrality(g, alpha=0.5, max_iter=3, tol=0.0)
     assert len(metrics) == 3
     assert all("delta" not in m for m in metrics)
+
+
+# ------------------------------------------- exact substring dedup --------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_substring_dedup_cross_doc_span(spark):
+    from webgraph.dedup import substring_dedup
+
+    # B embeds A's full 6-token text after a 2-token unique prefix; with
+    # W=4 every B-window touching the shared span repeats with A, the
+    # prefix-straddling windows are unique -> B keeps exactly the prefix
+    out = substring_dedup(
+        _docs(
+            spark,
+            [(1, "a b c d e f"), (2, "x y a b c d e f")],
+        ),
+        window_tokens=4,
+    )
+    got = {r["doc_id"]: (r["text_dedup"], r["n_kept"], r["n_dropped"]) for r in out.collect()}
+    assert got[1] == ("a b c d e f", 6, 0)
+    assert got[2] == ("x y", 2, 6)
+
+
+def test_substring_dedup_identical_doc_fully_stripped(spark):
+    from webgraph.dedup import substring_dedup
+
+    out = substring_dedup(
+        _docs(spark, [(1, "a b c d e"), (2, "a b c d e")]), window_tokens=4
+    )
+    got = {r["doc_id"]: (r["text_dedup"], r["n_kept"], r["n_dropped"]) for r in out.collect()}
+    assert got[1] == ("a b c d e", 5, 0)  # first instance wins
+    assert got[2] == ("", 0, 5)
+
+
+def test_substring_dedup_short_doc_passes_through(spark):
+    from webgraph.dedup import substring_dedup
+
+    # 3 tokens < W=4: no windows, intact even though it equals a span of doc 1
+    out = substring_dedup(
+        _docs(spark, [(1, "a b c d e"), (2, "a b c")]), window_tokens=4
+    )
+    got = {r["doc_id"]: r["text_dedup"] for r in out.collect()}
+    assert got[2] == "a b c"
+
+
+def test_substring_dedup_within_doc_period(spark):
+    from webgraph.dedup import substring_dedup
+
+    # period-4 repetition inside ONE doc: windows at pos>=4 repeat with
+    # pos-4, so exactly the first period survives (Lee et al. keep-one)
+    out = substring_dedup(
+        _docs(spark, [(1, "p q r s p q r s p q r s")]), window_tokens=4
+    )
+    r = out.collect()[0]
+    assert (r["text_dedup"], r["n_kept"], r["n_dropped"]) == ("p q r s", 4, 8)
+
+
+def test_substring_dedup_case_folded_match_keeps_original_case(spark):
+    from webgraph.dedup import substring_dedup
+
+    out = substring_dedup(
+        _docs(spark, [(1, "A B C D e"), (2, "a b c d X")]), window_tokens=4
+    )
+    got = {r["doc_id"]: r["text_dedup"] for r in out.collect()}
+    assert got[1] == "A B C D e"  # first instance, original case intact
+    assert got[2] == "X"  # covered span dropped despite case difference

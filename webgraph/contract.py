@@ -4885,3 +4885,100 @@ FROM m GROUP BY repo
 
 
 QUERIES.update({"c_repo_stats": (q_c_repo_stats, o_c_repo_stats)})
+
+
+# ----------------------------------- exact substring dedup (r05) --
+
+# Lee et al. 2022 ExactSubstr: strip repeated >=W-token spans, keep the
+# corpus-wide first occurrence. The driver corpus has no natural long
+# repeats, so the contract synthesizes them the DUP_SHIFT way — but with
+# a one-token unique prefix ('u<id>') on each copy so all three branches
+# fire: originals keep everything (first instance), copies keep exactly
+# the prefix token (partial survival: every window containing it is
+# unique, every other window repeats with the original), and docs
+# shorter than W pass through intact. The polynomial window hash is
+# replayed verbatim in SQL (same arithmetic as o_d_containment_pairs),
+# so even hash collisions agree.
+SUBSTR_W = 8
+
+
+def q_d_substring_dedup(spark, sf_dir):
+    """Exact substring dedup (dedup.py:substring_dedup): token spans of
+    >= SUBSTR_W tokens occurring verbatim more than once corpus-wide are
+    stripped from every non-first instance; docs rebuilt in token order."""
+    from webgraph.dedup import substring_dedup
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    prefixed = docs.select(
+        (F.col("doc_id") + DUP_SHIFT).alias("doc_id"),
+        F.concat(F.lit("u"), F.col("doc_id").cast("string"), F.lit(" "), "text").alias(
+            "text"
+        ),
+    )
+    corpus = docs.unionByName(prefixed)
+    return substring_dedup(corpus, window_tokens=SUBSTR_W)
+
+
+def o_d_substring_dedup():
+    from webgraph.dedup import POLY_MOD
+
+    w, P = SUBSTR_W, POLY_MOD
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_SHIFT}, 'u' || CAST(doc_id AS VARCHAR) || ' ' || text
+  FROM documents
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tok FROM corpus
+), th AS (
+  SELECT doc_id, tok, list_transform(tok, t -> list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, len(lower(t))+1),
+                     i -> CAST(ord(substr(lower(t), CAST(i AS INT), 1)) AS BIGINT))),
+    (h, c) -> (h*31 + c) % {P})) AS hs
+  FROM toks
+), wins AS (
+  SELECT doc_id,
+         generate_subscripts(ws, 1) - 1 AS pos,
+         unnest(ws) AS fp
+  FROM (SELECT doc_id,
+          CASE WHEN len(hs) < {w} THEN CAST([] AS BIGINT[])
+               ELSE list_transform(range(1, len(hs) - {w} + 2),
+                      i -> list_reduce(
+                             list_prepend(CAST(0 AS BIGINT),
+                                          list_slice(hs, CAST(i AS INT),
+                                                     CAST(i + {w} - 1 AS INT))),
+                             (a, h) -> (a*31 + h) % {P}))
+          END AS ws
+        FROM th)
+), flagged AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY fp) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+  FROM wins
+), covered AS (
+  SELECT DISTINCT doc_id, idx FROM (
+    SELECT doc_id, unnest(range(pos, pos + {w})) AS idx
+    FROM flagged WHERE cnt >= 2 AND rn > 1)
+), tok_tbl AS (
+  SELECT doc_id, generate_subscripts(tok, 1) - 1 AS idx, unnest(tok) AS t
+  FROM toks
+), kept AS (
+  SELECT k.doc_id, k.idx, k.t
+  FROM tok_tbl k LEFT JOIN covered c ON k.doc_id = c.doc_id AND k.idx = c.idx
+  WHERE c.idx IS NULL
+), rebuilt AS (
+  SELECT doc_id, string_agg(t, ' ' ORDER BY idx) AS text_dedup,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), totals AS (SELECT doc_id, len(tok) AS n_total FROM toks)
+SELECT t.doc_id,
+       COALESCE(r.text_dedup, '') AS text_dedup,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.n_total - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+QUERIES.update({"d_substring_dedup": (q_d_substring_dedup, o_d_substring_dedup)})

@@ -699,3 +699,102 @@ def dedup_lines(
             .alias("n_dropped"),
         )
     )
+
+
+def substring_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 50,
+) -> DataFrame:
+    """Exact substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", ExactSubstr): strip any
+    token span of >= `window_tokens` tokens that occurs verbatim more
+    than once corpus-wide, keeping the globally first occurrence. The
+    modality the rest of the family can't express: line_dedup removes
+    identical LINES, winnowing FINDS containment — this one REMOVES
+    repeated spans that cross line boundaries.
+
+    Distributed reformulation of the paper's suffix array: a span of
+    >= W tokens repeats iff every W-token window inside it repeats, so
+    (1) fingerprint every W-token window (two-level portable polynomial
+    hash, same arithmetic the containment oracle replays in SQL),
+    (2) one hash aggregate per fingerprint carrying (count,
+    argmin-of-(id, pos)) — map-side partial agg collapses hot spans,
+    the skew being removed, before the shuffle, (3) every NON-first
+    instance of a repeated window marks its W positions covered,
+    (4) tokens anti-join coverage and documents rebuild in original
+    token order. No suffix sort, no window-function sort — the same
+    economics as dedup_lines.
+
+    Semantics (first-wins, deterministic): token i of doc d is dropped
+    iff some repeated window instance (d, p), p <= i < p+W, is not the
+    lexicographically-first (id, pos) instance of its fingerprint.
+    Docs shorter than W tokens have no windows and pass through intact
+    (whole-doc dup removal is exact_duplicates' job). Matching is
+    case-folded; rebuild preserves original token case with
+    single-space joins. Returns (id, text_dedup, n_kept, n_dropped),
+    empty string when nothing survives.
+    """
+    w = int(window_tokens)
+    toks = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("toks"))
+
+    tok_tbl = base.select(id_col, F.posexplode("toks").alias("idx", "tok"))
+
+    def window_fp(hs):
+        return F.aggregate(
+            hs, F.lit(0).cast("long"), lambda acc, h: (acc * 31 + h) % POLY_MOD
+        )
+
+    th = F.transform(F.col("toks"), lambda t: token_hash(F.lower(t)))
+    wins = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size("toks") < w, F.array().cast("array<long>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - w),
+                    lambda i: window_fp(F.slice(th, i + 1, w)),
+                )
+            )
+        ).alias("pos", "fp"),
+    )
+    stats = wins.groupBy("fp").agg(
+        F.count("*").alias("cnt"),
+        F.min(F.struct(F.col(id_col).alias("fid"), F.col("pos").alias("fpos"))).alias(
+            "first"
+        ),
+    )
+    dup = wins.join(stats, "fp").filter(
+        (F.col("cnt") >= 2)
+        & ~(
+            (F.col("first.fid") == F.col(id_col))
+            & (F.col("first.fpos") == F.col("pos"))
+        )
+    )
+    covered = dup.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + w - 1)).alias("idx"),
+    ).distinct()
+    kept = tok_tbl.join(covered, [id_col, "idx"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(idx, tok))), "
+            "s -> s.tok), ' ')"
+        ).alias("text_dedup"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = base.select(id_col, F.size("toks").cast("long").alias("n_total"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_total") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
