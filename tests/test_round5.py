@@ -162,3 +162,73 @@ def test_substring_dedup_case_folded_match_keeps_original_case(spark):
     got = {r["doc_id"]: r["text_dedup"] for r in out.collect()}
     assert got[1] == "A B C D e"  # first instance, original case intact
     assert got[2] == "X"  # covered span dropped despite case difference
+
+
+# ---------------------------------------------------- Louvain -------------
+
+
+def test_louvain_two_triangles(spark):
+    from webgraph.algos.louvain import louvain
+
+    g = _graph(spark, [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)])
+    mapping, metrics = louvain(g, max_levels=4, max_rounds=8)
+    comm = {}
+    for r in mapping.collect():
+        comm.setdefault(r["gid"], set()).add(r["vid"])
+    assert sorted(sorted(v) for v in comm.values()) == [[0, 1, 2], [3, 4, 5]]
+    # known optimum for this graph: Q = 70/196
+    assert metrics[0]["q_num"] * 196 == 70 * metrics[0]["q_den"]
+
+
+def test_louvain_ring_of_cliques_and_monotone_q(spark):
+    from webgraph.algos.louvain import louvain
+
+    edges = []
+    for c in range(4):
+        b = c * 3
+        edges += [(b, b + 1), (b + 1, b + 2), (b, b + 2), (b + 2, (b + 3) % 12)]
+    g = _graph(spark, edges)
+    mapping, metrics = louvain(g, max_levels=5, max_rounds=10)
+    comm = {}
+    for r in mapping.collect():
+        comm.setdefault(r["gid"], set()).add(r["vid"])
+    assert sorted(sorted(v) for v in comm.values()) == [
+        [0, 1, 2], [3, 4, 5], [6, 7, 8], [9, 10, 11]
+    ]
+    # acceptance guard => strictly increasing Q on accepted levels,
+    # final (rejected or terminal) level never decreases the kept Q
+    accepted = [m["q_num"] for m in metrics if m.get("accepted")]
+    assert accepted == sorted(accepted)
+    assert all(
+        m["q_num"] >= accepted[-1] or not m.get("accepted", True) for m in metrics
+    )
+
+
+def test_louvain_deterministic_under_repartitioning(spark):
+    from webgraph.algos.common import from_int_edges
+    from webgraph.algos.louvain import louvain
+
+    edges = []
+    for c in range(3):
+        b = c * 4
+        edges += [
+            (b, b + 1), (b, b + 2), (b, b + 3),
+            (b + 1, b + 2), (b + 1, b + 3), (b + 2, b + 3),
+        ]
+    edges += [(3, 4), (7, 8), (11, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    m1, _ = louvain(from_int_edges(df.repartition(1)), max_levels=4)
+    m2, _ = louvain(from_int_edges(df.repartition(16, "dst")), max_levels=4)
+    assert sorted(map(tuple, m1.collect())) == sorted(map(tuple, m2.collect()))
+
+
+def test_louvain_edgeless_graph_is_identity(spark):
+    from webgraph.algos.common import EncodedGraph
+    from webgraph.algos.louvain import louvain
+
+    verts = spark.createDataFrame([(i, str(i)) for i in range(4)], "vid long, url string")
+    edges = spark.createDataFrame([], "src long, dst long")
+    g = EncodedGraph(vertices=verts, edges=edges, num_vertices=4)
+    mapping, metrics = louvain(g)
+    assert metrics == []
+    assert sorted(map(tuple, mapping.collect())) == [(i, i) for i in range(4)]

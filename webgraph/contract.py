@@ -4982,3 +4982,71 @@ FROM totals t LEFT JOIN rebuilt r USING (doc_id)
 
 
 QUERIES.update({"d_substring_dedup": (q_d_substring_dedup, o_d_substring_dedup)})
+
+
+# --------------------------------------- Louvain communities (r05) --
+
+
+def q_g_louvain(spark, sf_dir):
+    """Louvain community detection (algos/louvain.py), pinned at ONE
+    local-move round / ONE level so the oracle can replay it exactly:
+    from the singleton state the gain of moving i into neighbor j's
+    community is the integer S*1 - k_i*k_j (stay score is 0), only
+    even-parity vids move (round-0 gate), ties break to the smallest
+    target community, and the per-level acceptance guard (keep the moves
+    only if scaled modularity strictly improves on singletons) runs too.
+    Multi-level behavior is pinned by pytest (modularity non-decreasing
+    per level, determinism under repartitioning, exact communities on
+    clique fixtures) in tests/test_round5.py."""
+    from webgraph.algos.louvain import louvain
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    mapping, _ = louvain(g, max_levels=1, max_rounds=1)
+    return mapping.select("vid", "gid")
+
+
+def o_g_louvain():
+    return f"""
+WITH e AS ({EDGES_SQL}),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM e WHERE src <> dst
+  UNION SELECT dst, src FROM e WHERE src <> dst),
+st AS (SELECT COUNT(*) AS s FROM sym),
+deg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS k FROM sym GROUP BY src),
+scored AS (
+  SELECT sym.src AS vid, sym.dst AS ngid, st.s - ks.k * kd.k AS score
+  FROM sym
+  JOIN deg ks ON ks.vid = sym.src
+  JOIN deg kd ON kd.vid = sym.dst
+  CROSS JOIN st),
+ranked AS (
+  SELECT vid, ngid, score,
+         ROW_NUMBER() OVER (PARTITION BY vid ORDER BY score DESC, ngid ASC)
+           AS rn
+  FROM scored),
+moved AS MATERIALIZED (
+  SELECT d.vid,
+         CASE WHEN d.vid % 2 = 0 AND r.score > 0 THEN r.ngid ELSE d.vid END
+           AS gid
+  FROM deg d LEFT JOIN ranked r ON r.vid = d.vid AND r.rn = 1),
+tagged AS (
+  SELECT ms.gid AS gsrc, md.gid AS gdst FROM sym
+  JOIN moved ms ON sym.src = ms.vid
+  JOIN moved md ON sym.dst = md.vid),
+w_in AS (SELECT gsrc AS gid, COUNT(*) AS w FROM tagged
+         WHERE gsrc = gdst GROUP BY gsrc),
+tot AS (SELECT m.gid, SUM(d.k) AS tot FROM moved m
+        JOIN deg d ON d.vid = m.vid GROUP BY m.gid),
+qnew AS (SELECT SUM(st.s * COALESCE(w_in.w, 0) - tot.tot * tot.tot) AS q
+         FROM tot LEFT JOIN w_in USING (gid) CROSS JOIN st),
+qold AS (SELECT SUM(-k * k) AS q FROM deg),
+v AS (SELECT src AS vid FROM e UNION SELECT dst AS vid FROM e)
+SELECT v.vid,
+       COALESCE(CASE WHEN (SELECT q FROM qnew) > (SELECT q FROM qold)
+                     THEN m.gid ELSE m.vid END,
+                v.vid) AS gid
+FROM v LEFT JOIN moved m ON m.vid = v.vid
+"""
+
+
+QUERIES.update({"g_louvain": (q_g_louvain, o_g_louvain)})
