@@ -232,3 +232,72 @@ def test_louvain_edgeless_graph_is_identity(spark):
     mapping, metrics = louvain(g)
     assert metrics == []
     assert sorted(map(tuple, mapping.collect())) == [(i, i) for i in range(4)]
+
+
+# ----------------------------------------- main-content extraction --------
+
+
+_PAGE = """<html><head><title>T</title><script>var x = "</p>";</script>
+<style>.a  color red </style></head><body>
+<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/c">Contact</a></nav>
+<div>This is the real article body with plenty of prose words inside it.</div>
+<p>A second paragraph that also has enough words to survive the filter easily.</p>
+<p>See <a href="/ref">this reference</a> for more details on the method used here.</p>
+<ul><li><a href="/1">One</a></li><li><a href="/2">Two</a></li></ul>
+<footer>Copyright 2026 <a href="/tos">Terms</a> <a href="/priv">Privacy</a></footer>
+</body></html>"""
+
+
+def test_main_content_extracts_prose_drops_boilerplate(spark):
+    from webgraph.text import main_content
+
+    docs = spark.createDataFrame([(1, _PAGE)], "doc_id long, html string")
+    r = main_content(docs).collect()[0]
+    assert r["main_text"] == (
+        "This is the real article body with plenty of prose words inside it.\n"
+        "A second paragraph that also has enough words to survive the filter easily.\n"
+        "See this reference for more details on the method used here."
+    )
+    assert r["n_kept"] == 3
+    # title fragment, nav, 3 prose, 2 list items, footer => 8 non-empty blocks
+    assert r["n_blocks"] == 8
+
+
+def test_main_content_script_payload_with_fake_close_tag_is_stripped(spark):
+    from webgraph.text import main_content
+
+    # the script body contains '</p>' INSIDE a string: the non-greedy
+    # (?is) container strip must remove it before block segmentation
+    docs = spark.createDataFrame([(1, _PAGE)], "doc_id long, html string")
+    r = main_content(docs).collect()[0]
+    assert "var x" not in r["main_text"]
+    assert "color red" not in r["main_text"]
+
+
+def test_main_content_link_density_drops_anchor_farm(spark):
+    from webgraph.text import main_content
+
+    page = (
+        '<div><a href="/x">alpha beta gamma delta epsilon zeta</a></div>'
+        "<p>six ordinary words of real prose here</p>"
+    )
+    docs = spark.createDataFrame([(1, page)], "doc_id long, html string")
+    r = main_content(docs, min_words=5, max_link_density=0.5).collect()[0]
+    # anchor farm passes min_words (6) but is 100% link chars -> dropped
+    assert r["main_text"] == "six ordinary words of real prose here"
+    assert (r["n_blocks"], r["n_kept"]) == (2, 1)
+
+
+def test_main_content_tagless_and_short_docs(spark):
+    from webgraph.text import main_content
+
+    docs = spark.createDataFrame(
+        [
+            (1, "no tags at all but lots of words in this plain text line"),
+            (2, "<p>too short</p>"),
+        ],
+        "doc_id long, html string",
+    )
+    got = {r["doc_id"]: r for r in main_content(docs).collect()}
+    assert got[1]["main_text"].startswith("no tags at all")
+    assert got[2]["main_text"] == "" and got[2]["n_blocks"] == 1

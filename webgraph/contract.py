@@ -5050,3 +5050,87 @@ FROM v LEFT JOIN moved m ON m.vid = v.vid
 
 
 QUERIES.update({"g_louvain": (q_g_louvain, o_g_louvain)})
+
+
+# ------------------------------------ main-content extraction (r05) --
+
+# Deterministic seeded pages: every document wrapped in the same
+# boilerplate so all drop branches fire — script/style containers
+# (stripped), a 3-word nav (min_words), a 6-word all-anchor div (link
+# density), a 4-word footer (min_words) — while the body paragraph
+# survives whenever the doc itself has >= 5 words. Both engines build
+# the page from the same literals and replay the same regex pipeline.
+MC_PRE = (
+    '<html><head><script>var z = 1;</script><style>.nav a color red</style>'
+    '</head><body><nav><a href="/">Home</a> <a href="/a">About</a> '
+    '<a href="/c">Contact</a></nav><p>'
+)
+MC_POST = (
+    '</p><div><a href="/x">alpha beta gamma delta epsilon zeta</a></div>'
+    '<footer>(c) 2026 <a href="/t">Terms</a> <a href="/p">Privacy</a>'
+    '</footer></body></html>'
+)
+
+
+def q_t_main_content(spark, sf_dir):
+    """HTML main-content extraction (text.py:main_content): jusText-shape
+    block segmentation + word-count and link-density scoring, pure
+    split/transform/filter codegen — no UDF, no shuffle."""
+    from webgraph.text import main_content
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit(MC_PRE), F.col("text"), F.lit(MC_POST)).alias("html"),
+    )
+    return main_content(docs, min_words=5, max_link_density=0.5)
+
+
+def o_t_main_content():
+    from webgraph.text import (
+        _ANCHOR_TEXT_RE,
+        _BLOCK_TAG_RE,
+        _DROP_SCRIPT_RE,
+        _DROP_STYLE_RE,
+        _TAG_RE,
+    )
+
+    return f"""
+WITH pages AS (
+  SELECT doc_id, '{MC_PRE}' || text || '{MC_POST}' AS html FROM documents
+), blocks AS (
+  SELECT doc_id, generate_subscripts(bs, 1) AS bi, unnest(bs) AS b
+  FROM (SELECT doc_id,
+          string_split_regex(
+            regexp_replace(regexp_replace(html, '{_DROP_SCRIPT_RE}', ' ', 'g'),
+                           '{_DROP_STYLE_RE}', ' ', 'g'),
+            '{_BLOCK_TAG_RE}') AS bs
+        FROM pages)
+), scored AS (
+  SELECT doc_id, bi,
+    trim(regexp_replace(regexp_replace(b, '{_TAG_RE}', ' ', 'g'),
+                        '\\s+', ' ', 'g')) AS txt,
+    list_reduce(
+      list_prepend(0, list_transform(
+        regexp_extract_all(b, '{_ANCHOR_TEXT_RE}', 1),
+        a -> length(trim(regexp_replace(a, '\\s+', ' ', 'g'))))),
+      (x, y) -> x + y) AS lc
+  FROM blocks
+), ne AS (
+  SELECT *, len(string_split(txt, ' ')) AS words FROM scored WHERE txt <> ''
+), kept AS (
+  SELECT * FROM ne
+  WHERE words >= 5 AND CAST(lc AS DOUBLE) <= 0.5 * length(txt)
+), agg AS (
+  SELECT doc_id, string_agg(txt, chr(10) ORDER BY bi) AS main_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), nb AS (SELECT doc_id, COUNT(*) AS n_blocks FROM ne GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.main_text, '') AS main_text,
+       CAST(COALESCE(nb.n_blocks, 0) AS BIGINT) AS n_blocks,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept
+FROM documents d LEFT JOIN nb USING (doc_id) LEFT JOIN agg a USING (doc_id)
+"""
+
+
+QUERIES.update({"t_main_content": (q_t_main_content, o_t_main_content)})

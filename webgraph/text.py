@@ -785,3 +785,84 @@ def dsir_sample(
     return allv.join(F.broadcast(topn), id_col, "left").select(
         id_col, "dsir_e6", F.coalesce(F.col("_sel"), F.lit(False)).alias("selected")
     )
+
+
+# ------------------------------------------- main-content extraction ----
+
+# Block-boundary tags (jusText/trafilatura's segmentation unit). The
+# split REMOVES the boundary tags, so only inline markup (<a>, <b>, ...)
+# survives inside a block. Non-capturing group: capture groups change
+# what some engines' split returns.
+_BLOCK_TAG_RE = (
+    r"(?i)</?(?:p|div|section|article|main|td|th|tr|table|ul|ol|li|nav"
+    r"|footer|header|aside|h[1-6]|blockquote|form|br)[^>]*>"
+)
+# two patterns, not one with a backreference: RE2 (the oracle engine)
+# has no backreferences, and mixed <script>...</style> nesting is invalid
+# HTML anyway
+_DROP_SCRIPT_RE = r"(?is)<script[^>]*>.*?</script>"
+_DROP_STYLE_RE = r"(?is)<style[^>]*>.*?</style>"
+_ANCHOR_TEXT_RE = r"(?is)<a[^>]*>([^<]*)</a>"
+_TAG_RE = r"<[^>]*>"
+
+
+def main_content(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    min_words: int = 5,
+    max_link_density: float = 0.5,
+) -> DataFrame:
+    """Boilerplate removal from HTML pages — the first stage of every
+    web-corpus pipeline (trafilatura / jusText shape): drop script/style
+    containers, segment the page into blocks at block-level tag
+    boundaries, score each block by word count and LINK DENSITY (chars of
+    anchor text / chars of text — nav bars and footers are link-dense,
+    body prose is not), keep prose blocks, rejoin with newlines.
+
+    Entirely split/transform/filter/aggregate codegen over one string
+    column — the comment_ratio (code.py) economics: no UDF, no shuffle,
+    column-pruned scan, embarrassingly parallel over a 100 TB corpus.
+    Entity unescaping is deliberately out of scope (a fixed replace chain
+    if a corpus needs it); matching is tag-level, not a DOM parse — the
+    standard trade the density heuristics make.
+
+    Returns (id, main_text, n_blocks, n_kept): n_blocks counts blocks
+    with any text at all, n_kept the prose blocks that survived.
+    """
+    raw = F.regexp_replace(
+        F.regexp_replace(F.col(html_col), _DROP_SCRIPT_RE, " "), _DROP_STYLE_RE, " "
+    )
+    blocks = F.split(raw, _BLOCK_TAG_RE)
+
+    def block_struct(b):
+        txt = F.trim(F.regexp_replace(F.regexp_replace(b, _TAG_RE, " "), r"\s+", " "))
+        link_chars = F.aggregate(
+            F.transform(
+                F.regexp_extract_all(b, F.lit(_ANCHOR_TEXT_RE), 1),
+                lambda a: F.length(F.trim(F.regexp_replace(a, r"\s+", " "))),
+            ),
+            F.lit(0),
+            lambda acc, n: acc + n,
+        )
+        words = F.when(txt == "", F.lit(0)).otherwise(F.size(F.split(txt, " ")))
+        return F.struct(
+            txt.alias("txt"), words.alias("words"), link_chars.alias("lc")
+        )
+
+    scored = F.transform(blocks, block_struct)
+    nonempty = F.filter(scored, lambda s: s["words"] > 0)
+    kept = F.filter(
+        nonempty,
+        lambda s: (s["words"] >= F.lit(int(min_words)))
+        & (
+            s["lc"].cast("double")
+            <= F.lit(float(max_link_density)) * F.length(s["txt"]).cast("double")
+        ),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda s: s["txt"]), "\n").alias("main_text"),
+        F.size(nonempty).cast("long").alias("n_blocks"),
+        F.size(kept).cast("long").alias("n_kept"),
+    )
