@@ -103,10 +103,13 @@ def run_bench(
         assert n >= 0
 
     # --- primary metric: web-graph PageRank throughput -------------------
+    steal_thresh = float(os.environ.get("SPARK_GRAFT_STEAL_PCT_MAX", "5"))
     t0 = time.time()
     # Persist the generated corpus: build_graph scans documents 3x (page
     # dedup, link extraction, filters); a real corpus is a materialized
-    # table, so caching makes the measured build representative.
+    # table, so caching makes the measured build representative. Corpus
+    # generation is timed SEPARATELY (corpus_prep) — the build line
+    # measures the build plan, not the data generator.
     docs = synthetic_corpus(
         spark,
         n_pages=bench_pages,
@@ -116,27 +119,41 @@ def run_bench(
         partitions=cpus * 2,
     ).persist()
     docs.count()
+    timings["corpus_prep"] = round(time.time() - t0, 3)
 
     def _build_once():
-        g = build_graph(docs, ["example.com"])
-        return encode_graph(g.edges, partitions=cpus * 2)
-
-    eg = _build_once()
-    t_build = time.time() - t0
-    # Steal-burst guard (BENCH/NOTES.md): clean builds at the default size
-    # are ~23 s; a wall several times that is a hypervisor-steal artifact,
-    # not the plan. Re-run ONCE on the cached corpus and report the min —
-    # the same additive-noise/min-statistic protocol as the scaling bench.
-    rerun_thresh = float(os.environ.get("SPARK_GRAFT_BUILD_RERUN_SEC", "60"))
-    if t_build > rerun_thresh:
-        eg.vertices.unpersist()
-        eg.edges.unpersist()
         t1 = time.time()
-        eg = _build_once()
-        t_build2 = time.time() - t1
-        timings["web_graph_build_first_try"] = round(t_build, 3)
-        t_build = min(t_build, t_build2)
-    timings["web_graph_build"] = round(t_build, 3)
+        g = build_graph(docs, ["example.com"])
+        e = encode_graph(g.edges, partitions=cpus * 2)
+        return e, round(time.time() - t1, 3)
+
+    # Steal-bracketed build sampling (r05 — closes the r04 VERDICT gap:
+    # the build was the one number per round that couldn't prove its
+    # window). Same protocol as the big-PR loop: bracket each build with
+    # /proc/stat steal deltas; if the window was dirty (steal >= threshold)
+    # or the wall blew past the clean-build band, unpersist and rebuild on
+    # the cached corpus (up to $SPARK_GRAFT_BUILD_ATTEMPTS, default 3).
+    # Report the min wall (steal is additive), the min-attempt's steal_pct,
+    # and build_contended if no attempt saw a clean window.
+    rerun_thresh = float(os.environ.get("SPARK_GRAFT_BUILD_RERUN_SEC", "60"))
+    build_max_attempts = int(os.environ.get("SPARK_GRAFT_BUILD_ATTEMPTS", "3"))
+    build_attempts: list[dict] = []
+    eg = None
+    for i in range(build_max_attempts):
+        if eg is not None:
+            eg.vertices.unpersist()
+            eg.edges.unpersist()
+        (eg, t_b), b_steal = _steal_window(_build_once)
+        build_attempts.append({"steal_pct": b_steal, "sec": t_b})
+        if b_steal < steal_thresh and t_b <= rerun_thresh:
+            break
+    best_build = min(build_attempts, key=lambda a: a["sec"])
+    timings["web_graph_build"] = best_build["sec"]
+    for j, a in enumerate(build_attempts[1:], start=2):
+        timings[f"web_graph_build_attempt{j}"] = a["sec"]
+    build_contended = not any(
+        a["steal_pct"] < steal_thresh for a in build_attempts
+    )
 
     ranks, metrics = pagerank(
         eg, tol=0.0, max_iter=pr_iters, collect_skew=False
@@ -172,7 +189,6 @@ def run_bench(
     # flagged contended=true instead of silently recording a poisoned
     # number (r03's spread-only guard resampled once inside the same
     # poisoned window and published 2.4x low).
-    steal_thresh = float(os.environ.get("SPARK_GRAFT_STEAL_PCT_MAX", "5"))
     max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "5"))
     attempts: list[dict] = []
     steady_walls: list[float] = []
@@ -225,6 +241,9 @@ def run_bench(
         "steal_pct": attempts[-1]["steal_pct"],
         "steal_attempts": attempts,
         "contended": contended,
+        "build_steal_pct": best_build["steal_pct"],
+        "build_attempts": build_attempts,
+        "build_contended": build_contended,
     }
     if own_session:
         spark.stop()

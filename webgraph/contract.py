@@ -5134,3 +5134,52 @@ FROM documents d LEFT JOIN nb USING (doc_id) LEFT JOIN agg a USING (doc_id)
 
 
 QUERIES.update({"t_main_content": (q_t_main_content, o_t_main_content)})
+
+
+# ------------------------------------- driver CORRECTNESS window (r05) --
+
+# The driver's correctness gate records only the FIRST 50 registry
+# entries, so registration order (historically: the order operators were
+# built) decided which families ever earned a driver row — code.py,
+# SemDeDup, Katz/SSSP and everything since round 2 never did. The
+# window below is a representative cross-family set: graph core +
+# iterative algorithms, the code family, similarity, streaming, every
+# dedup modality, text pipeline, relational windows/rollups, URL/filter/
+# category/multimodal. Everything NOT in the window keeps its relative
+# order after it and stays oracle-checked by the full-board sweep
+# (tools/check_contract.py -> BENCH/contract_sweep_r*.log, regenerated
+# each round).
+DRIVER_WINDOW = [
+    # graph core + iteratives
+    "g_top50_in_degree", "g_edge_count", "g_pagerank", "g_pagerank_warm",
+    "g_components", "g_louvain", "g_triangles", "g_katz", "g_sssp",
+    "g_eff_diameter", "g_ktruss", "g_butterflies", "g_link_predict",
+    # code corpus family
+    "c_code_stats", "c_stack_filter", "c_license_rollup", "c_secret_scan",
+    "c_comment_ratio", "c_repo_dedup", "c_block_clones", "c_repo_stats",
+    # embedding similarity
+    "e_semdedup", "e_ivf_topk",
+    # streaming
+    "s_stream_cms", "s_pagerank_refresh", "s_incremental_merge",
+    "s_stateful_sessions", "s_event_hourly",
+    # dedup modalities
+    "d_line_dedup", "d_substring_dedup", "d_dedup_clusters",
+    "d_minhash_dup_pairs", "d_clean_corpus", "d_decontaminate",
+    # text pipeline
+    "t_main_content", "t_mix_sources", "t_dsir_sample", "t_lm_score",
+    "t_bloom_seen", "t_langid_counts", "t_token_budget_sample",
+    "t_hist_quantiles",
+    # relational windows/rollups
+    "r_running_revenue", "r_revenue_rollup", "r_priority_year_pivot",
+    "r_price_quantiles",
+    # URL / filters / category index / multimodal
+    "u_url_functions", "f_media_filter", "x_category_index", "m_media_stats",
+]
+
+assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
+_missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
+assert not _missing, f"DRIVER_WINDOW names not in registry: {_missing}"
+QUERIES = {
+    **{n: QUERIES[n] for n in DRIVER_WINDOW},
+    **{n: v for n, v in QUERIES.items() if n not in set(DRIVER_WINDOW)},
+}
