@@ -301,3 +301,39 @@ def test_main_content_tagless_and_short_docs(spark):
     got = {r["doc_id"]: r for r in main_content(docs).collect()}
     assert got[1]["main_text"].startswith("no tags at all")
     assert got[2]["main_text"] == "" and got[2]["n_blocks"] == 1
+
+
+# ------------------------------------------- anchor-text aggregation ------
+
+
+def test_anchor_extraction_pairs_and_normalization(spark):
+    from webgraph.extract import extract_anchor_texts
+
+    docs = spark.createDataFrame(
+        [
+            ("u1", "html",
+             '<a href="/a">First  Link</a> x <a class="z" href="/b">SECOND</a>'),
+            ("u2", "py", 'href="/a" not parsed: <a href="/c">nope</a>'),
+        ],
+        "url string, lang string, content string",
+    )
+    rows = sorted(map(tuple, extract_anchor_texts(docs).collect()))
+    # non-markup rows contribute nothing; anchors collapse+fold
+    assert rows == [("u1", "/a", "first link"), ("u1", "/b", "second")]
+
+
+def test_anchor_summary_topk_and_tiebreak(spark):
+    from webgraph.extract import anchor_summary
+
+    anchors = spark.createDataFrame(
+        [("s1", "/t", "home"), ("s2", "/t", "home"), ("s3", "/t", "zeta"),
+         ("s4", "/t", "alpha"), ("s5", "/t", ""), ("s6", "/u", "only")],
+        "src string, dst_raw string, anchor string",
+    )
+    out = {(r["dst_raw"], r["rank"]): (r["anchor"], r["n"])
+           for r in anchor_summary(anchors, top_k=2).collect()}
+    # count desc then anchor asc; empty anchors dropped
+    assert out[("/t", 1)] == ("home", 2)
+    assert out[("/t", 2)] == ("alpha", 1)
+    assert out[("/u", 1)] == ("only", 1)
+    assert ("/t", 3) not in out

@@ -57,7 +57,13 @@ def main():
     from webgraph.contract import TABLES
     from webgraph.session import get_spark
 
-    spark = get_spark(app_name="contract-check", shuffle_partitions=16)
+    # no console progress bar: the sweep log is a tracked artifact and
+    # \r-progress frames would pollute it
+    spark = get_spark(
+        app_name="contract-check",
+        shuffle_partitions=16,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
 
     con = duckdb.connect()
     for t in TABLES:

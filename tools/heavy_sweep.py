@@ -1,0 +1,67 @@
+"""sf0.1 heavyweight sweep (round-5 VERDICT #6): run the heaviest
+contract queries at 10x the tuning scale and record walls, so the tuned
+constants (max_cluster, bands, df caps) have measured — not assumed —
+10x behavior.
+
+Usage: python tools/heavy_sweep.py [sf_dir] [out_json]
+Writes one JSON object per query: {name: {"sec": w, "rows": n}} plus a
+steal bracket over the whole sweep (same /proc/stat protocol as
+bench.py) so a contended run can't masquerade as a scaling problem.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+HEAVY = [
+    "e_semdedup",
+    "s_stream_cms",
+    "s_pagerank_refresh",
+    "d_clean_corpus",
+    "c_repo_dedup",
+    "g_katz",
+    "g_betweenness",
+    "g_ktruss",
+    "d_substring_dedup",
+    "g_louvain",
+    "t_ngram_similar_pairs",
+    "d_minhash_dup_pairs",
+]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH/heavy_sweep_r05.json"
+
+    from bench import _steal_window
+    from webgraph.contract import QUERIES
+    from webgraph.session import get_spark
+
+    spark = get_spark(app_name="heavy-sweep", shuffle_partitions=32)
+
+    results: dict[str, dict] = {}
+
+    def run_all():
+        for name in HEAVY:
+            fn = QUERIES[name][0]
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            w = round(time.time() - t0, 2)
+            results[name] = {"sec": w, "rows": int(n)}
+            print(f"{name}: {w}s ({n} rows)", flush=True)
+
+    _, steal_pct = _steal_window(run_all)
+    out = {"sf_dir": sf_dir, "steal_pct": steal_pct, "queries": results,
+           "total_sec": round(sum(r["sec"] for r in results.values()), 2)}
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -5183,3 +5183,80 @@ QUERIES = {
     **{n: QUERIES[n] for n in DRIVER_WINDOW},
     **{n: v for n, v in QUERIES.items() if n not in set(DRIVER_WINDOW)},
 }
+
+
+# -------------------------------------- anchor-text aggregation (r05) --
+
+# Seeded pages: every document becomes an HTML page with two anchors —
+# one pointing at a hashed target carrying the doc's first two tokens as
+# anchor text, one at a second target carrying 'More  Info' (mixed case,
+# doubled space: exercises the collapse + case-fold normalization). ~37
+# distinct targets at any sf makes every aggregation branch (counts,
+# per-target rank, alphabetic tie-break) fire.
+
+
+def q_g_anchor_text(spark, sf_dir):
+    """Per-target anchor-text profile (extract.py:extract_anchor_texts +
+    anchor_summary): the classic in-degree companion signal — what other
+    pages' link text calls a page. Top-3 normalized anchors per target,
+    count-desc / anchor-asc deterministic order."""
+    from webgraph.extract import anchor_summary, extract_anchor_texts
+
+    docs = load(spark, sf_dir, "documents")
+    two_tok = F.array_join(
+        F.slice(F.split(F.trim("text"), r"\s+"), 1, 2), " "
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://ex.com/p"), F.col("doc_id")).alias("url"),
+        F.lit("html").alias("lang"),
+        F.concat(
+            F.lit('<html><body><p>See <a href="https://t.example/p'),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit('">'),
+            two_tok,
+            F.lit('</a> and <a href="https://t.example/p'),
+            ((F.col("doc_id") + 7) % 37).cast("string"),
+            F.lit('">More  Info</a></p></body></html>'),
+        ).alias("content"),
+    )
+    return anchor_summary(extract_anchor_texts(pages), top_k=3)
+
+
+def o_g_anchor_text():
+    from webgraph.extract import ANCHOR_RE
+
+    return f"""
+WITH pages AS (
+  SELECT doc_id,
+    '<html><body><p>See <a href="https://t.example/p'
+      || CAST(doc_id % 37 AS VARCHAR) || '">'
+      || array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 2), ' ')
+      || '</a> and <a href="https://t.example/p'
+      || CAST((doc_id + 7) % 37 AS VARCHAR)
+      || '">More  Info</a></p></body></html>' AS content
+  FROM documents
+), ex AS (
+  SELECT doc_id,
+         regexp_extract_all(content, '{ANCHOR_RE}', 1) AS hs,
+         regexp_extract_all(content, '{ANCHOR_RE}', 2) AS ts
+  FROM pages
+), occurrences AS (
+  SELECT generate_subscripts(hs, 1) AS i, unnest(hs) AS dst_raw, ts
+  FROM ex
+), pairs AS (
+  SELECT dst_raw,
+         lower(trim(regexp_replace(ts[i], '\\s+', ' ', 'g'))) AS anchor
+  FROM occurrences
+), counts AS (
+  SELECT dst_raw, anchor, COUNT(*) AS n FROM pairs
+  WHERE anchor <> '' GROUP BY 1, 2
+)
+SELECT dst_raw, anchor, n, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY dst_raw ORDER BY n DESC, anchor ASC) AS rank
+  FROM counts)
+WHERE rank <= 3
+"""
+
+
+QUERIES.update({"g_anchor_text": (q_g_anchor_text, o_g_anchor_text)})
