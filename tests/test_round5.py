@@ -337,3 +337,47 @@ def test_anchor_summary_topk_and_tiebreak(spark):
     assert out[("/t", 2)] == ("alpha", 1)
     assert out[("/u", 1)] == ("only", 1)
     assert ("/t", 3) not in out
+
+
+# ----------------------------------------------- Gopher rule battery ------
+
+
+def test_gopher_rules_keeps_clean_prose(spark):
+    from webgraph.text import gopher_rules
+
+    prose = " ".join(
+        "the quick brown fox jumps over and over with plenty of words that "
+        "have to be of use".split() * 4
+    )
+    docs = spark.createDataFrame([(1, prose)], "doc_id long, text string")
+    r = gopher_rules(docs, min_words=20).collect()[0]
+    assert r["keep"] is True
+    assert r["n_words"] == 72 and r["stop_hits"] >= 2
+
+
+def test_gopher_rules_rejects_bullet_and_ellipsis_pages(spark):
+    from webgraph.text import gopher_rules
+
+    filler = "the words and that have to be of with more text here today now"
+    bullets = "\n".join(f"- item {i} {filler}" for i in range(10))
+    dots = "\n".join(f"read more about topic {i} {filler} ..." for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, bullets), (2, dots)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in gopher_rules(docs, min_words=20).collect()}
+    assert got[1]["bullet_frac_e4"] == 10000 and got[1]["keep"] is False
+    assert got[2]["ellipsis_frac_e4"] == 10000 and got[2]["keep"] is False
+
+
+def test_gopher_rules_symbol_alpha_and_empty(spark):
+    from webgraph.text import gopher_rules
+
+    hashy = " ".join(["#tag"] * 30) + " the of and that be to have with"
+    numeric = " ".join(str(i) for i in range(40)) + " the of"
+    docs = spark.createDataFrame(
+        [(1, hashy), (2, numeric), (3, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in gopher_rules(docs, min_words=20).collect()}
+    assert got[1]["symbol_ratio_e4"] > 1000 and got[1]["keep"] is False
+    assert got[2]["alpha_frac_e4"] < 8000 and got[2]["keep"] is False
+    assert got[3]["n_words"] == 0 and got[3]["keep"] is False

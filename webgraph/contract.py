@@ -5260,3 +5260,73 @@ WHERE rank <= 3
 
 
 QUERIES.update({"g_anchor_text": (q_g_anchor_text, o_g_anchor_text)})
+
+
+# ------------------------------------------ Gopher rule battery (r05) --
+
+
+def q_t_gopher_rules(spark, sf_dir):
+    """Gopher quality-rule battery (text.py:gopher_rules): per-rule
+    scaled-integer metrics + combined keep flag, every metric engine-
+    exact (same int inputs, same IEEE division, same half-up round in
+    the oracle)."""
+    from webgraph.text import gopher_rules
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_rules(docs, min_words=20)
+
+
+def o_t_gopher_rules():
+    stop_list = ", ".join(f"'{s}'" for s in
+                          ("the", "be", "to", "of", "and", "that", "have", "with"))
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(text), '\\s+') AS toks,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+    len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_symbols,
+    string_split(text, chr(10)) AS lines
+  FROM documents
+), m2 AS (
+  SELECT doc_id, n_words,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(toks, w -> CAST(length(w) AS BIGINT))),
+      (a, b) -> a + b) AS char_sum,
+    n_symbols,
+    len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+    len(list_filter([{stop_list}],
+      s -> list_contains(list_transform(toks, w -> lower(w)), s))) AS stop_hits,
+    len(lines) AS n_lines,
+    len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) AS n_bullet,
+    len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+      AS n_ellipsis
+  FROM m
+), r AS (
+  SELECT doc_id,
+    CAST(n_words AS BIGINT) AS n_words,
+    CASE WHEN n_words = 0 THEN 0
+         ELSE CAST(ROUND(100.0 * char_sum / n_words) AS BIGINT) END
+      AS mean_word_len_e2,
+    CASE WHEN n_words = 0 THEN 0
+         ELSE CAST(ROUND(10000.0 * n_symbols / n_words) AS BIGINT) END
+      AS symbol_ratio_e4,
+    CAST(ROUND(10000.0 * n_bullet / n_lines) AS BIGINT) AS bullet_frac_e4,
+    CAST(ROUND(10000.0 * n_ellipsis / n_lines) AS BIGINT) AS ellipsis_frac_e4,
+    CASE WHEN n_words = 0 THEN 0
+         ELSE CAST(ROUND(10000.0 * n_alpha / n_words) AS BIGINT) END
+      AS alpha_frac_e4,
+    CAST(stop_hits AS BIGINT) AS stop_hits
+  FROM m2
+)
+SELECT *,
+  (n_words >= 20 AND n_words <= 100000
+   AND mean_word_len_e2 >= 300 AND mean_word_len_e2 <= 1000
+   AND symbol_ratio_e4 <= 1000 AND bullet_frac_e4 <= 9000
+   AND ellipsis_frac_e4 <= 3000 AND alpha_frac_e4 >= 8000
+   AND stop_hits >= 2) AS keep
+FROM r
+"""
+
+
+QUERIES.update({"t_gopher_rules": (q_t_gopher_rules, o_t_gopher_rules)})

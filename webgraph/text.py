@@ -866,3 +866,96 @@ def main_content(
         F.size(nonempty).cast("long").alias("n_blocks"),
         F.size(kept).cast("long").alias("n_kept"),
     )
+
+
+# ------------------------------------------------ Gopher quality rules ----
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len_e2: int = 300,
+    max_mean_word_len_e2: int = 1000,
+    max_symbol_ratio_e4: int = 1000,
+    max_bullet_frac_e4: int = 9000,
+    max_ellipsis_frac_e4: int = 3000,
+    min_alpha_frac_e4: int = 8000,
+    min_stop_hits: int = 2,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021 §A1.1, the
+    standard document-level filter every LLM data pipeline starts from):
+    word-count range, mean word length 3-10 chars, symbol-to-word ratio
+    ('#'/ellipsis), bullet- and ellipsis-line fractions, fraction of
+    words containing an alphabetic character, and >= 2 distinct
+    stopwords present. Returns the per-rule metrics AND the combined
+    keep flag so a pipeline can either filter or audit — the audit
+    companion to quality_filter above, which keeps float features and
+    drops rows; this one is the complete paper battery with every
+    metric an engine-exact scaled integer.
+
+    Ratio thresholds are taken scaled (e2/e4 integers) and every
+    reported ratio is a scaled long, not a raw double — the metrics are
+    engine-exact (same int inputs, same IEEE division, same half-up
+    round on both sides of the oracle). All split/transform/filter
+    codegen over one column: no UDF, no shuffle, prunes to (id, text).
+    """
+    txt = F.col(text_col)
+    words = F.split(F.trim(txt), r"\s+")
+    n_words = F.when(F.trim(txt) == "", F.lit(0)).otherwise(F.size(words))
+    char_sum = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    mean_e2 = F.when(n_words == 0, F.lit(0)).otherwise(
+        F.round(F.lit(100.0) * char_sum / n_words).cast("long")
+    )
+    n_symbols = F.size(F.regexp_extract_all(txt, F.lit(r"#|\.\.\.|…"), 0))
+    symbol_e4 = F.when(n_words == 0, F.lit(0)).otherwise(
+        F.round(F.lit(10000.0) * n_symbols / n_words).cast("long")
+    )
+    lower_words = F.transform(words, F.lower)
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_e4 = F.when(n_words == 0, F.lit(0)).otherwise(
+        F.round(F.lit(10000.0) * n_alpha / n_words).cast("long")
+    )
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(lower_words, s),
+        )
+    ).cast("long")
+    lines = F.split(txt, line_sep)
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    n_ellipsis = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    bullet_e4 = F.round(F.lit(10000.0) * n_bullet / n_lines).cast("long")
+    ellipsis_e4 = F.round(F.lit(10000.0) * n_ellipsis / n_lines).cast("long")
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_e2 >= min_mean_word_len_e2)
+        & (mean_e2 <= max_mean_word_len_e2)
+        & (symbol_e4 <= max_symbol_ratio_e4)
+        & (bullet_e4 <= max_bullet_frac_e4)
+        & (ellipsis_e4 <= max_ellipsis_frac_e4)
+        & (alpha_e4 >= min_alpha_frac_e4)
+        & (stop_hits >= min_stop_hits)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_e2.alias("mean_word_len_e2"),
+        symbol_e4.alias("symbol_ratio_e4"),
+        bullet_e4.alias("bullet_frac_e4"),
+        ellipsis_e4.alias("ellipsis_frac_e4"),
+        alpha_e4.alias("alpha_frac_e4"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("keep"),
+    )
