@@ -727,6 +727,15 @@ def substring_dedup(
     token order. No suffix sort, no window-function sort — the same
     economics as dedup_lines.
 
+    Scale bound: step (3) explodes W rows per duplicate window instance
+    before the (id, idx) distinct — at duplicate fraction d that is
+    ~W*d*total_tokens intermediate rows (W x on a fully-duplicated
+    corpus). Below d ~ 2/W this beats any per-document-sort
+    alternative because it needs no ordered scan; a corpus KNOWN to be
+    massively self-repetitive should run exact_duplicates/dedup_lines
+    first (as Lee et al. do), which collapses whole-doc and line dups
+    for pennies and brings d back into this operator's cheap regime.
+
     Semantics (first-wins, deterministic): token i of doc d is dropped
     iff some repeated window instance (d, p), p <= i < p+W, is not the
     lexicographically-first (id, pos) instance of its fingerprint.
