@@ -403,3 +403,48 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_e1")
         spark.sql("DROP TABLE IF EXISTS bk_e2")
+
+
+def test_main_content_and_gopher_rules_are_pure_codegen(spark, tmp_path):
+    """The r05 text operators must stay single-stage scans: zero Exchange
+    and a pruned ReadSchema (only id + text), whatever else the table
+    carries — the physical contract that makes them free at 100 TB."""
+    from webgraph.text import gopher_rules, main_content
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "a b c", "junk")], "doc_id long, text string, extra string"
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+
+    plan_mc = plan_of(main_content(docs.withColumnRenamed("text", "html")))
+    plan_gr = plan_of(gopher_rules(docs))
+    for plan in (plan_mc, plan_gr):
+        assert "Exchange" not in plan, plan
+        assert "extra" not in [
+            c for l in plan.splitlines() if "ReadSchema" in l for c in [l]
+        ][0], plan
+
+
+def test_anchor_summary_topk_plans_window_group_limit(spark):
+    """The per-target top-k rank must compile to WindowGroupLimit (rank
+    pushdown: each partition keeps k rows BEFORE the final sort) over
+    exactly two Exchanges — (dst, anchor) count, then dst-keyed rank."""
+    from webgraph.extract import anchor_summary
+
+    anch = spark.createDataFrame(
+        [("u", "d", "a")], "src string, dst_raw string, anchor string"
+    )
+    plan = plan_of(anchor_summary(anch))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_substring_dedup_plans_no_cartesian_no_sort_merge(spark):
+    """Every substring-dedup join is a key-equi join on an 8-byte
+    fingerprint or (id, idx); no cartesian, and on small inputs the
+    aggregate sides broadcast."""
+    from webgraph.dedup import substring_dedup
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plan = plan_of(substring_dedup(docs, window_tokens=4))
+    assert "Cartesian" not in plan, plan
