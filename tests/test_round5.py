@@ -381,3 +381,20 @@ def test_gopher_rules_symbol_alpha_and_empty(spark):
     assert got[1]["symbol_ratio_e4"] > 1000 and got[1]["keep"] is False
     assert got[2]["alpha_frac_e4"] < 8000 and got[2]["keep"] is False
     assert got[3]["n_words"] == 0 and got[3]["keep"] is False
+
+
+def test_louvain_isolated_vertex_keeps_identity_label(spark):
+    from webgraph.algos.common import EncodedGraph
+    from webgraph.algos.louvain import louvain
+
+    verts = spark.createDataFrame(
+        [(i, str(i)) for i in range(5)], "vid long, url string"
+    )
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2)], "src long, dst long"
+    )
+    g = EncodedGraph(vertices=verts, edges=edges, num_vertices=5)
+    mapping, _ = louvain(g, max_levels=3)
+    got = {r["vid"]: r["gid"] for r in mapping.collect()}
+    assert got[3] == 3 and got[4] == 4  # edgeless vertices survive
+    assert len({got[0], got[1], got[2]}) == 1  # the triangle merges

@@ -230,13 +230,16 @@ def louvain(
             metrics.append(lvl)
             break
         q_prev = q_new
-        # compose onto the original vertex set
+        # compose onto the original vertex set; LEFT join so a vertex
+        # with no edges (possible in a hand-built EncodedGraph whose
+        # vertices frame is wider than its edge endpoints) keeps its
+        # identity label instead of dropping out
         full_map = (
             full_map.withColumnRenamed("gid", "mid")
             .join(
-                state.select(F.col("vid").alias("mid"), "gid"), "mid"
+                state.select(F.col("vid").alias("mid"), "gid"), "mid", "left"
             )
-            .select("vid", "gid")
+            .select("vid", F.coalesce("gid", "mid").alias("gid"))
             .localCheckpoint(eager=True)
         )
         n_comm = state.select("gid").distinct().count()
