@@ -88,6 +88,13 @@ def run_bench(
         "t_ngram_similar_pairs",
         "t_repetition",
         "c_stack_filter",
+        "d_substring_dedup",
+        "g_louvain",
+        "t_main_content",
+        "t_gopher_rules",
+        "g_anchor_text",
+        "g_spam_mass",
+        "t_c4_filter",
         "e_cosine_topk",
         "s_sessions",
         "s_asof_state",

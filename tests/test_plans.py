@@ -448,3 +448,33 @@ def test_substring_dedup_plans_no_cartesian_no_sort_merge(spark):
     docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
     plan = plan_of(substring_dedup(docs, window_tokens=4))
     assert "Cartesian" not in plan, plan
+
+
+def test_c4_filter_is_pure_codegen(spark, tmp_path):
+    """c4_filter joins the main_content/gopher family: one Project over
+    the scan — zero Exchange, zero Python eval, pruned ReadSchema."""
+    from webgraph.text import c4_filter
+
+    p = str(tmp_path / "docs_c4")
+    spark.createDataFrame(
+        [(1, "Nice line here.", "junk")], "doc_id long, text string, extra string"
+    ).write.parquet(p)
+    plan = plan_of(c4_filter(spark.read.parquet(p)))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "extra" not in read, plan
+
+
+def test_spam_mass_is_one_vid_join_over_pinned_pagerank(spark):
+    """spam_mass adds exactly one vid-keyed equi join on top of the two
+    (already plan-audited) pagerank runs — no cartesian, no extra agg."""
+    from webgraph.algos import spam_mass
+    from webgraph.algos.common import from_int_edges
+
+    g = from_int_edges(
+        spark.createDataFrame([(0, 1), (1, 0), (1, 2)], "src long, dst long")
+    )
+    df = spam_mass(g, trusted_seeds=[0], max_iter=2, tol=0.0, collect_skew=False)
+    plan = plan_of(df)
+    assert "Cartesian" not in plan, plan

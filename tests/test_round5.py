@@ -398,3 +398,94 @@ def test_louvain_isolated_vertex_keeps_identity_label(spark):
     got = {r["vid"]: r["gid"] for r in mapping.collect()}
     assert got[3] == 3 and got[4] == 4  # edgeless vertices survive
     assert len({got[0], got[1], got[2]}) == 1  # the triangle merges
+
+
+# ------------------------------------------------ C4 cleaning battery -----
+
+
+def _c4(spark, rows):
+    from webgraph.text import c4_filter
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r["doc_id"]: r.asDict() for r in c4_filter(docs).collect()}
+
+
+def test_c4_line_rules(spark):
+    page = "\n".join([
+        "This is a perfectly fine sentence with punctuation.",
+        "no terminal punctuation on this line",
+        "Too short.",
+        "Enable javascript to view this page.",
+        "Please read our privacy policy before continuing.",
+        "Another good sentence survives the filter!",
+    ])
+    out = _c4(spark, [(1, page)])[1]
+    kept = out["clean_text"].split("\n")
+    assert kept == [
+        "This is a perfectly fine sentence with punctuation.",
+        "Another good sentence survives the filter!",
+    ]
+    assert out["n_lines"] == 6 and out["n_lines_kept"] == 2
+
+
+def test_c4_page_rules_sentences_lorem_braces(spark):
+    good = "\n".join(
+        f"Sentence number {i} is long enough to keep." for i in range(6)
+    )
+    out = _c4(spark, [
+        (1, good),
+        (2, good + "\nSadly this page contains Lorem Ipsum filler."),
+        (3, good + "\nfunction f() { return 1; }"),
+        (4, "Only one good sentence lives here."),
+    ])
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False          # lorem ipsum
+    assert out[3]["keep"] is False          # curly bracket
+    assert out[4]["keep"] is False and out[4]["n_sentences"] == 1
+    assert out[1]["n_sentences"] == 6
+
+
+def test_c4_empty_and_whitespace_text(spark):
+    out = _c4(spark, [(1, ""), (2, "   \n  ")])
+    for d in (1, 2):
+        assert out[d]["clean_text"] == ""
+        assert out[d]["n_lines_kept"] == 0
+        assert out[d]["keep"] is False
+
+
+# ------------------------------------------------ TrustRank spam mass -----
+
+
+def test_spam_mass_vectors_and_identity(spark):
+    import math
+
+    from webgraph.algos import spam_mass
+
+    # trusted core 0-1-2 densely linked; spam farm 3<->4 boosting 5
+    g = _graph(spark, [
+        (0, 1), (1, 2), (2, 0), (1, 0), (2, 1),
+        (3, 4), (4, 3), (3, 5), (4, 5), (5, 3),
+    ])
+    sm = spam_mass(g, trusted_seeds=[0], damping=0.85, tol=0.0,
+                   max_iter=30, collect_skew=False)
+    rows = {r["vid"]: r for r in sm.collect()}
+    assert math.isclose(sum(r["pr"] for r in rows.values()), 1.0, abs_tol=1e-9)
+    assert math.isclose(sum(r["tr"] for r in rows.values()), 1.0, abs_tol=1e-9)
+    # mass = pr - tr identically, and sums to ~0
+    for r in rows.values():
+        assert math.isclose(r["mass"], r["pr"] - r["tr"], abs_tol=1e-12)
+    assert math.isclose(sum(r["mass"] for r in rows.values()), 0.0, abs_tol=1e-9)
+    # the farm (unreachable from the trusted seed) has rel_mass ~ 1;
+    # the trusted cluster's rank is covered by trust (rel_mass << 1)
+    for v in (3, 4, 5):
+        assert rows[v]["rel_mass"] > 0.95
+    for v in (0, 1, 2):
+        assert rows[v]["rel_mass"] < 0.5
+
+
+def test_spam_mass_rejects_unknown_seed(spark):
+    from webgraph.algos import spam_mass
+
+    g = _graph(spark, [(0, 1)])
+    with pytest.raises(ValueError):
+        spam_mass(g, trusted_seeds=[99], max_iter=2).collect()

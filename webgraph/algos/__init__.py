@@ -9,6 +9,10 @@ from webgraph.algos.components import connected_components  # noqa: F401
 from webgraph.algos.labelprop import label_propagation  # noqa: F401
 from webgraph.algos.hits import hits  # noqa: F401
 from webgraph.algos.kcore import k_core  # noqa: F401
-from webgraph.algos.pagerank import pagerank, personalized_pagerank  # noqa: F401
+from webgraph.algos.pagerank import (  # noqa: F401
+    pagerank,
+    personalized_pagerank,
+    spam_mass,
+)
 from webgraph.algos.scc import strongly_connected_components  # noqa: F401
 from webgraph.algos.triangles import triangle_count  # noqa: F401

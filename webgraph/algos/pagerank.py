@@ -286,3 +286,39 @@ def personalized_pagerank(g: EncodedGraph, seeds, **kwargs):
         raise ValueError("personalized_pagerank: no seed vid exists in the graph")
     p = present.select("vid", F.lit(1.0 / cnt).alias("p"))
     return pagerank(g, personalization=p, **kwargs)
+
+
+def spam_mass(g: EncodedGraph, trusted_seeds, **kwargs) -> DataFrame:
+    """Link-spam mass estimation (Gyongyi et al. 2004 "Combating Web Spam
+    with TrustRank" + 2006 "Link Spam Detection Based on Mass Estimation"):
+
+        TR   = PageRank personalized on a hand-vetted trusted seed set
+        mass = PR - TR          (absolute spam mass)
+        rel  = (PR - TR) / PR   (relative spam mass; ~1 => rank came
+                                 almost entirely from untrusted regions)
+
+    Both vectors run the SAME damping/iteration schedule so they are
+    directly comparable (each sums to 1). The composition is two calls
+    into :func:`pagerank`, so the per-iteration physical plan — one
+    stationary edges_w shuffle + map-side-combined hash agg — is the one
+    already audited and plan-pinned; the final step is a single vid-keyed
+    join of two rank vectors. No new shuffle shape is introduced.
+
+    Returns ``(vid, pr, tr, mass, rel_mass)``. ``rel_mass`` is 0.0 when
+    pr == 0 (cannot happen with damping < 1, kept for safety).
+    """
+    pr, _ = pagerank(g, **kwargs)
+    tr, _ = personalized_pagerank(g, trusted_seeds, **kwargs)
+    return (
+        pr.select("vid", F.col("rank").alias("pr"))
+        .join(tr.select("vid", F.col("rank").alias("tr")), "vid")
+        .select(
+            "vid",
+            "pr",
+            "tr",
+            (F.col("pr") - F.col("tr")).alias("mass"),
+            F.when(F.col("pr") == 0.0, F.lit(0.0))
+            .otherwise((F.col("pr") - F.col("tr")) / F.col("pr"))
+            .alias("rel_mass"),
+        )
+    )

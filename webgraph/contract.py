@@ -5330,3 +5330,166 @@ FROM r
 
 
 QUERIES.update({"t_gopher_rules": (q_t_gopher_rules, o_t_gopher_rules)})
+
+
+# ------------------------------------------------------ round 5 late adds --
+
+
+def q_g_spam_mass(spark, sf_dir):
+    """TrustRank spam-mass estimation (algos/pagerank.py:spam_mass;
+    Gyongyi et al. 2004/2006): PR and seed-personalized TR on the same
+    damping/iteration schedule, mass = PR - TR. Trusted seeds reuse
+    PPR_SEEDS; the oracle unrolls BOTH recurrences side by side and
+    differences them, so every intermediate double is engine-exact."""
+    from webgraph.algos import spam_mass
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    sm = spam_mass(
+        g, PPR_SEEDS, damping=DAMPING, tol=0.0, max_iter=PR_ITERS,
+        collect_skew=False,
+    )
+    return sm.select(
+        "vid",
+        F.round(F.col("pr") * 1e6).cast("long").alias("pr_e6"),
+        F.round(F.col("tr") * 1e6).cast("long").alias("tr_e6"),
+        F.round(F.col("mass") * 1e6).cast("long").alias("mass_e6"),
+    )
+
+
+def o_g_spam_mass():
+    d = DAMPING
+    seeds = ", ".join(str(s) for s in PPR_SEEDS)
+    parts = [
+        f"WITH e AS ({EDGES_SQL}),",
+        f"v AS ({VERTS_SQL}),",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),",
+        f"s AS (SELECT vid FROM v WHERE vid IN ({seeds})),",
+        "sn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM s),",
+        "pp AS (SELECT v.vid, CASE WHEN v.vid IN (SELECT vid FROM s) "
+        "THEN 1e0/(SELECT n FROM sn) ELSE 0e0 END AS p FROM v),",
+        "outd AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY src),",
+        "a0 AS (SELECT vid, (SELECT 1e0/n FROM nn) AS rank FROM v),",
+        "b0 AS (SELECT vid, p AS rank FROM pp),",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        p = i - 1
+        parts += [
+            # uniform PageRank round (teleport + dangling to 1/N)
+            f"ad{i} AS (SELECT COALESCE(SUM(rank), 0e0) AS dm FROM a{p} "
+            f"WHERE vid NOT IN (SELECT src FROM e)),",
+            f"ac{i} AS (SELECT e.dst AS vid, SUM(r.rank / o.deg) AS contrib "
+            f"FROM e JOIN a{p} r ON e.src = r.vid JOIN outd o ON e.src = o.src "
+            f"GROUP BY e.dst),",
+            f"a{i} AS (SELECT v.vid, (SELECT {1.0 - d}e0/n FROM nn) "
+            f"+ {d}e0 * ((SELECT dm FROM ad{i}) / (SELECT n FROM nn) "
+            f"+ COALESCE(c.contrib, 0e0)) AS rank "
+            f"FROM v LEFT JOIN ac{i} c USING (vid)),",
+            # TrustRank round (teleport + dangling to the seed vector)
+            f"bd{i} AS (SELECT COALESCE(SUM(rank), 0e0) AS dm FROM b{p} "
+            f"WHERE vid NOT IN (SELECT src FROM e)),",
+            f"bc{i} AS (SELECT e.dst AS vid, SUM(r.rank / o.deg) AS contrib "
+            f"FROM e JOIN b{p} r ON e.src = r.vid JOIN outd o ON e.src = o.src "
+            f"GROUP BY e.dst),",
+            f"b{i} AS (SELECT pp.vid, {1.0 - d}e0 * pp.p "
+            f"+ {d}e0 * ((SELECT dm FROM bd{i}) * pp.p "
+            f"+ COALESCE(c.contrib, 0e0)) AS rank "
+            f"FROM pp LEFT JOIN bc{i} c USING (vid)),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT a.vid, "
+        f"CAST(ROUND(a.rank * 1000000e0) AS BIGINT) AS pr_e6, "
+        f"CAST(ROUND(b.rank * 1000000e0) AS BIGINT) AS tr_e6, "
+        f"CAST(ROUND((a.rank - b.rank) * 1000000e0) AS BIGINT) AS mass_e6 "
+        f"FROM a{PR_ITERS} a JOIN b{PR_ITERS} b USING (vid)"
+    )
+    return _unrolled(parts)
+
+
+QUERIES.update({"g_spam_mass": (q_g_spam_mass, o_g_spam_mass)})
+
+
+# Literal replaces that derive C4-testable structure from the driver's
+# punctuation-free word soup. Markers chosen from measured document
+# frequencies so the final keep flag SPLITS at sf0.01 (~1/4 true): two
+# sentence-break words (each in ~77% of docs), a line-level javascript
+# tripwire, and two rare page-killers ('dup': 5% of docs; the bigram
+# 'big data': rare by adjacency).
+C4_DERIVE_REPLACES = (
+    (" line ", ".\n"),
+    (" sort ", ".\n"),
+    (" slow ", " javascript "),
+    (" dup ", " lorem ipsum "),
+    (" big data ", " { "),
+)
+
+
+def q_t_c4_filter(spark, sf_dir):
+    """C4 line + page cleaning (text.py:c4_filter; Raffel et al. 2020
+    §2.2): terminal-punctuation / >=3-word / javascript / policy-phrase
+    line rules, then >=5-sentence / lorem-ipsum / curly-bracket page
+    rules on the rebuilt text. Byte-identical clean_text oracle.
+
+    The driver's synthetic documents are single-line word soup with no
+    punctuation, which would exercise only the everything-dropped path —
+    so the query first derives line structure deterministically from the
+    text itself (4 literal replaces, identical non-overlapping
+    left-to-right scan in Spark and DuckDB): ' line '->'.\\n' makes
+    terminal-punct line breaks, and three marker words become the
+    javascript / lorem-ipsum / curly-bracket tripwires. Every rule in
+    the battery fires on real rows at sf0.01."""
+    from webgraph.text import c4_filter
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    txt = F.col("text")
+    for pat, rep in C4_DERIVE_REPLACES:
+        txt = F.replace(txt, F.lit(pat), F.lit(rep))
+    return c4_filter(docs.select("doc_id", txt.alias("text")))
+
+
+def o_t_c4_filter():
+    policy = " AND ".join(
+        f"NOT contains(lower(l), '{p}')" for p in (
+            "terms of use", "privacy policy", "cookie policy",
+            "uses cookies", "use of cookies", "use cookies",
+        )
+    )
+    derive = "text"
+    for pat, rep in C4_DERIVE_REPLACES:
+        rep_sql = "'.' || chr(10)" if rep == ".\n" else f"'{rep}'"
+        derive = f"replace({derive}, '{pat}', {rep_sql})"
+    return f"""
+WITH d AS (
+  SELECT doc_id, {derive} AS text FROM documents
+), m AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines
+  FROM d
+), k AS (
+  SELECT doc_id, text, len(lines) AS n_lines,
+    list_filter(lines, l ->
+      regexp_matches(trim(l), '[.!?"”]$')
+      AND regexp_matches(trim(l), '\\S+\\s+\\S+\\s+\\S+')
+      AND NOT contains(lower(l), 'javascript')
+      AND {policy}) AS kept
+  FROM m
+), c AS (
+  SELECT doc_id, text, n_lines, len(kept) AS n_lines_kept,
+    COALESCE(array_to_string(kept, chr(10)), '') AS clean_text
+  FROM k
+), s AS (
+  SELECT doc_id, text, clean_text, n_lines, n_lines_kept,
+    len(regexp_extract_all(clean_text, '[.!?]')) AS n_sentences
+  FROM c
+)
+SELECT doc_id, clean_text,
+  CAST(n_lines AS BIGINT) AS n_lines,
+  CAST(n_lines_kept AS BIGINT) AS n_lines_kept,
+  CAST(n_sentences AS BIGINT) AS n_sentences,
+  (n_sentences >= 5
+   AND NOT contains(lower(text), 'lorem ipsum')
+   AND NOT contains(text, '{{')) AS keep
+FROM s
+"""
+
+
+QUERIES.update({"t_c4_filter": (q_t_c4_filter, o_t_c4_filter)})

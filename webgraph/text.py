@@ -959,3 +959,83 @@ def gopher_rules(
         stop_hits.alias("stop_hits"),
         keep.alias("keep"),
     )
+
+
+# ------------------------------------------------ C4 cleaning rules -------
+
+C4_POLICY_PHRASES = (
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+    "use of cookies",
+    "use cookies",
+)
+
+
+def c4_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 3,
+    min_sentences: int = 5,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """The C4 line + page cleaning battery (Raffel et al. 2020 §2.2, the
+    other canonical web-corpus filter next to Gopher — gopher_rules above
+    scores whole documents, this one REWRITES them line-by-line first):
+
+    line rules (a line survives only if ALL hold):
+      * ends in a terminal punctuation mark (. ! ? or a closing quote)
+      * has at least ``min_line_words`` words
+      * does not mention "javascript" (case-insensitive)
+      * does not contain a cookie/policy boilerplate phrase
+
+    page rules (computed on the REBUILT text):
+      * at least ``min_sentences`` sentences, where a sentence is counted
+        as a terminal-punctuation occurrence in the kept text (the paper
+        uses an NLTK tokenizer; this count is the deterministic,
+        engine-exact proxy — documented, not hidden)
+      * page mentions "lorem ipsum" (case-insensitive) -> drop
+      * page contains a curly bracket -> drop (code, not prose)
+
+    Returns ``(id, clean_text, n_lines, n_lines_kept, n_sentences, keep)``
+    — the rebuilt text plus audit counts, so a pipeline can filter
+    (``WHERE keep``) or measure retention.
+
+    Plan shape: one split + array filter + array_join over the text
+    column, all codegen lambda expressions — zero UDFs, zero shuffles,
+    prunes to (id, text). The same family as gopher_rules/main_content:
+    a per-row rewrite that scales linearly with corpus bytes.
+    """
+    txt = F.col(text_col)
+    lines = F.split(txt, line_sep)
+
+    def line_ok(l):
+        trimmed = F.trim(l)
+        lower = F.lower(l)
+        ok = trimmed.rlike('[.!?"”]$')
+        # >= min_line_words whitespace-separated runs
+        word_pat = r"\S+" + r"\s+\S+" * (min_line_words - 1)
+        ok = ok & trimmed.rlike(word_pat)
+        ok = ok & ~lower.contains("javascript")
+        for phrase in C4_POLICY_PHRASES:
+            ok = ok & ~lower.contains(phrase)
+        return ok
+
+    kept = F.filter(lines, line_ok)
+    clean = F.array_join(kept, line_sep)
+    n_sentences = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"), 0))
+    keep = (
+        (n_sentences >= min_sentences)
+        & ~F.lower(txt).contains("lorem ipsum")
+        & ~txt.contains("{")
+    )
+    return docs.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        n_sentences.cast("long").alias("n_sentences"),
+        keep.alias("keep"),
+    )
