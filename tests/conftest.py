@@ -14,7 +14,7 @@ from webgraph.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="webgraph-tests", master="local[4]", shuffle_partitions=8)
+    s = get_spark(app_name="webgraph-tests", master="local[8]", shuffle_partitions=8)
     yield s
     s.stop()
 

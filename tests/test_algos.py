@@ -60,13 +60,24 @@ def _assert_pagerank_matches(eg, tol=1e-6):
     return metrics
 
 
-@pytest.mark.parametrize("fixture", ["star_in", "chain_backlink", "dangling", "self_loop"])
+@pytest.mark.parametrize(
+    "fixture",
+    [
+        # star_in is the slow convergence case (~2.5 min): full oracle
+        # coverage stays in the default suite via the other fixtures
+        pytest.param("star_in", marks=pytest.mark.slow),
+        pytest.param("chain_backlink", marks=pytest.mark.slow),
+        "dangling",
+        "self_loop",
+    ],
+)
 def test_pagerank_fixtures(spark, fixture):
     eg = _encoded(spark, fixture=fixture)
     metrics = _assert_pagerank_matches(eg)
     assert metrics[-1]["delta_l1"] < 1e-6
 
 
+@pytest.mark.slow
 def test_pagerank_synthetic_graph(spark):
     eg = _encoded(spark, n_pages=300)
     _assert_pagerank_matches(eg)
@@ -137,6 +148,7 @@ def test_self_loop_does_not_break_anything(spark):
     assert len(comps) == 1
 
 
+@pytest.mark.slow
 def test_pagerank_checkpoint_resume(spark, tmp_path):
     eg = _encoded(spark, n_pages=120)
     full, _ = pagerank(eg, max_iter=8, tol=0, collect_skew=False)
@@ -282,6 +294,7 @@ def test_hits_rejects_zero_iterations(spark):
         hits(eg, max_iter=0)
 
 
+@pytest.mark.slow
 def test_hits_checkpoint_resume(spark, tmp_path):
     from webgraph.algos.hits import hits
 
@@ -325,6 +338,7 @@ def test_k_core_checkpoint_resume(spark, tmp_path):
     assert {r["vid"] for r in resumed.collect()} == want
 
 
+@pytest.mark.slow
 def test_k_core_path_graph_peels_to_empty_fixpoint(spark):
     """ADVICE case: a path has an empty 2-core but needs ~n/2 peel rounds;
     the old max_iter=50 default silently returned the partially-peeled
@@ -344,6 +358,7 @@ def test_k_core_path_graph_peels_to_empty_fixpoint(spark):
         k_core(eg, 2, max_iter=3)
 
 
+@pytest.mark.slow
 def test_personalized_pagerank_matches_python_oracle(spark):
     from tests.oracles import ppr_oracle
     from webgraph.algos import personalized_pagerank
@@ -377,6 +392,7 @@ def test_personalized_pagerank_matches_python_oracle(spark):
     assert abs(dup.agg(F.sum("rank")).first()[0] - 1.0) < 1e-9
 
 
+@pytest.mark.slow
 def test_bfs_depths_matches_python_oracle(spark):
     from tests.oracles import bfs_oracle
     from webgraph.algos import bfs_depths
@@ -401,6 +417,7 @@ def test_bfs_depths_matches_python_oracle(spark):
                 assert m["frontier"] == hist.get(m["iteration"], 0)
 
 
+@pytest.mark.slow
 def test_bfs_validates_seeds_and_depth(spark):
     from webgraph.algos import bfs_depths
 
@@ -416,6 +433,7 @@ def test_bfs_validates_seeds_and_depth(spark):
     assert metrics == []
 
 
+@pytest.mark.slow
 def test_bfs_checkpoint_resume(spark, tmp_path):
     from webgraph.algos import bfs_depths
 
@@ -445,6 +463,7 @@ def test_cocitation_matches_python_oracle(spark):
         assert got == cocitation_oracle(edges, min_common=2, max_out_degree=cap)
 
 
+@pytest.mark.slow
 def test_scc_matches_tarjan_oracle(spark):
     from tests.oracles import scc_oracle
     from webgraph.algos import strongly_connected_components
@@ -468,6 +487,7 @@ def test_scc_matches_tarjan_oracle(spark):
         assert sum(m["settled"] for m in metrics) == len(want)
 
 
+@pytest.mark.slow
 def test_scc_raises_on_round_cap_instead_of_partial_labels(spark):
     from webgraph.algos import strongly_connected_components
     from webgraph.algos.common import from_int_edges

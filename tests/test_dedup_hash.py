@@ -8,6 +8,7 @@ pairs), matching DuckDB ord() and Python ord(). These tests pin that."""
 from __future__ import annotations
 
 import duckdb
+import pytest
 from pyspark.sql import functions as F
 
 from webgraph.dedup import POLY_MOD, token_hash
@@ -27,6 +28,7 @@ def _spark_hashes(spark, toks):
     ]
 
 
+@pytest.mark.slow
 def test_token_hash_matches_ord_fold_on_unicode_properties(spark):
     from hypothesis import given, settings, strategies as st
 

@@ -428,7 +428,10 @@ def test_stateful_sessions_applyinpandaswithstate(spark, tmp_path):
         "event_id long, ts string, user_id long, event_type string, "
         "value double, props string",
     ).withColumn("ts", F.col("ts").cast("timestamp"))
-    ev.write.parquet(src)
+    # one part file -> one micro-batch: with several files the source may
+    # batch the 23:00 sentinel FIRST (mtime order), advancing the watermark
+    # past the 10:05/12:00 events, which then get dropped as late
+    ev.coalesce(1).write.parquet(src)
 
     stream = st.read_event_stream(spark, src)
     sessions = st.stateful_sessions(stream, gap="30 minutes", watermark="10 minutes")

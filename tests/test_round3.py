@@ -43,6 +43,7 @@ def test_clustering_coefficient_triangle_plus_pendant(spark):
     assert rows[4]["deg"] == 1 and rows[4]["lcc_e6"] == 0
 
 
+@pytest.mark.slow
 def test_clustering_coefficient_direction_agnostic(spark):
     # Same undirected structure, different edge directions.
     a = clustering_coefficient(_graph(spark, [(1, 2), (2, 3), (3, 1)]))
@@ -57,6 +58,7 @@ def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+@pytest.mark.slow
 def test_dedup_clusters_transitive_and_singletons(spark):
     base = "the quick brown fox jumps over the lazy dog " * 6
     near = base + "extra tail token"
@@ -147,6 +149,7 @@ def test_weighted_pagerank_matches_numpy(spark):
         assert abs(got[v] - r[v]) < 1e-9
 
 
+@pytest.mark.slow
 def test_weighted_pagerank_uniform_weights_equal_unweighted(spark):
     edges = [(0, 1), (1, 2), (2, 0), (0, 2)]
     g = _graph(spark, edges)
@@ -206,6 +209,7 @@ def test_exact_ball_sizes(spark):
     assert balls == {0: 3, 1: 3, 2: 2, 3: 1}
 
 
+@pytest.mark.slow
 def test_hyperball_estimate_tracks_exact(spark):
     from webgraph.algos.anf import (
         hyperball_estimate,
@@ -376,6 +380,7 @@ def test_inverted_index_cap_and_true_df(spark):
     assert len(y) == 1 and y[0]["df"] == 1
 
 
+@pytest.mark.slow
 def test_pagerank_warm_start_converges_faster_to_same_fixpoint(spark):
     from webgraph.corpus import synthetic_edges
 
@@ -509,6 +514,7 @@ def test_bfs_path_counts_unreachable_and_seed_validation(spark):
         bfs_path_counts(g, 99, max_depth=2)
 
 
+@pytest.mark.slow
 def test_betweenness_contributions_diamond(spark):
     from webgraph.algos.bfs import betweenness_contributions
 
@@ -520,6 +526,7 @@ def test_betweenness_contributions_diamond(spark):
     assert out[0]["delta"] == 3.0
 
 
+@pytest.mark.slow
 def test_hyperball_wide_equals_long(spark):
     from webgraph.algos.anf import (
         hyperball_registers,
@@ -547,6 +554,7 @@ def test_dedup_clusters_no_pairs_all_singletons(spark):
     assert all(r["keep"] and r["cluster_size"] == 1 for r in out)
 
 
+@pytest.mark.slow
 def test_neighborhood_function_tracks_exact_and_diameter(spark):
     from webgraph.algos.anf import (
         effective_diameter,
@@ -587,6 +595,7 @@ def test_histogram_quantiles_accuracy_and_degenerate(spark):
 # ------------------------------------------------------ skew stress --
 
 
+@pytest.mark.slow
 def test_extreme_hub_degree_agg_and_pagerank(spark):
     """Skew regression: one vertex receives 25% of all edges (a 10^5:1
     hub at bench scale). Degree aggregation and a PageRank iteration must
@@ -614,6 +623,7 @@ def test_extreme_hub_degree_agg_and_pagerank(spark):
     assert top == 777_777  # the hub dominates, as it must
 
 
+@pytest.mark.slow
 def test_streaming_cms_replay_does_not_double_count(spark, tmp_path):
     import shutil
 
@@ -654,6 +664,7 @@ def test_streaming_cms_replay_does_not_double_count(spark, tmp_path):
 # --------------------------------------------------- end-to-end pipeline --
 
 
+@pytest.mark.slow
 def test_clean_corpus_stage_accounting(spark):
     from webgraph.pipeline import clean_corpus
 

@@ -43,6 +43,7 @@ def test_multi_path_counts_equals_per_root_singles(spark):
         assert single == {k: v for k, v in batched.items() if k[0] == s}
 
 
+@pytest.mark.slow
 def test_multi_betweenness_equals_per_root_singles(spark):
     from webgraph.algos.bfs import (
         betweenness_contributions,
@@ -220,6 +221,7 @@ def test_as_of_join_rejects_reserved_and_clashing_columns(spark):
 RING = [(i, (i + 1) % 8) for i in range(8)] + [(0, 4), (5, 2), (6, 1)]
 
 
+@pytest.mark.slow
 def test_salsa_checkpoint_resume_bit_identical(spark, tmp_path):
     from webgraph.algos.salsa import salsa
 
@@ -513,6 +515,7 @@ def test_lm_score_exact_micro_nats_and_null_for_empty(spark):
 # ------------------------------------------------ closeness centrality --
 
 
+@pytest.mark.slow
 def test_closeness_exact_on_diamond_and_dead_end(spark):
     from webgraph.algos.bfs import closeness_centrality
 
@@ -737,6 +740,7 @@ def test_butterfly_count_exact_and_hub_cap(spark):
 # ----------------------------------- property tests for round-4 ops --
 
 
+@pytest.mark.slow
 def test_dedup_lines_matches_python_replica_property(spark):
     """dedup_lines == a 10-line sequential replica on arbitrary corpora:
     the distributed argmin/count plan reproduces first-wins semantics
@@ -778,6 +782,7 @@ def test_dedup_lines_matches_python_replica_property(spark):
     check()
 
 
+@pytest.mark.slow
 def test_mix_sources_quota_arithmetic_property(spark):
     """Per-source take counts equal the exact integer quota formula for
     every alpha mode, and the union of takes is a subset of the corpus."""

@@ -204,6 +204,7 @@ def test_louvain_ring_of_cliques_and_monotone_q(spark):
     )
 
 
+@pytest.mark.slow
 def test_louvain_deterministic_under_repartitioning(spark):
     from webgraph.algos.common import from_int_edges
     from webgraph.algos.louvain import louvain
@@ -467,7 +468,7 @@ def test_spam_mass_vectors_and_identity(spark):
         (3, 4), (4, 3), (3, 5), (4, 5), (5, 3),
     ])
     sm = spam_mass(g, trusted_seeds=[0], damping=0.85, tol=0.0,
-                   max_iter=30, collect_skew=False)
+                   max_iter=12, collect_skew=False)
     rows = {r["vid"]: r for r in sm.collect()}
     assert math.isclose(sum(r["pr"] for r in rows.values()), 1.0, abs_tol=1e-9)
     assert math.isclose(sum(r["tr"] for r in rows.values()), 1.0, abs_tol=1e-9)

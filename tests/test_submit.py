@@ -16,6 +16,8 @@ import shutil
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -28,6 +30,7 @@ def _spark_submit() -> str:
     return os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
 
 
+@pytest.mark.slow
 def test_spark_submit_pyfiles_runs_pipeline(tmp_path):
     sys.path.insert(0, os.path.join(REPO, "tools"))
     from package_pyfiles import build

@@ -6,6 +6,7 @@ the Java test translated to data.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from webgraph import urls
@@ -82,6 +83,7 @@ def _eval(spark, urls, col_fn):
     return [r["v"] for r in df.select(col_fn(F.col("url")).alias("v")).collect()]
 
 
+@pytest.mark.slow
 def test_url_function_properties(spark):
     from hypothesis import given, settings, strategies as st
 
