@@ -490,3 +490,62 @@ def test_spam_mass_rejects_unknown_seed(spark):
     g = _graph(spark, [(0, 1)])
     with pytest.raises(ValueError):
         spam_mass(g, trusted_seeds=[99], max_iter=2).collect()
+
+
+# ------------------------------------------------ Leiden refinement -------
+
+
+def test_refine_splits_disconnected_community_and_raises_modularity(spark):
+    from webgraph.algos.community import modularity
+    from webgraph.algos.louvain import refine_connected
+
+    # two triangles with NO edge between them, forced into ONE community
+    g = _graph(spark, [
+        (0, 1), (1, 2), (2, 0),
+        (10, 11), (11, 12), (12, 10),
+    ])
+    bad = g.vertices.select("vid", F.lit(0).alias("gid"))
+    refined, _ = refine_connected(bad, g)
+    got = {r["vid"]: r["gid"] for r in refined.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
+
+    q_bad = modularity(g, bad).collect()[0]["modularity_e6"]
+    q_ref = modularity(g, refined).collect()[0]["modularity_e6"]
+    assert q_ref > q_bad  # splitting a disconnected community raises Q
+
+
+def test_refine_is_identity_on_connected_communities(spark):
+    from webgraph.algos.louvain import louvain, refine_connected
+
+    # two 4-cliques joined by one bridge: louvain finds them, both connected
+    clique = lambda off: [
+        (off + i, off + j) for i in range(4) for j in range(4) if i != j
+    ]
+    g = _graph(spark, clique(0) + clique(10) + [(0, 10)])
+    mapping, _ = louvain(g)
+    refined, _ = refine_connected(mapping, g)
+
+    # labels differ by convention (louvain: exemplar gid; refine: min vid)
+    # so compare the PARTITIONS, canonicalized to frozensets of members
+    def parts(df):
+        groups = {}
+        for r in df.collect():
+            groups.setdefault(r["gid"], set()).add(r["vid"])
+        return {frozenset(v) for v in groups.values()}
+
+    assert parts(mapping) == parts(refined)
+
+
+def test_refine_keeps_isolated_vertices_singleton(spark):
+    from webgraph.algos.common import EncodedGraph
+    from webgraph.algos.louvain import refine_connected
+
+    base = _graph(spark, [(0, 1)])
+    verts = base.vertices.sparkSession.createDataFrame(
+        [(0,), (1,), (7,)], "vid long"
+    ).withColumn("url", F.col("vid").cast("string"))
+    g = EncodedGraph(vertices=verts, edges=base.edges, num_vertices=3)
+    labels = verts.select("vid", F.lit(0).alias("gid"))
+    refined, _ = refine_connected(labels, g)
+    got = {r["vid"]: r["gid"] for r in refined.collect()}
+    assert got == {0: 0, 1: 0, 7: 7}

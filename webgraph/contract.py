@@ -5493,3 +5493,46 @@ FROM s
 
 
 QUERIES.update({"t_c4_filter": (q_t_c4_filter, o_t_c4_filter)})
+
+
+def q_g_refine_partition(spark, sf_dir):
+    """Leiden-style connectivity refinement (algos/louvain.py:
+    refine_connected; Traag et al. 2019): split every community of a
+    partition into its connected parts, min-vid exemplar labels. The
+    input partition is the deterministic vid % 7 grouping (communities
+    that are mostly disconnected inside, so the split actually bites);
+    fixed CC_ITERS min-label rounds on both sides make the oracle
+    engine-exact without arguing about convergence."""
+    from webgraph.algos.louvain import refine_connected
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    labels = g.vertices.select("vid", (F.col("vid") % 7).alias("gid"))
+    refined, _ = refine_connected(labels, g, max_iter=CC_ITERS)
+    return refined
+
+
+def o_g_refine_partition():
+    parts = [
+        f"WITH e AS ({EDGES_SQL}),",
+        f"sym AS ({SYM_SQL}),",
+        f"v AS ({VERTS_SQL}),",
+        "g0 AS (SELECT vid, vid % 7 AS grp FROM v),",
+        "we AS (SELECT s.src, s.dst FROM sym s "
+        "JOIN g0 a ON s.src = a.vid JOIN g0 b ON s.dst = b.vid "
+        "WHERE a.grp = b.grp),",
+        "l0 AS (SELECT vid, vid AS component FROM v),",
+    ]
+    for i in range(1, CC_ITERS + 1):
+        p = i - 1
+        parts += [
+            f"m{i} AS (SELECT s.dst AS vid, MIN(l.component) AS nm "
+            f"FROM we s JOIN l{p} l ON s.src = l.vid GROUP BY s.dst),",
+            f"l{i} AS (SELECT l.vid, LEAST(l.component, COALESCE(m.nm, l.component)) "
+            f"AS component FROM l{p} l LEFT JOIN m{i} m USING (vid)),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT vid, component AS gid FROM l{CC_ITERS}")
+    return _unrolled(parts)
+
+
+QUERIES.update({"g_refine_partition": (q_g_refine_partition, o_g_refine_partition)})
