@@ -30,7 +30,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph
+from webgraph.algos.common import EncodedGraph, truncate_lineage
 
 ANF_MOD = 1_000_000_007
 _B1 = 2_654_435_761
@@ -48,13 +48,13 @@ def neighborhood_function_exact(g: EncodedGraph, max_r: int) -> list[int]:
     edges = g.edges.select("src", "dst")
     ball = g.vertices.select(
         F.col("vid").alias("root"), F.col("vid").alias("member")
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_lineage)
     totals = [ball.count()]
     for _ in range(max_r):
         grown = ball.join(
             edges, ball.member == edges.src, "inner"
         ).select("root", F.col("dst").alias("member"))
-        ball = ball.unionByName(grown).distinct().localCheckpoint(eager=True)
+        ball = ball.unionByName(grown).distinct().transform(truncate_lineage)
         totals.append(ball.count())
     return totals
 
@@ -74,7 +74,7 @@ def neighborhood_sizes_exact(g: EncodedGraph, radius: int = 2) -> DataFrame:
         grown = ball.join(
             edges, ball.member == edges.src, "inner"
         ).select("root", F.col("dst").alias("member"))
-        ball = ball.unionByName(grown).distinct().localCheckpoint(eager=True)
+        ball = ball.unionByName(grown).distinct().transform(truncate_lineage)
     return ball.groupBy("root").agg(F.count("*").alias("ball")).select(
         F.col("root").alias("vid"), F.col("ball").cast("long").alias("ball")
     )
@@ -139,7 +139,7 @@ def hyperball_registers(
     regs = (
         cells.join(own, ["vid", "j"], "left")
         .select("vid", "j", F.coalesce(F.col("reg"), F.lit(0)).alias("reg"))
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     for _ in range(radius):
         nbr = (
@@ -155,7 +155,7 @@ def hyperball_registers(
                     F.col("reg"), F.coalesce(F.col("nreg"), F.lit(0))
                 ).alias("reg"),
             )
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
     return regs
 
@@ -219,7 +219,7 @@ def _wide_init(g: EncodedGraph, m: int, seed: int) -> DataFrame:
             F.when(j == i, rho).otherwise(F.lit(0)).cast("long").alias(f"reg{i}")
             for i in range(m)
         ],
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_lineage)
 
 
 def _wide_merge_round(edges: DataFrame, regs: DataFrame, m: int) -> DataFrame:
@@ -241,7 +241,7 @@ def _wide_merge_round(edges: DataFrame, regs: DataFrame, m: int) -> DataFrame:
                 for i in range(m)
             ],
         )
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
 
 

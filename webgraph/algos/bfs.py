@@ -34,7 +34,7 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph, symmetrize
+from webgraph.algos.common import EncodedGraph, symmetrize, truncate_lineage
 from webgraph.checkpoint import CheckpointManager
 
 
@@ -62,7 +62,7 @@ def bfs_depths(
     edges = (
         g.edges
         if directed
-        else symmetrize(g.edges).localCheckpoint(eager=True)
+        else symmetrize(g.edges).transform(truncate_lineage)
     )
     ckpt = CheckpointManager(checkpoint_dir, "bfs") if checkpoint_dir else None
 
@@ -79,7 +79,7 @@ def bfs_depths(
         if loaded is not None:
             visited, last = loaded
             start_level = last + 1
-    visited = visited.localCheckpoint(eager=True)
+    visited = visited.transform(truncate_lineage)
 
     for level in range(start_level, max_depth + 1):
         t0 = time.time()
@@ -97,7 +97,7 @@ def bfs_depths(
         if ckpt:
             visited = ckpt.write_state(new_visited, level)
         else:
-            visited = new_visited.localCheckpoint(eager=True)
+            visited = new_visited.transform(truncate_lineage)
         # count the MATERIALIZED frame — the join above ran exactly once
         n_new = visited.filter(F.col("depth") == level).count()
         m = {
@@ -165,10 +165,10 @@ def multi_path_counts(
         edges, unpersist = _shared_edges(g, directed)
     frontier = spark.createDataFrame(
         [(s, s, 1) for s in roots], "root long, vid long, sigma long"
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_lineage)
     visited = frontier.select(
         "root", "vid", F.lit(0).alias("depth"), "sigma"
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_lineage)
     for d in range(1, max_depth + 1):
         # ONE probe for all roots: frontier ⋈ edges, partial-aggregated
         # map-side on (root, dst) before the shuffle
@@ -177,14 +177,14 @@ def multi_path_counts(
             .groupBy("root", F.col("dst").alias("vid"))
             .agg(F.sum("sigma").alias("sigma"))
             .join(visited.select("root", "vid"), ["root", "vid"], "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         # materialized above — take(1) reads the checkpoint, no re-execution
         if not nxt.take(1):
             break
         visited = visited.unionByName(
             nxt.select("root", "vid", F.lit(d).alias("depth"), "sigma")
-        ).localCheckpoint(eager=True)
+        ).transform(truncate_lineage)
         frontier = nxt
     if unpersist:
         edges.unpersist()
@@ -231,7 +231,7 @@ def multi_betweenness_contributions(
     }
     delta = level[deepest].select(
         "root", "vid", F.lit(0.0).alias("delta")
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_lineage)
     out = [
         level[deepest].join(delta, ["root", "vid"]).select(
             "root", "vid", F.lit(deepest).alias("depth"), "sigma", "delta"
@@ -266,7 +266,7 @@ def multi_betweenness_contributions(
                 cur.vid.alias("vid"),
                 (F.col("sigma") * F.coalesce(F.col("frac"), F.lit(0.0))).alias("delta"),
             )
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         out.append(
             cur.join(delta, ["root", "vid"]).select(
@@ -276,7 +276,7 @@ def multi_betweenness_contributions(
     result = out[0]
     for df in out[1:]:
         result = result.unionByName(df)
-    result = result.localCheckpoint(eager=True)
+    result = result.transform(truncate_lineage)
     if unpersist:
         edges.unpersist()
     return result

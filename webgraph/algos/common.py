@@ -86,6 +86,44 @@ def from_int_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> Enco
     return EncodedGraph(vertices=verts, edges=e, num_vertices=n)
 
 
+def truncate_lineage(df: DataFrame) -> DataFrame:
+    """Iteration-state truncation: ``localCheckpoint(eager=True)`` plus a
+    plan-statistics reset. Use this — not a bare localCheckpoint — at every
+    truncation point inside an iterative join loop.
+
+    Why the reset exists: Spark propagates the *origin plan's* estimated
+    statistics through (local)checkpoints (LogicalRDD keeps
+    ``originStats`` so post-checkpoint planning can still pick broadcast
+    joins). Size-only estimation multiplies children's ``sizeInBytes``
+    at every join, so a loop that joins its own checkpointed state keeps
+    COMPOUNDING the estimate: one self-join per round doubles the digit
+    count of the BigInt (pointer doubling squares it per jump). After
+    ~15 rounds the estimate is a million-digit BigInteger and Catalyst
+    spends minutes inside ``BigInteger.multiply`` (Toom-Cook) computing
+    statistics nobody needs — the driver, not the executors, becomes the
+    bottleneck (observed: g_msf at sf0.01 stuck >12 min with zero running
+    tasks, jstack pointing at SizeInBytesOnlyStatsPlanVisitor).
+
+    The reset rebuilds the DataFrame over the already-materialized
+    InternalRow RDD without origin stats, so the leaf reports the
+    conservative default size (never broadcast the state frame — the
+    right call for V-sized iteration state at web scale; genuinely small
+    frames on the OTHER side of a join keep their real stats and still
+    broadcast). Falls back to the plain checkpoint if the JVM seam is
+    unavailable — correctness is unaffected either way.
+    """
+    out = df.localCheckpoint(eager=True)
+    try:
+        spark = out.sparkSession
+        jdf = out._jdf
+        new_jdf = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(new_jdf, spark)
+    except Exception:  # pragma: no cover - private-API fallback
+        return out
+
+
 def symmetrize(edges: DataFrame) -> DataFrame:
     """Undirected view: both directions, self-loops dropped, deduplicated.
     Used by CC / LP / triangles (link direction is a crawl artifact there)."""

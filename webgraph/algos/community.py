@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph, symmetrize
+from webgraph.algos.common import EncodedGraph, symmetrize, truncate_lineage
 
 
 def modularity(g: EncodedGraph, mapping: DataFrame) -> DataFrame:
@@ -56,7 +56,7 @@ def modularity(g: EncodedGraph, mapping: DataFrame) -> DataFrame:
     out = per_c.agg(
         F.count("*").cast("long").alias("n_communities"),
         F.round(F.sum("q") * 1e6).cast("long").alias("modularity_e6"),
-    ).localCheckpoint(eager=True)  # 1 row — materialize, then free the caches
+    ).transform(truncate_lineage)  # 1 row — materialize, then free the caches
     tagged.unpersist()
     sym.unpersist()
     return out

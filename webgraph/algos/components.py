@@ -26,7 +26,7 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph, symmetrize
+from webgraph.algos.common import EncodedGraph, symmetrize, truncate_lineage
 from webgraph.checkpoint import CheckpointManager
 from webgraph.metrics import iteration_metrics, partition_skew
 
@@ -86,7 +86,7 @@ def connected_components(
         if ckpt:
             labels = ckpt.write_state(new_labels, it)
         else:
-            labels = new_labels.localCheckpoint(eager=True)
+            labels = new_labels.transform(truncate_lineage)
         changed_df = labels.join(
             prev.withColumnRenamed("component", "prev"), "vid", "inner"
         ).filter(F.col("component") != F.col("prev"))

@@ -28,7 +28,7 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph
+from webgraph.algos.common import EncodedGraph, truncate_lineage
 from webgraph.checkpoint import CheckpointManager
 
 
@@ -88,7 +88,7 @@ def hits(
         a_full = (
             verts.join(a_raw, "vid", "left")
             .select("vid", F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"))
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         auth = _normalized(a_full, "auth")
         h_raw = (
@@ -99,7 +99,7 @@ def hits(
         h_full = (
             verts.join(h_raw, "vid", "left")
             .select("vid", F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"))
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         hub = _normalized(h_full, "hub")
         # Commit the iteration state (vid, hub, auth); both norm aggregates
@@ -108,7 +108,7 @@ def hits(
         if ckpt:
             state = ckpt.write_state(new_state, it)
         else:
-            state = new_state.localCheckpoint(eager=True)
+            state = new_state.transform(truncate_lineage)
         hub = state.select("vid", "hub")
         auth = state.select("vid", "auth")
         m = {"iteration": it, "wall_sec": round(time.time() - t0, 3),

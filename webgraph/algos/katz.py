@@ -26,7 +26,7 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph
+from webgraph.algos.common import EncodedGraph, truncate_lineage
 from webgraph.checkpoint import CheckpointManager
 
 
@@ -95,7 +95,7 @@ def katz_centrality(
         if ckpt:
             state = ckpt.write_state(new_state, it)
         else:
-            state = new_state.localCheckpoint(eager=True)
+            state = new_state.transform(truncate_lineage)
         delta = None
         if tol > 0:
             delta = (

@@ -27,7 +27,7 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph, symmetrize
+from webgraph.algos.common import EncodedGraph, symmetrize, truncate_lineage
 from webgraph.checkpoint import CheckpointManager
 
 
@@ -58,7 +58,7 @@ def k_core(
     """
     spark = g.edges.sparkSession
     ckpt = CheckpointManager(checkpoint_dir, "kcore") if checkpoint_dir else None
-    edges = symmetrize(g.edges).localCheckpoint(eager=True)
+    edges = symmetrize(g.edges).transform(truncate_lineage)
     metrics: list[dict] = []
     n_prev = None
     start_iter = 0
@@ -87,13 +87,13 @@ def k_core(
         deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
         survivors = deg.filter(F.col("deg") >= k).select(
             F.col("src").alias("vid")
-        ).localCheckpoint(eager=True)
+        ).transform(truncate_lineage)
         n = survivors.count()
         new_edges = _peel(edges, survivors)
         if ckpt:
             edges = ckpt.write_state(new_edges, it)
         else:
-            edges = new_edges.localCheckpoint(eager=True)
+            edges = new_edges.transform(truncate_lineage)
         m = {"iteration": it, "wall_sec": round(time.time() - t0, 3),
              "survivors": n}
         metrics.append(m)

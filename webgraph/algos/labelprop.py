@@ -24,7 +24,7 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph, symmetrize
+from webgraph.algos.common import EncodedGraph, symmetrize, truncate_lineage
 from webgraph.checkpoint import CheckpointManager
 from webgraph.metrics import iteration_metrics
 
@@ -74,7 +74,7 @@ def label_propagation(
         if ckpt:
             labels = ckpt.write_state(new_labels, it)
         else:
-            labels = new_labels.localCheckpoint(eager=True)
+            labels = new_labels.transform(truncate_lineage)
         changed_df = labels.join(
             prev.withColumnRenamed("label", "prev"), "vid", "inner"
         ).filter(F.col("label") != F.col("prev"))

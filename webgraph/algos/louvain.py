@@ -51,7 +51,7 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph, symmetrize
+from webgraph.algos.common import EncodedGraph, symmetrize, truncate_lineage
 
 
 def _q_num(edges: DataFrame, state: DataFrame, s: int) -> int:
@@ -102,9 +102,7 @@ def louvain(
         .persist()
     )
     s = int(edges.agg(F.sum("w")).collect()[0][0] or 0)
-    full_map = g.vertices.select("vid", F.col("vid").alias("gid")).localCheckpoint(
-        eager=True
-    )
+    full_map = g.vertices.select("vid", F.col("vid").alias("gid")).transform(truncate_lineage)
     if s == 0:  # no edges: every vertex is its own community
         edges.unpersist()
         return full_map, []
@@ -119,9 +117,7 @@ def louvain(
     for level in range(max_levels):
         t0 = time.time()
         deg = edges.groupBy(F.col("src").alias("vid")).agg(F.sum("w").alias("k"))
-        state = deg.select("vid", F.col("vid").alias("gid"), "k").localCheckpoint(
-            eager=True
-        )
+        state = deg.select("vid", F.col("vid").alias("gid"), "k").transform(truncate_lineage)
         n_verts = state.count()
 
         rounds = 0
@@ -204,7 +200,7 @@ def louvain(
                     F.col("move").cast("long").alias("moved"),
                 )
             )
-            new_state = new_state.localCheckpoint(eager=True)
+            new_state = new_state.transform(truncate_lineage)
             moved = int(new_state.agg(F.sum("moved")).collect()[0][0] or 0)
             state = new_state.drop("moved")
             rounds = r + 1
@@ -240,7 +236,7 @@ def louvain(
                 state.select(F.col("vid").alias("mid"), "gid"), "mid", "left"
             )
             .select("vid", F.coalesce("gid", "mid").alias("gid"))
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         n_comm = state.select("gid").distinct().count()
         lvl["n_communities"] = n_comm

@@ -31,7 +31,7 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph
+from webgraph.algos.common import EncodedGraph, truncate_lineage
 from webgraph.checkpoint import CheckpointManager
 from webgraph.metrics import iteration_metrics, partition_skew
 
@@ -129,7 +129,7 @@ def pagerank(
             g.vertices.select("vid")
             .join(initial_ranks.select("vid", "rank"), "vid", "left")
             .select("vid", F.coalesce(F.col("rank"), F.lit(1.0 / n)).alias("rank"))
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         tot = seeded.agg(F.sum("rank").alias("_tot"))
         ranks = seeded.crossJoin(F.broadcast(tot)).select(
@@ -241,7 +241,7 @@ def pagerank(
         if ckpt:
             ranks = ckpt.write_state(new_ranks, it)
         else:
-            ranks = new_ranks.localCheckpoint(eager=True)
+            ranks = new_ranks.transform(truncate_lineage)
 
         # Convergence delta only when a tolerance is set; fixed-iteration
         # runs (tol <= 0, the bench mode) skip the extra join+agg pass.

@@ -23,7 +23,7 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph
+from webgraph.algos.common import EncodedGraph, truncate_lineage
 from webgraph.checkpoint import CheckpointManager
 
 
@@ -86,7 +86,7 @@ def salsa(
         auth = (
             verts.join(a_raw, "vid", "left")
             .select("vid", F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"))
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         h_raw = (
             e_bwd.join(auth, e_bwd.dst == auth.vid, "inner")
@@ -104,7 +104,7 @@ def salsa(
             hub = state.select("vid", "hub")
             auth = state.select("vid", "auth")
         else:
-            hub = hub.localCheckpoint(eager=True)
+            hub = hub.transform(truncate_lineage)
             state = hub.join(auth, "vid").select("vid", "hub", "auth")
         m = {"iteration": it, "wall_sec": round(time.time() - t0, 3),
              "messages": 2 * num_edges}

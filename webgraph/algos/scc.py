@@ -38,15 +38,13 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph
+from webgraph.algos.common import EncodedGraph, truncate_lineage
 
 
 def _min_label_fixpoint(verts: DataFrame, edges: DataFrame, src: str, dst: str):
     """labels(v) = min vid u with u ->* v along (src -> dst); returns the
     materialized (vid, label) frame and the number of iterations run."""
-    labels = verts.select("vid", F.col("vid").alias("label")).localCheckpoint(
-        eager=True
-    )
+    labels = verts.select("vid", F.col("vid").alias("label")).transform(truncate_lineage)
     it = 0
     while True:
         it += 1
@@ -65,7 +63,7 @@ def _min_label_fixpoint(verts: DataFrame, edges: DataFrame, src: str, dst: str):
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         changed = (
             new_labels.alias("n")
@@ -86,8 +84,8 @@ def strongly_connected_components(
     every vertex of g, and per-round metrics). ``max_rounds`` hit before
     all vertices settle raises RuntimeError (never partial labels)."""
     spark = g.edges.sparkSession
-    edges = g.edges.filter(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
-    verts = g.vertices.select("vid").localCheckpoint(eager=True)
+    edges = g.edges.filter(F.col("src") != F.col("dst")).transform(truncate_lineage)
+    verts = g.vertices.select("vid").transform(truncate_lineage)
     settled_parts: list[DataFrame] = []
     metrics: list[dict] = []
     rnd = 0
@@ -108,19 +106,19 @@ def strongly_connected_components(
         settled = (
             paired.filter(F.col("f") == F.col("b"))
             .select("vid", F.col("f").alias("scc"))
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         n_settled = settled.count()
         settled_parts.append(settled)
         verts = (
             verts.join(settled.select("vid"), "vid", "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         keep = verts.select("vid")
         edges = (
             edges.join(keep.withColumnRenamed("vid", "src"), "src", "left_semi")
             .join(keep.withColumnRenamed("vid", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         n_remaining = verts.count()
         metrics.append(

@@ -26,7 +26,7 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph
+from webgraph.algos.common import EncodedGraph, truncate_lineage
 from webgraph.checkpoint import CheckpointManager
 
 
@@ -99,7 +99,7 @@ def shortest_paths(
         if ckpt:
             state = ckpt.write_state(new_state, it)
         else:
-            state = new_state.localCheckpoint(eager=True)
+            state = new_state.transform(truncate_lineage)
         changed = None
         if early_stop:
             # one agg over the materialized state; NULL-safe inequality so

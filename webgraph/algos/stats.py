@@ -1,0 +1,126 @@
+"""Whole-graph structural statistics: rich-club coefficients and a
+power-law exponent estimate for the degree distribution.
+
+Both are single-pass descriptive aggregates a link-graph operator runs
+before committing to algorithm constants (salting thresholds, hub
+cutoffs): the rich-club curve says whether high-degree pages
+preferentially interlink (hub-core topology ⇒ salt the core), and the
+power-law alpha calibrates how heavy the tail actually is (the
+north_rule's "degree-aware" partitioning needs the exponent, not a
+guess). Complements g_assortativity (global degree correlation) and
+g_degree_hist (raw distribution) on the contract board.
+
+Scale: rich_club is two hash aggregates plus one edge→degree join per
+endpoint (degree table is vertex-shaped; thresholds ride along as a
+broadcast literal array — no per-k re-scan of the edge set).
+powerlaw_alpha is one degree aggregate plus one scalar aggregate. No
+driver-side iteration anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webgraph.algos.common import EncodedGraph, symmetrize
+
+
+def rich_club(
+    g: EncodedGraph, thresholds: list[int]
+) -> DataFrame:
+    """Rich-club coefficient phi(k) for each degree threshold k (Zhou &
+    Mondragon 2004): with N_k = vertices of undirected degree > k and
+    E_k = undirected edges whose BOTH endpoints have degree > k,
+    phi(k) = 2*E_k / (N_k*(N_k-1)) — the edge density of the subgraph
+    induced by the rich vertices. NULL when fewer than two rich vertices
+    (density undefined).
+
+    Returns (k, n_rich, e_rich, phi) — one row per threshold.
+
+    Physical plan: degree agg over the symmetrized edge set (map-side
+    combine absorbs hubs), one unique-edge (src<dst) projection joined to
+    the degree table on each endpoint, then each side is aggregated once
+    per threshold via an exploded broadcast literal array — the edge set
+    is scanned once, not once per k.
+    """
+    if not thresholds:
+        raise ValueError("rich_club: need at least one threshold")
+    sym = symmetrize(g.edges)
+    deg = sym.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").alias("deg")
+    )
+    ks = F.explode(
+        F.array(*[F.lit(int(k)) for k in sorted(set(thresholds))])
+    ).alias("k")
+
+    n_rich = (
+        deg.select("deg", ks)
+        .filter(F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_rich"))
+    )
+
+    uniq = sym.filter(F.col("src") < F.col("dst"))
+    edge_min_deg = (
+        uniq.join(deg.withColumnRenamed("vid", "src").withColumnRenamed("deg", "ds"), "src")
+        .join(deg.withColumnRenamed("vid", "dst").withColumnRenamed("deg", "dd"), "dst")
+        .select(F.least("ds", "dd").alias("min_deg"))
+    )
+    e_rich = (
+        edge_min_deg.select("min_deg", ks)
+        .filter(F.col("min_deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("e_rich"))
+    )
+
+    base = deg.sparkSession.createDataFrame(
+        [(int(k),) for k in sorted(set(thresholds))], "k int"
+    )
+    return (
+        base.join(n_rich, "k", "left")
+        .join(e_rich, "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_rich", F.lit(0)).alias("n_rich"),
+            F.coalesce("e_rich", F.lit(0)).alias("e_rich"),
+            F.when(
+                F.coalesce("n_rich", F.lit(0)) >= 2,
+                2.0
+                * F.coalesce("e_rich", F.lit(0))
+                / (F.col("n_rich") * (F.col("n_rich") - 1)),
+            ).alias("phi"),
+        )
+    )
+
+
+def powerlaw_alpha(g: EncodedGraph, d_min: int = 2) -> DataFrame:
+    """Continuous-approximation Hill/MLE estimate of the power-law
+    exponent of the IN-degree distribution (Clauset–Shalizi–Newman 2009,
+    eq. 3.7 discrete approximation):
+
+        alpha = 1 + n / sum_i ln(d_i / (d_min - 0.5))
+
+    over the tail d_i >= d_min. Returns a single row
+    (d_min, n_tail, alpha) — alpha NULL when the tail is empty or the
+    log-sum is zero (degenerate tail of all-d_min... impossible with the
+    -0.5 shift, kept for belt-and-braces).
+
+    In-degree (not undirected) because the web-graph power law of record
+    is the in-link distribution; pass a pre-symmetrized graph for the
+    undirected variant.
+    """
+    if d_min < 1:
+        raise ValueError("powerlaw_alpha: d_min must be >= 1")
+    indeg = g.edges.groupBy(F.col("dst").alias("vid")).agg(
+        F.count("*").alias("deg")
+    )
+    tail = indeg.filter(F.col("deg") >= d_min)
+    return tail.agg(
+        F.lit(int(d_min)).alias("d_min"),
+        F.count("*").alias("n_tail"),
+        (
+            1.0
+            + F.count("*")
+            / F.sum(F.log(F.col("deg") / (F.lit(float(d_min)) - 0.5)))
+        ).alias("alpha"),
+    )

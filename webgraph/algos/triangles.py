@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph, symmetrize
+from webgraph.algos.common import EncodedGraph, symmetrize, truncate_lineage
 
 
 def _oriented(g: EncodedGraph, degree_ordered: bool) -> DataFrame:
@@ -164,7 +164,7 @@ def link_prediction(
     plan, sym = _link_prediction_plan(g, top_k, max_degree)
     # <= top_k rows — materialize, then free the symmetrized cache
     # (the modularity release pattern; never leak a per-call persist)
-    out = plan.localCheckpoint(eager=True)
+    out = plan.transform(truncate_lineage)
     sym.unpersist()
     return out
 
@@ -250,7 +250,7 @@ def k_truss(
         symmetrize(g.edges)
         .filter(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     it = 0
     while True:
@@ -285,7 +285,7 @@ def k_truss(
                 F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support"),
             )
             .filter(F.col("support") >= need)
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         n_prev, n_now = e.count(), kept.count()
         # kept is already materialized; its projection needs no second copy

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph
+from webgraph.algos.common import EncodedGraph, truncate_lineage
 
 # Same modulus family as webgraph.dedup's portable hashes; three odd
 # multipliers decorrelate (cur, step, dst). All arithmetic stays < 2^63:
@@ -119,7 +119,7 @@ def deterministic_walks(
                 "walk_id", F.col("vid").alias("cur")
             )
         else:
-            nxt = nxt.localCheckpoint(eager=True)  # truncate per-step lineage
+            nxt = nxt.transform(truncate_lineage)  # truncate per-step lineage
             acc = acc.unionByName(
                 nxt.select("walk_id", F.lit(t).alias("step"), F.col("cur").alias("vid"))
             )

@@ -315,3 +315,96 @@ def semdedup(
     )
     base.unpersist()
     return out
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    upper_only: bool = True,
+) -> DataFrame:
+    """Population covariance matrix of an array<float> embedding column:
+    cov(i, j) = E[x_i x_j] - E[x_i] E[x_j]. Returns (i, j, n, cov) with
+    0-based dims, upper triangle (i <= j) by default — the input to PCA
+    whitening / decorrelation diagnostics over an embedding corpus.
+
+    Single pass, Arrow-vectorized: each partition emits ONE partial row —
+    (count, sum-vector, flattened Gram matrix) computed as numpy
+    float64 X^T X over the whole partition — so the shuffle moves
+    partitions x (d^2 + d + 1) doubles, never the rows. The tiny partial
+    frame is then exploded positionally and reduced by one hash
+    aggregate; no driver-side math beyond the final plan.
+
+    Rows with NULL or wrong-length vectors are rejected loudly (a silent
+    skip would bias the estimate): the partition raises on first sight.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = len(
+        df.select(F.col(vec_col).alias("v")).filter(F.col("v").isNotNull())
+        .limit(1).collect()[0]["v"]
+    )
+
+    def partial_gram(batches):
+        n = 0
+        s = np.zeros(d, dtype=np.float64)
+        g = np.zeros((d, d), dtype=np.float64)
+        for pdf in batches:
+            col = pdf[vec_col]
+            if col.isnull().any():
+                raise ValueError("embedding_covariance: NULL vector")
+            x = np.array([np.asarray(v, dtype=np.float64) for v in col])
+            if x.size == 0:
+                continue
+            if x.shape[1] != d:
+                raise ValueError(
+                    f"embedding_covariance: ragged vector (expected {d})"
+                )
+            n += x.shape[0]
+            s += x.sum(axis=0)
+            g += x.T @ x
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.reshape(-1).tolist()]}
+            )
+
+    # materialize: the n_total readout below must not re-run the corpus
+    # scan that the main plan already pays for
+    partials = df.select(F.col(vec_col)).mapInPandas(
+        partial_gram, "n long, s array<double>, g array<double>"
+    ).localCheckpoint(eager=True)
+    # explode positionally: tiny frame (one row per partition), so the
+    # d^2-way explode moves partitions x d^2 scalars — negligible
+    pos = partials.select(
+        "n",
+        F.posexplode(F.concat(F.col("s"), F.col("g"))).alias("pos", "val"),
+    )
+    sums = pos.groupBy("pos").agg(F.sum("val").alias("val"))
+    n_total = partials.agg(F.sum("n")).collect()[0][0]
+    if not n_total:
+        raise ValueError("embedding_covariance: empty input")
+    means = (
+        sums.filter(F.col("pos") < d)
+        .select(F.col("pos").cast("long").alias("i"),
+                (F.col("val") / n_total).alias("mu"))
+    )
+    gram = sums.filter(F.col("pos") >= d).select(
+        ((F.col("pos") - d) / d).cast("long").alias("i"),
+        ((F.col("pos") - d) % d).cast("long").alias("j"),
+        (F.col("val") / n_total).alias("exy"),
+    )
+    out = (
+        gram.join(means.withColumnRenamed("mu", "mi"), "i")
+        .join(
+            means.select(F.col("i").alias("j"), F.col("mu").alias("mj")), "j"
+        )
+        .select(
+            "i",
+            "j",
+            F.lit(int(n_total)).cast("long").alias("n"),
+            (F.col("exy") - F.col("mi") * F.col("mj")).alias("cov"),
+        )
+    )
+    if upper_only:
+        out = out.filter(F.col("i") <= F.col("j"))
+    return out

@@ -320,3 +320,79 @@ def histogram_quantiles(
             (F.lit(lo) + F.col("bin") * F.lit((hi - lo) / bins)) * 1e6
         ).cast("long").alias("est_e6"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    capacity: int = 50,
+) -> DataFrame:
+    """Exact frequent tokens above the n/`capacity` threshold via the
+    two-pass Misra–Gries protocol — the classic "heavy hitters without
+    shuffling the token stream":
+
+    pass 1 (candidates): each partition runs a mergeable Misra–Gries
+      summary of at most `capacity` counters over its own tokens inside
+      one Arrow batch iterator (mapInPandas; counting is vectorized
+      pandas value_counts, the decrement is one partial-sort per batch).
+      A token with global frequency > n/capacity must exceed
+      n_p/capacity in at least one partition (pigeonhole), and MG's
+      deficit bound (Agarwal et al. 2013 mergeable-summaries) keeps any
+      such token's counter positive there — so the union of partition
+      summaries (<= capacity rows per partition, the ONLY shuffled data)
+      is a guaranteed candidate superset.
+    pass 2 (verify): exact counts for candidate tokens only — explode,
+      broadcast-semi-join the candidate set, one hash aggregate — then
+      keep cnt * capacity > n (integer compare, no float threshold).
+
+    The result is EXACT and independent of partitioning/batching (the MG
+    summary only affects which extra candidates get verified), which is
+    what makes it oracle-checkable. Returns (token, cnt).
+
+    Scale: the full token stream is never shuffled — pass 1 moves
+    capacity x partitions rows, pass 2 moves only candidate-matching
+    tokens into a map-side-combining count.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    cap = int(capacity)
+    if cap < 1:
+        raise ValueError("heavy_hitters: capacity must be >= 1")
+
+    # blank docs tokenize to [''] and are dropped by the empty-token
+    # filters on both passes — no separate text-level filter needed
+    toks = df.select(tokens(F.col(text_col)).alias("toks"))
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            exact = pd.Series(
+                [t for arr in pdf["toks"] for t in arr if t != ""]
+            ).value_counts()
+            for tok, c in exact.items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > cap:
+                # mergeable-MG decrement: subtract the (cap+1)-th largest
+                # count from everyone, drop non-positive counters
+                vals = sorted(counters.values(), reverse=True)
+                sub = vals[cap]
+                counters = {
+                    t: c - sub for t, c in counters.items() if c - sub > 0
+                }
+        if counters:
+            yield pd.DataFrame({"token": list(counters.keys())})
+
+    candidates = toks.mapInPandas(mg_partition, "token string").distinct()
+
+    exploded = toks.select(F.explode("toks").alias("token")).filter(
+        F.col("token") != ""
+    )
+    n_tokens = exploded.count()
+    verified = (
+        exploded.join(F.broadcast(candidates), "token", "leftsemi")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * cap > F.lit(n_tokens))
+    )
+    return verified

@@ -425,3 +425,44 @@ def streaming_cms(
     )
     q.awaitTermination()
     return q
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    max_gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    prefixes: tuple[str, str] = ("l_", "r_"),
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each left row matches right
+    rows with the same `key` whose event time falls in
+    [left_time, left_time + max_gap) — the attribution-join shape
+    ("click within 30 minutes of the view"). Both sides carry watermarks
+    so Spark bounds the join state: left rows older than
+    watermark + max_gap and right rows older than watermark are evicted
+    instead of accumulating forever — without the time-range condition a
+    stream-stream join is unbounded state and Spark rightly refuses it.
+
+    Output columns are the two inputs' columns under `prefixes` (the join
+    key unprefixed once). Deterministic for a fixed input set: the match
+    predicate is pure event-time arithmetic, so draining with
+    AvailableNow emits exactly the batch join's rows — which is what the
+    contract oracle checks with a plain SQL theta join.
+    """
+    lw = left.withWatermark(left_time, watermark)
+    rw = right.withWatermark(right_time, watermark)
+    lp, rp = prefixes
+    lcols = [F.col(c).alias(f"{lp}{c}") for c in lw.columns if c != key]
+    rcols = [F.col(c).alias(f"{rp}{c}") for c in rw.columns if c != key]
+    lt, rt = f"{lp}{left_time}", f"{rp}{right_time}"
+    lw = lw.select(key, *lcols)
+    rw = rw.select(F.col(key).alias("_rkey"), *rcols)
+    cond = (
+        (F.col(key) == F.col("_rkey"))
+        & (F.col(rt) >= F.col(lt))
+        & (F.col(rt) < F.col(lt) + F.expr(f"INTERVAL {max_gap}"))
+    )
+    return lw.join(rw, cond, "inner").drop("_rkey")

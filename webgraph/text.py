@@ -1039,3 +1039,47 @@ def c4_filter(
         n_sentences.cast("long").alias("n_sentences"),
         keep.alias("keep"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted without-replacement sample of k rows (Efraimidis &
+    Spirakis 2006): each row gets key u^(1/w) for u ~ Uniform(0,1); the
+    k largest keys are a without-replacement draw proportional to the
+    weights. Ordering by ln(u)/w (monotone in u^(1/w), numerically tame)
+    with u from the seeded portable hash makes the draw deterministic
+    across runs, engines, partitionings, and cluster sizes — the corpus-
+    mixing primitive "sample k documents proportional to token count"
+    with a reproducibility guarantee.
+
+    Returns the sampled rows plus ``sample_rank`` (1-based, best key
+    first). Rows with non-positive weight are excluded (zero-probability
+    mass by definition).
+
+    Scale: a global top-k on a computed key — compiles to
+    TakeOrderedAndProject (per-partition partial top-k, only k rows per
+    partition reach the driver-side final ordering), never a full sort.
+    """
+    from pyspark.sql import Window
+
+    from webgraph.dedup import _MIX_BASE, POLY_MOD
+
+    h = ((F.col(id_col) % POLY_MOD) * F.lit(_MIX_BASE) + F.lit(seed)) % POLY_MOD
+    u = (h + 1.0) / (POLY_MOD + 1.0)  # in (0, 1]: ln defined, key finite
+    key = F.log(u) / F.col(weight_col)
+    out = (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_es_key", key)
+        .orderBy(F.col("_es_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("_es_key").desc(), F.col(id_col).asc())
+    return (
+        out.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .drop("_es_key")
+    )
