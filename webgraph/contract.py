@@ -5921,6 +5921,130 @@ WHERE v.event_type = 'view' AND c.event_type = 'click'
 QUERIES.update({"s_stream_join": (q_s_stream_join, o_s_stream_join)})
 
 
+# --------------------------- round-5c: greedy coloring + BM25 retrieval --
+
+
+def q_g_coloring(spark, sf_dir):
+    """Deterministic distributed greedy coloring (algos/coloring.py):
+    fixed portable-hash priorities make the parallel priority-DAG rounds
+    reproduce the SEQUENTIAL greedy coloring in ascending (priority, vid)
+    order exactly, so the oracle replays that sequential order one vertex
+    per step in a DuckDB recursive CTE (the g_msf Kruskal pattern) and
+    the result is engine-independent.
+
+    The contract input is a deterministic ~5% edge thinning of the
+    derived graph: coloring's round count is the priority-DAG depth,
+    and the dense sf0.01 derived graph (avg degree ~190 on 500
+    vertices) is the documented near-clique worst case — depth O(V) —
+    not the sparse web regime the operator exists for. The thinning
+    keeps the vertex set intact (isolated vertices still get color 0)
+    and is replayed verbatim by the oracle."""
+    from webgraph.algos.coloring import greedy_coloring
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    thin = g.edges.filter((F.col("src") * 31 + F.col("dst")) % 20 == 0)
+    g_sparse = g._replace(edges=thin)
+    colors, _ = greedy_coloring(g_sparse, seed=42)
+    return colors.select("vid", F.col("color").cast("long").alias("color"))
+
+
+def o_g_coloring():
+    from webgraph.dedup import _MIX_BASE, POLY_MOD
+
+    return f"""
+WITH RECURSIVE
+e0 AS ({EDGES_SQL}),
+e AS (SELECT src, dst FROM e0 WHERE (src * 31 + dst) % 20 = 0),
+s AS ({SYM_SQL}),
+u AS MATERIALIZED (
+  SELECT vid, ((vid % {POLY_MOD}) * {_MIX_BASE} + 42) % {POLY_MOD} AS p
+  FROM (SELECT src AS vid FROM e0 UNION SELECT dst AS vid FROM e0)),
+init AS (SELECT 0 AS step,
+                (SELECT list(CAST(NULL AS BIGINT)) FROM range({N_NODES})) AS colors,
+                CAST(NULL AS BIGINT) AS cvid, CAST(NULL AS BIGINT) AS ccol),
+greedy AS (
+  SELECT * FROM init
+  UNION ALL
+  (WITH cur AS (SELECT * FROM greedy),
+   pick AS (
+     SELECT u.vid FROM u, cur
+     WHERE list_extract(cur.colors, CAST(u.vid AS INT) + 1) IS NULL
+     ORDER BY u.p LIMIT 1),
+   mexv AS (
+     SELECT COALESCE(MIN(i), 0) AS c FROM range({N_NODES} + 1) t(i)
+     WHERE i NOT IN (
+       SELECT list_extract(cur.colors, CAST(s.src AS INT) + 1)
+       FROM s, pick, cur
+       WHERE s.dst = pick.vid
+         AND list_extract(cur.colors, CAST(s.src AS INT) + 1) IS NOT NULL))
+   SELECT cur.step + 1,
+          list_transform(
+            (SELECT list(i) FROM range({N_NODES}) t(i)),
+            i -> CASE WHEN i = pick.vid THEN mexv.c
+                      ELSE list_extract(cur.colors, CAST(i AS INT) + 1) END),
+          pick.vid, mexv.c
+   FROM cur, pick, mexv)
+)
+SELECT cvid AS vid, ccol AS color FROM greedy WHERE cvid IS NOT NULL
+"""
+
+
+QUERIES.update({"g_coloring": (q_g_coloring, o_g_coloring)})
+
+
+BM25_QUERY = ["vector", "merge", "window"]
+
+
+def q_t_bm25(spark, sf_dir):
+    """Okapi BM25 top-10 retrieval (text.py:bm25_search) over the
+    documents corpus: query-term-filtered explode (only query postings
+    shuffle), codegen per-row dl, lazy broadcast N/avgdl, per-term
+    micro-unit rounding so the summed score is integer-exact on both
+    engines, TakeOrderedAndProject top-k."""
+    from webgraph.text import bm25_search
+
+    return bm25_search(load(spark, sf_dir, "documents"), BM25_QUERY, k=10)
+
+
+def o_t_bm25():
+    k1, b = 1.2, 0.75
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+    terms = ", ".join(f"'{t}'" for t in sorted(BM25_QUERY))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN ({terms}) GROUP BY 1, 2
+), dfq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), st AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         AVG(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS avgdl
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl
+  FROM documents
+), per AS (
+  SELECT tf.doc_id,
+    CAST(ROUND(
+      ln(1.0 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5))
+      * tf * {k1p1!r}
+      / (tf + {k1!r} * ({one_minus_b!r} + {b!r} * dl / (SELECT avgdl FROM st)))
+      * 1e6) AS BIGINT) AS s_e6
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+)
+SELECT doc_id, CAST(SUM(s_e6) AS BIGINT) AS score_e6, COUNT(*) AS n_hits
+FROM per GROUP BY doc_id
+ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
+QUERIES.update({"t_bm25": (q_t_bm25, o_t_bm25)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry

@@ -1083,3 +1083,85 @@ def weighted_sample(
         out.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .drop("_es_key")
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval for one query: top-k documents by
+    summed per-term score (Robertson et al., TREC-3), the ranking
+    function behind Lucene/Elasticsearch and the standard lexical
+    baseline a corpus-curation pipeline uses for targeted retrieval
+    (e.g. pulling eval-adjacent documents before decontamination).
+
+        idf(t)     = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+        score(d,q) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    with dl = document token count and avgdl its corpus mean. Returns
+    (id, score_e6, n_hits) with score in integer micro-units, rounded
+    PER TERM and summed as integers (the tfidf_top_terms convention,
+    strengthened: float summation order varies across engines, so the
+    exact-comparable quantity is the sum of per-term rounded scores) and
+    n_hits = number of distinct query terms present.
+    Ties break by id ascending. Matching is lowercased whitespace-token
+    exact — the same tokenization as the tf-idf/inverted-index family,
+    so oracles replay it verbatim.
+
+    Scale shape: the explode is filtered to QUERY terms before the tf
+    aggregate (isin over a literal array — pushed into the generator's
+    filter, so only query-term postings ever shuffle, not the corpus
+    vocabulary). dl is a per-row codegen size() — no explode, no
+    shuffle. avgdl/N ride in as a LAZY 1-row aggregate broadcast (the
+    pagerank dangling-mass pattern) and df_t as a broadcast of at most
+    len(query_terms) rows. Final top-k compiles to
+    TakeOrderedAndProject. No UDFs anywhere.
+    """
+    if not query_terms:
+        raise ValueError("bm25_search: need at least one query term")
+    q = sorted({t.lower() for t in query_terms})
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term").isin(q))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    stats = df.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.avg(token_count(F.lower(F.col(text_col)))).alias("_avgdl"),
+    )
+    dl = df.select(
+        F.col(id_col), token_count(F.lower(F.col(text_col))).alias("dl")
+    )
+
+    idf = F.log(
+        F.lit(1.0) + (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.round(idf * F.col("tf") * (k1 + 1.0) / denom * 1e6)
+            .cast("long")
+            .alias("s_e6"),
+        )
+    )
+    return (
+        per_term.groupBy(id_col)
+        .agg(
+            F.sum("s_e6").alias("score_e6"),
+            F.count("*").alias("n_hits"),
+        )
+        .orderBy(F.desc("score_e6"), F.asc(id_col))
+        .limit(k)
+    )
