@@ -6045,6 +6045,171 @@ ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
 QUERIES.update({"t_bm25": (q_t_bm25, o_t_bm25)})
 
 
+# ------- round-5d: bipartiteness, WL roles, landmark distance oracle ----
+
+
+def q_g_bipartite(spark, sf_dir):
+    """Per-component bipartiteness via the double cover (algos/
+    bipartite.py): a component has an odd cycle iff some vertex's two
+    cover copies share a double-cover component — two plain CC runs, no
+    new iterative machinery. Input is the same deterministic ~5% edge
+    thinning as g_coloring (the dense derived graph is one odd-cycled
+    blob; the sparse regime exercises singletons, trees and odd
+    components together), replayed verbatim by the oracle."""
+    from webgraph.algos.bipartite import bipartite_components
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    thin = g.edges.filter((F.col("src") * 31 + F.col("dst")) % 20 == 0)
+    return bipartite_components(g._replace(edges=thin)).select(
+        "component",
+        F.col("n_vertices").cast("long").alias("n_vertices"),
+        "is_bipartite",
+    )
+
+
+BIP_ORIG_ITERS = 48
+BIP_DC_ITERS = 96
+
+
+def o_g_bipartite():
+    parts = [
+        f"e0 AS ({EDGES_SQL}),",
+        "e AS (SELECT src, dst FROM e0 WHERE (src * 31 + dst) % 20 = 0),",
+        f"s AS ({SYM_SQL}),",
+        "v AS (SELECT src AS vid FROM e0 UNION SELECT dst AS vid FROM e0),",
+        "l0 AS (SELECT vid, vid AS component FROM v),",
+    ]
+    for i in range(1, BIP_ORIG_ITERS + 1):
+        p = i - 1
+        parts += [
+            f"m{i} AS (SELECT s.dst AS vid, MIN(l.component) AS nm "
+            f"FROM s JOIN l{p} l ON s.src = l.vid GROUP BY s.dst),",
+            f"l{i} AS (SELECT l.vid, LEAST(l.component, COALESCE(m.nm, l.component)) "
+            f"AS component FROM l{p} l LEFT JOIN m{i} m USING (vid)),",
+        ]
+    parts += [
+        "ds AS (SELECT src * 2 AS src, dst * 2 + 1 AS dst FROM s "
+        "UNION SELECT dst * 2 + 1, src * 2 FROM s),",
+        "dv AS (SELECT vid * 2 AS vid FROM v UNION SELECT vid * 2 + 1 FROM v),",
+        "k0 AS (SELECT vid, vid AS component FROM dv),",
+    ]
+    for i in range(1, BIP_DC_ITERS + 1):
+        p = i - 1
+        parts += [
+            f"dm{i} AS (SELECT d.dst AS vid, MIN(l.component) AS nm "
+            f"FROM ds d JOIN k{p} l ON d.src = l.vid GROUP BY d.dst),",
+            f"k{i} AS (SELECT l.vid, LEAST(l.component, COALESCE(m.nm, l.component)) "
+            f"AS component FROM k{p} l LEFT JOIN dm{i} m USING (vid)),",
+        ]
+    parts += [
+        "odd AS (SELECT a.vid / 2 AS vid, "
+        f"(a.component = b.component) AS on_odd FROM k{BIP_DC_ITERS} a "
+        f"JOIN k{BIP_DC_ITERS} b ON b.vid = a.vid + 1 WHERE a.vid % 2 = 0)",
+    ]
+    body = "WITH " + "\n".join(parts)
+    return _unrolled([body]) + f"""
+SELECT l.component, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       NOT MAX(COALESCE(odd.on_odd, FALSE)) AS is_bipartite
+FROM l{BIP_ORIG_ITERS} l LEFT JOIN odd ON odd.vid = l.vid
+GROUP BY l.component
+"""
+
+
+QUERIES.update({"g_bipartite": (q_g_bipartite, o_g_bipartite)})
+
+
+WL_ROUNDS = 3
+
+
+def q_g_wl_roles(spark, sf_dir):
+    """1-WL color refinement (algos/wl.py): structural role fingerprints
+    after 3 rounds over the symmetrized derived graph. The commutative
+    sum-based multiset hash keeps every round a map-side-combining
+    aggregate (no hub-sized collected lists) and integer-exact on both
+    engines, so the oracle unrolls the identical rounds."""
+    from webgraph.algos.wl import wl_refinement
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    return wl_refinement(g, rounds=WL_ROUNDS)
+
+
+def o_g_wl_roles():
+    from webgraph.algos.wl import _A, _B
+    from webgraph.dedup import _MIX_BASE, POLY_MOD
+
+    parts = [
+        f"WITH e AS ({EDGES_SQL}),",
+        f"s AS ({SYM_SQL}),",
+        f"v AS ({VERTS_SQL}),",
+        "deg AS (SELECT dst AS vid, COUNT(*) AS deg FROM s GROUP BY dst),",
+        f"c0 AS (SELECT v.vid, COALESCE(deg.deg, 0) % {POLY_MOD} AS wl_color "
+        "FROM v LEFT JOIN deg USING (vid)),",
+    ]
+    for i in range(1, WL_ROUNDS + 1):
+        p = i - 1
+        parts += [
+            f"m{i} AS (SELECT s.dst AS vid, "
+            f"SUM((l.wl_color * {_A} + {_B}) % {POLY_MOD}) AS nsum "
+            f"FROM s JOIN c{p} l ON s.src = l.vid GROUP BY s.dst),",
+            f"c{i} AS (SELECT l.vid, CAST((l.wl_color * {_MIX_BASE} "
+            f"+ COALESCE(m.nsum, 0)) % {POLY_MOD} AS BIGINT) AS wl_color "
+            f"FROM c{p} l LEFT JOIN m{i} m USING (vid)),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT vid, wl_color FROM c{WL_ROUNDS}")
+    return _unrolled(parts)
+
+
+QUERIES.update({"g_wl_roles": (q_g_wl_roles, o_g_wl_roles)})
+
+
+LANDMARK_N = 4
+LANDMARK_DEPTH = 6
+
+
+def q_g_landmark_dist(spark, sf_dir):
+    """Landmark distance oracle (algos/landmarks.py): BFS from the 4
+    smallest-portable-hash vertices in ONE batched (landmark, vid)-keyed
+    sweep, 6 levels, undirected. Returns the distance table queries are
+    answered from; the oracle replays the same landmark draw and 6
+    min-plus rounds."""
+    from webgraph.algos.landmarks import landmark_distances, pick_landmarks
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    lms = pick_landmarks(g, LANDMARK_N, seed=42)
+    return landmark_distances(g, lms, max_depth=LANDMARK_DEPTH)
+
+
+def o_g_landmark_dist():
+    from webgraph.dedup import _MIX_BASE, POLY_MOD
+
+    parts = [
+        f"WITH e AS ({EDGES_SQL}),",
+        f"s AS ({SYM_SQL}),",
+        f"v AS ({VERTS_SQL}),",
+        f"u AS (SELECT vid, ((vid % {POLY_MOD}) * {_MIX_BASE} + 42)"
+        f" % {POLY_MOD} AS p FROM v),",
+        f"lm AS (SELECT vid FROM u ORDER BY p, vid LIMIT {LANDMARK_N}),",
+        "d0 AS (SELECT vid AS landmark, vid, 0 AS dist FROM lm),",
+    ]
+    for i in range(1, LANDMARK_DEPTH + 1):
+        p = i - 1
+        parts += [
+            f"n{i} AS (SELECT d.landmark, s.dst AS vid, MIN(d.dist) + 1 AS dist "
+            f"FROM s JOIN d{p} d ON s.src = d.vid GROUP BY 1, 2),",
+            f"d{i} AS (SELECT landmark, vid, MIN(dist) AS dist FROM "
+            f"(SELECT * FROM d{p} UNION ALL SELECT * FROM n{i}) GROUP BY 1, 2),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT landmark, vid, CAST(dist AS BIGINT) AS dist FROM d{LANDMARK_DEPTH}"
+    )
+    return _unrolled(parts)
+
+
+QUERIES.update({"g_landmark_dist": (q_g_landmark_dist, o_g_landmark_dist)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry
