@@ -149,3 +149,57 @@ def interval_count_join(
             interval_id, F.coalesce("n_points", F.lit(0)).alias("n_points")
         )
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Batch gap-based sessionization: consecutive events of a key belong
+    to one session while the inter-event gap stays <= ``gap_seconds``; a
+    longer gap starts the next session. The BATCH twin of
+    streaming.stateful_sessions (which holds open state across
+    micro-batches) — over a closed table the two agree on every
+    non-trailing session, and this one also closes the trailing ones.
+
+    Returns one row per session: (key, session_id 1-based within key,
+    n_events, start_ts, end_ts). ``order_cols`` extends the within-key
+    order to a TOTAL one under timestamp ties (pass the event id); a
+    non-total order would make session boundaries engine-dependent.
+
+    Physical plan: ONE shuffle on the key + one per-partition sort
+    feeding two window passes (lag -> boundary flags, running sum ->
+    session numbers) and a final hash aggregate that reuses the same
+    partitioning — the minimal plan for any gap sessionization; no join,
+    no second Exchange on the key.
+    """
+    if gap_seconds <= 0:
+        raise ValueError(f"sessionize: gap_seconds must be > 0, got {gap_seconds}")
+    extra = list(order_cols or [])
+    order = [F.col(ts_col)] + [F.col(c) for c in extra]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    # microsecond-exact, timezone-free gap test: timestamp subtraction
+    # yields a day-time interval on both TIMESTAMP and TIMESTAMP_NTZ
+    # (an epoch cast would force a timezone interpretation, and a
+    # seconds cast would truncate sub-second gaps)
+    boundary = F.col(ts_col) - F.lag(F.col(ts_col)).over(w) > F.expr(
+        f"INTERVAL {int(gap_seconds)} SECONDS"
+    )
+    numbered = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        *[F.col(c) for c in extra],
+        F.when(boundary, 1).otherwise(0).alias("_new"),
+    ).select(
+        key_col,
+        ts_col,
+        (F.sum("_new").over(w) + 1).alias("session_id"),
+    )
+    return numbered.groupBy(key_col, "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(ts_col).alias("start_ts"),
+        F.max(ts_col).alias("end_ts"),
+    )

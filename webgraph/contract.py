@@ -6210,6 +6210,97 @@ def o_g_landmark_dist():
 QUERIES.update({"g_landmark_dist": (q_g_landmark_dist, o_g_landmark_dist)})
 
 
+# --------------- round-5e: batch sessionization + politeness schedule ---
+
+
+def q_r_sessionize(spark, sf_dir):
+    """Batch gap sessionization (asof.py:sessionize, 30-min gap) over the
+    events table: one Exchange on user_id feeding lag -> running-sum ->
+    aggregate, microsecond-exact boundaries, total order under timestamp
+    ties via event_id. The batch twin of s_stateful_sessions — over a
+    closed table it also closes the trailing sessions."""
+    from webgraph.asof import sessionize
+
+    return sessionize(
+        load(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        gap_seconds=1800,
+        order_cols=["event_id"],
+    )
+
+
+def o_r_sessionize():
+    return """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS nw
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+    SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) + 1 AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+QUERIES.update({"r_sessionize": (q_r_sessionize, o_r_sessionize)})
+
+
+def q_f_crawl_schedule(spark, sf_dir):
+    """Politeness-batched crawl schedule (filters.py:crawl_schedule): the
+    batch analog of the reference crawler's per-host politeness knobs
+    (App.java:285-329) — rank each host's candidates by (priority desc,
+    url asc), cut into rounds of 3. Priority here is document length."""
+    from webgraph.filters import crawl_schedule
+    from webgraph.urls import extract_host
+
+    docs = load(spark, sf_dir, "documents")
+    urls = _doc_urls(spark, sf_dir).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    return crawl_schedule(
+        urls.select(
+            "url", extract_host(F.col("url")).alias("host"), "n_chars"
+        ),
+        host_col="host",
+        priority_col="n_chars",
+        per_host_batch=3,
+    )
+
+
+def o_f_crawl_schedule():
+    return """
+WITH urls AS (
+  SELECT CASE WHEN doc_id % 5 = 0
+              THEN 'https://www.' || source || '.example.com/'
+              ELSE 'https://' || source || '.example.com/p/'
+                   || CAST(doc_id % 7 AS VARCHAR) END AS url,
+         source || '.example.com' AS host,
+         n_chars
+  FROM documents
+), ranked AS (
+  SELECT url, host,
+    CAST(ROW_NUMBER() OVER (PARTITION BY host
+                            ORDER BY n_chars DESC, url ASC) AS BIGINT)
+    AS rank_in_host
+  FROM urls
+)
+SELECT url, host, rank_in_host,
+       CAST(FLOOR((rank_in_host - 1) / 3) AS BIGINT) AS batch
+FROM ranked
+"""
+
+
+QUERIES.update({"f_crawl_schedule": (q_f_crawl_schedule, o_f_crawl_schedule)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry

@@ -141,3 +141,42 @@ def status_errors(df: DataFrame, url_col: str, status_col: str) -> DataFrame:
         F.format_string("(%d)", s).alias("message"),
         F.current_timestamp().alias("ts"),
     )
+
+
+def crawl_schedule(
+    df: DataFrame,
+    host_col: str,
+    priority_col: str,
+    per_host_batch: int,
+    url_col: str = "url",
+) -> DataFrame:
+    """Politeness-batched crawl schedule: rank each host's candidate URLs
+    by (priority desc, url asc) and cut the ranking into batches of
+    ``per_host_batch`` — batch b is the set a crawler honoring a
+    per-host concurrency/rate cap may fetch in round b. The batch analog
+    of the reference crawler's per-host politeness knobs
+    (reference App.java:285-329 — live-crawl delays have no meaning over
+    a corpus table, but WHICH url waits for WHICH round does).
+
+    Returns (url, host, rank_in_host, batch) with batch 0-based. One
+    Exchange on host + per-partition sort (the ranking window); a skewed
+    mega-host ranks inside its own partitions under AQE, and the output
+    is deterministic under any partitioning because the order key
+    (priority, url) is total.
+    """
+    if per_host_batch < 1:
+        raise ValueError(
+            f"crawl_schedule: per_host_batch must be >= 1, got {per_host_batch}"
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(
+        F.desc(priority_col), F.asc(url_col)
+    )
+    return df.select(
+        F.col(url_col),
+        F.col(host_col),
+        F.row_number().over(w).cast("long").alias("rank_in_host"),
+    ).withColumn(
+        "batch", ((F.col("rank_in_host") - 1) / per_host_batch).cast("long")
+    )
