@@ -6301,6 +6301,125 @@ FROM ranked
 QUERIES.update({"f_crawl_schedule": (q_f_crawl_schedule, o_f_crawl_schedule)})
 
 
+# -------- round-5f: PMI collocations, URL dedup, community supergraph ---
+
+
+def q_t_pmi_pairs(spark, sf_dir):
+    """Top-20 collocations by PMI (text.py:pmi_collocations) over the
+    documents corpus: in-row bigram transform (no positional self-join),
+    map-side-combining counts, lazy broadcast totals, per-pair micro-unit
+    rounding for an engine-exact ranking."""
+    from webgraph.text import pmi_collocations
+
+    return pmi_collocations(
+        load(spark, sf_dir, "documents"), k=20, min_count=5
+    )
+
+
+def o_t_pmi_pairs():
+    return r"""
+WITH toksl AS (
+  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), tot AS (
+  SELECT CAST(SUM(len(t)) AS DOUBLE) AS tt,
+         CAST(SUM(GREATEST(len(t) - 1, 0)) AS DOUBLE) AS bb
+  FROM toksl
+), uni AS (
+  SELECT x, COUNT(*) AS n FROM (SELECT unnest(t) AS x FROM toksl) GROUP BY x
+), bi AS (
+  SELECT p.x AS x, p.y AS y, COUNT(*) AS n_xy FROM (
+    SELECT unnest(list_transform(range(1, len(t)),
+                                 i -> {'x': t[i], 'y': t[i + 1]})) AS p
+    FROM toksl) GROUP BY 1, 2
+  HAVING COUNT(*) >= 5
+)
+SELECT bi.x, bi.y, bi.n_xy,
+  CAST(ROUND(ln((bi.n_xy / (SELECT bb FROM tot))
+     / ((ux.n / (SELECT tt FROM tot)) * (uy.n / (SELECT tt FROM tot))))
+     * 1e6) AS BIGINT) AS pmi_e6
+FROM bi JOIN uni ux ON ux.x = bi.x JOIN uni uy ON uy.x = bi.y
+ORDER BY pmi_e6 DESC, bi.x ASC, bi.y ASC LIMIT 20
+"""
+
+
+QUERIES.update({"t_pmi_pairs": (q_t_pmi_pairs, o_t_pmi_pairs)})
+
+
+def q_d_url_dedup(spark, sf_dir):
+    """Exact-URL dedup after crawler-style canonicalization (dedup.py:
+    url_dedup — lowercase + backslash cleanup, the reference's
+    HtmlOnlyCrawler.java:82 / UrlUtil.java:21-23 semantics). The input
+    re-cases every third URL so the normalization is load-bearing, and
+    the synthetic doc_id%7 paths produce real duplicate groups."""
+    from webgraph.dedup import url_dedup
+
+    urls = _doc_urls(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.upper("url"))
+        .otherwise(F.col("url"))
+        .alias("url"),
+    )
+    return url_dedup(urls)
+
+
+def o_d_url_dedup():
+    return """
+WITH urls AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0
+         THEN 'https://www.' || source || '.example.com/'
+         ELSE 'https://' || source || '.example.com/p/'
+              || CAST(doc_id % 7 AS VARCHAR) END AS url
+  FROM documents
+)
+SELECT lower(replace(url, chr(92), '/')) AS canonical_url,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM urls GROUP BY 1
+"""
+
+
+QUERIES.update({"d_url_dedup": (q_d_url_dedup, o_d_url_dedup)})
+
+
+def q_g_community_graph(spark, sf_dir):
+    """Community supergraph: contract the page graph by the Louvain
+    level-1 partition (algos/common.py:contract_graph — the domain-
+    rollup machinery applied to DISCOVERED communities instead of the
+    URL-derived domain). Two vid-keyed joins + one map-side-combining
+    aggregate; the oracle nests the exact g_louvain replay and rolls
+    edges up in SQL."""
+    from webgraph.algos.common import contract_graph
+    from webgraph.algos.louvain import louvain
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    mapping, _ = louvain(g, max_levels=1, max_rounds=1)
+    return contract_graph(g, mapping).select(
+        "src", "dst", F.col("weight").cast("long").alias("weight")
+    )
+
+
+def o_g_community_graph():
+    inner = o_g_louvain().strip()
+    return f"""
+WITH lab AS (
+{inner}
+), e2 AS ({EDGES_SQL})
+SELECT ls.gid AS src, ld.gid AS dst, COUNT(*) AS weight
+FROM e2
+JOIN lab ls ON ls.vid = e2.src
+JOIN lab ld ON ld.vid = e2.dst
+WHERE ls.gid <> ld.gid
+GROUP BY 1, 2
+"""
+
+
+QUERIES.update(
+    {"g_community_graph": (q_g_community_graph, o_g_community_graph)}
+)
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry

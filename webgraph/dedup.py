@@ -807,3 +807,31 @@ def substring_dedup(
             .alias("n_dropped"),
         )
     )
+
+
+def url_dedup(df, url_col: str = "url", id_col: str = "doc_id"):
+    """Exact-URL deduplication after crawler-style canonicalization
+    (urls.normalize_url: lowercase + fragment/whitespace cleanup — the
+    reference lowercases before every URL decision,
+    HtmlOnlyCrawler.java:82). The cheapest dedup stage and the first a
+    web pipeline runs: the same page fetched under case/fragment URL
+    variants collapses BEFORE any content hashing.
+
+    Returns one survivor row per canonical URL: (canonical_url, keep_id
+    = min id, n_dups). One hash aggregate on the canonical key — the
+    min-id survivor rule is the same first-wins convention as
+    dedup_lines/fingerprint dedup, and the aggregate partial-combines
+    map-side (no URL list ever materializes)."""
+    from webgraph.urls import normalize_url
+
+    return (
+        df.select(
+            normalize_url(F.col(url_col)).alias("canonical_url"),
+            F.col(id_col),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )

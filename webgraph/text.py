@@ -1165,3 +1165,82 @@ def bm25_search(
         .orderBy(F.desc("score_e6"), F.asc(id_col))
         .limit(k)
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over consecutive
+    token pairs (Church & Hanks 1990) — the corpus-analysis primitive
+    behind phrase detection and multi-word tokenizer entries:
+
+        pmi(x, y) = ln( (n_xy / B) / ((n_x / T) * (n_y / T)) )
+
+    with T = total tokens, B = total bigram slots. Returns
+    (x, y, n_xy, pmi_e6) for pairs with n_xy >= min_count, ranked by
+    (pmi desc, x, y) — micro-unit rounding keeps the ranking integer-
+    exact across engines (the tfidf/bm25 convention). ``min_count``
+    matters: PMI without a support floor surfaces hapax noise.
+
+    Scale shape: bigrams come from an in-row array transform (empty
+    tokens filtered BEFORE pairing so adjacency is over real words) —
+    no positional self-join; both count aggregates partial-aggregate
+    map-side; T and B ride in as a lazy 1-row broadcast; the final
+    top-k compiles to TakeOrderedAndProject."""
+    if min_count < 1:
+        raise ValueError(f"pmi_collocations: min_count must be >= 1, got {min_count}")
+    t = F.filter(tokens(F.lower(F.col(text_col))), lambda x: x != "")
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i.cast("int")).alias("x"),
+                F.element_at(t, i.cast("int") + 1).alias("y"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+
+    toks = df.select(t.alias("t"))
+    totals = toks.agg(
+        F.sum(F.size("t")).cast("double").alias("_t"),
+        F.sum(F.greatest(F.size("t") - 1, F.lit(0))).cast("double").alias("_b"),
+    )
+    uni = (
+        toks.select(F.explode("t").alias("x"))
+        .groupBy("x")
+        .agg(F.count("*").alias("n"))
+    )
+    bi = (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.x", "p.y")
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("n_xy"))
+        .filter(F.col("n_xy") >= min_count)
+    )
+    scored = (
+        bi.join(uni.withColumnRenamed("n", "n_x"), "x")
+        .join(
+            uni.withColumnRenamed("n", "n_y").withColumnRenamed("x", "y"), "y"
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "x",
+            "y",
+            "n_xy",
+            F.round(
+                F.log(
+                    (F.col("n_xy") / F.col("_b"))
+                    / ((F.col("n_x") / F.col("_t")) * (F.col("n_y") / F.col("_t")))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("pmi_e6"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_e6"), F.asc("x"), F.asc("y")).limit(k)
