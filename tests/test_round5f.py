@@ -124,3 +124,96 @@ def test_community_supergraph_two_triangles(spark):
     assert len(rows) == 1 and rows[0]["weight"] == 1
     comms = {r["gid"] for r in mapping.collect()}
     assert len(comms) == 2
+
+
+# ------------------------------------------------------ bigram LM ---------
+
+
+def test_bigram_lm_matches_reference_math(spark):
+    from webgraph.text import bigram_lm_score
+
+    docs = {1: "a b a b", 2: "a b zz", 3: "solo"}
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    # corpus counts: unigrams a:3 b:3 zz:1 solo:1 (V=4)
+    # bigrams: (a,b):2+1=3? doc1: (a,b),(b,a),(a,b); doc2: (a,b),(b,zz)
+    uni = {"a": 3, "b": 3, "zz": 1, "solo": 1}
+    bi = {("a", "b"): 3, ("b", "a"): 1, ("b", "zz"): 1}
+    k, v = 0.1, 4
+
+    def nll(pair):
+        x, _ = pair
+        p = (bi[pair] + k) / (uni[x] + k * v)
+        return round(-math.log(p) * 1e6)
+
+    want = {
+        1: (nll(("a", "b")) * 2 + nll(("b", "a")), 3),
+        2: (nll(("a", "b")) + nll(("b", "zz")), 2),
+        # doc 3 has no bigram -> absent
+    }
+    got = {
+        r["doc_id"]: (r["nll_e6"], r["n_bigrams"])
+        for r in bigram_lm_score(df, k=0.1).collect()
+    }
+    assert got == want
+
+
+def test_bigram_lm_ranks_gibberish_above_boilerplate(spark):
+    from webgraph.text import bigram_lm_score
+
+    common = [(i, "the same line of text repeated verbatim") for i in range(20)]
+    rare = [(100, "zqx wvu ptk mno qrs jkl")]
+    df = spark.createDataFrame(common + rare, "doc_id long, text string")
+    rows = {r["doc_id"]: r["nll_e6"] for r in bigram_lm_score(df).collect()}
+    assert rows[100] > rows[0]
+
+
+# ------------------------------------------------------ plan pins ---------
+
+
+def test_sessionize_plans_single_exchange(spark):
+    from webgraph.asof import sessionize
+
+    ev = spark.createDataFrame(
+        [(i, f"2024-01-01 00:{i:02d}:00", i % 3) for i in range(30)],
+        "event_id long, ts string, user_id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    plan = (
+        sessionize(ev, "user_id", "ts", 60, order_cols=["event_id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # both windows and the final aggregate reuse ONE hashpartitioning on
+    # the key; a second Exchange would mean the sort order was lost
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_crawl_schedule_plans_single_exchange(spark):
+    from webgraph.filters import crawl_schedule
+
+    df = spark.createDataFrame(
+        [(f"u{i}", f"h{i % 4}", i) for i in range(40)],
+        "url string, host string, prio long",
+    )
+    plan = (
+        crawl_schedule(df, "host", "prio", 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pmi_plans_topk_not_global_sort(spark):
+    from webgraph.text import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(i, "x y z w " * 5) for i in range(20)], "doc_id long, text string"
+    )
+    plan = (
+        pmi_collocations(df, k=5, min_count=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan

@@ -30,6 +30,19 @@ HEAVY = [
     "g_louvain",
     "t_ngram_similar_pairs",
     "d_minhash_dup_pairs",
+    # round-5b..5f additions with non-trivial plans
+    "g_msf",
+    "g_mis",
+    "g_coloring",
+    "g_bipartite",
+    "g_community_graph",
+    "g_landmark_dist",
+    "e_covariance",
+    "t_pmi_pairs",
+    "t_bm25",
+    "r_sessionize",
+    "s_stream_join",
+    "t_heavy_hitters",
 ]
 
 

@@ -6420,6 +6420,49 @@ QUERIES.update(
 )
 
 
+def q_t_bigram_lm(spark, sf_dir):
+    """Self-trained add-k bigram LM scoring (text.py:bigram_lm_score):
+    per-bigram micro-nat rounding before the integer per-doc sum keeps
+    the score engine-exact; one in-row bigram transform, two map-side-
+    combining count aggregates, V as a lazy broadcast."""
+    from webgraph.text import bigram_lm_score
+
+    return bigram_lm_score(load(spark, sf_dir, "documents"), k=0.1)
+
+
+def o_t_bigram_lm():
+    return r"""
+WITH toksl AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                x -> x <> '') AS t
+  FROM documents
+), inst AS (
+  SELECT doc_id, p.x AS x, p.y AS y FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                          i -> {'x': t[i], 'y': t[i + 1]})) AS p
+    FROM toksl)
+), bi AS (
+  SELECT x, y, COUNT(*) AS c_xy FROM inst GROUP BY 1, 2
+), uni AS (
+  SELECT x, COUNT(*) AS c_x
+  FROM (SELECT unnest(t) AS x FROM toksl) GROUP BY x
+), vocab AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni
+)
+SELECT inst.doc_id,
+  CAST(SUM(CAST(ROUND(-ln((bi.c_xy + 0.1)
+      / (uni.c_x + 0.1 * (SELECT v FROM vocab))) * 1e6) AS BIGINT))
+    AS BIGINT) AS nll_e6,
+  COUNT(*) AS n_bigrams
+FROM inst JOIN bi USING (x, y) JOIN uni USING (x)
+GROUP BY inst.doc_id
+"""
+
+
+QUERIES.update({"t_bigram_lm": (q_t_bigram_lm, o_t_bigram_lm)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry

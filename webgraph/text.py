@@ -1244,3 +1244,67 @@ def pmi_collocations(
         )
     )
     return scored.orderBy(F.desc("pmi_e6"), F.asc("x"), F.asc("y")).limit(k)
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    k: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram language-model quality score, the order-2 upgrade of
+    lm_score's unigram NLL (CCNet-style perplexity bucketing): every
+    document is scored under an add-k-smoothed bigram model trained on
+    the corpus itself,
+
+        p(w_i | w_{i-1}) = (c(w_{i-1} w_i) + k) / (c(w_{i-1}) + k * V)
+
+    with V = unigram vocabulary size. Returns (id, nll_e6, n_bigrams):
+    nll_e6 = SUM of per-bigram -ln p rounded to micro-nats PER BIGRAM
+    before the integer sum (the bm25 convention — float summation order
+    never touches the result), NULL-free: documents with < 2 tokens are
+    absent (no bigram evidence, not zero surprise).
+
+    Scale shape: ONE in-row bigram transform (no positional self-join),
+    one bigram-count and one unigram-count hash aggregate (map-side
+    combine absorbs hot pairs), one pair-keyed join of instances to
+    counts, V as a lazy 1-row broadcast. Repetitive boilerplate scores
+    LOW (its bigrams dominate the corpus counts), rare-token gibberish
+    scores HIGH — the filter reads both tails."""
+    t = F.filter(tokens(F.lower(F.col(text_col))), lambda x: x != "")
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i.cast("int")).alias("x"),
+                F.element_at(t, i.cast("int") + 1).alias("y"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+
+    inst = df.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        id_col, "p.x", "p.y"
+    )
+    bi_cnt = inst.groupBy("x", "y").agg(F.count("*").alias("c_xy"))
+    uni = (
+        df.select(F.explode(t).alias("x"))
+        .groupBy("x")
+        .agg(F.count("*").alias("c_x"))
+    )
+    vocab = uni.agg(F.count("*").cast("double").alias("_v"))
+
+    nll = -F.log(
+        (F.col("c_xy") + F.lit(float(k)))
+        / (F.col("c_x") + F.lit(float(k)) * F.col("_v"))
+    )
+    return (
+        inst.join(bi_cnt, ["x", "y"])
+        .join(uni, "x")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.round(nll * 1e6).cast("long")).alias("nll_e6"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
