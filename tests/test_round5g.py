@@ -1,0 +1,137 @@
+"""Round-5g operators: bowtie decomposition, knn(k) degree-correlation
+curve, module import graph. House style: tiny hand-checkable fixtures
+with exact expected values, plus structural pins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webgraph.algos.common import from_int_edges
+
+
+def _graph(spark, edges):
+    return from_int_edges(spark.createDataFrame(edges, "src long, dst long"))
+
+
+# ---------------------------------------------------------- bowtie --------
+
+
+def test_bowtie_all_six_regions(spark):
+    from webgraph.algos.bowtie import bowtie
+
+    # CORE {0,1}; IN {2, 10}; OUT {3, 11}; TUBE {4} (2->4->3 bypasses the
+    # core); TENDRIL {5 (off IN), 6 (into OUT), 7 (tendril-of-tendril)};
+    # DISCONNECTED {8, 9}.
+    g = _graph(
+        spark,
+        [
+            (0, 1), (1, 0),          # core SCC
+            (2, 0), (10, 2),         # IN chain
+            (1, 3), (3, 11),         # OUT chain
+            (2, 4), (4, 3),          # tube
+            (2, 5),                  # tendril hanging off IN
+            (6, 3),                  # tendril pointing into OUT
+            (7, 5),                  # attached only through a tendril
+            (8, 9),                  # separate weak component
+        ],
+    )
+    got = {r["vid"]: r["region"] for r in bowtie(g).collect()}
+    assert got == {
+        0: "CORE", 1: "CORE",
+        2: "IN", 10: "IN",
+        3: "OUT", 11: "OUT",
+        4: "TUBE",
+        5: "TENDRIL", 6: "TENDRIL", 7: "TENDRIL",
+        8: "DISCONNECTED", 9: "DISCONNECTED",
+    }
+
+
+def test_bowtie_all_core(spark):
+    from webgraph.algos.bowtie import bowtie
+
+    # 3-cycle: everything is the core, no other region.
+    g = _graph(spark, [(0, 1), (1, 2), (2, 0)])
+    got = {r["vid"]: r["region"] for r in bowtie(g).collect()}
+    assert got == {0: "CORE", 1: "CORE", 2: "CORE"}
+
+
+def test_reachable_from_is_frontier_bounded(spark):
+    from webgraph.algos.bowtie import reachable_from
+
+    # path 0->1->2->3: full reach from 0, and max_depth raises rather
+    # than silently truncating (no-silent-caps rule).
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "vid long")
+    got = {r["vid"] for r in reachable_from(seeds, edges).collect()}
+    assert got == {0, 1, 2, 3}
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        reachable_from(seeds, edges, max_depth=2)
+
+
+# ------------------------------------------------------- knn curve --------
+
+
+def test_knn_curve_star(spark):
+    from webgraph.algos.stats import knn_curve
+
+    # star: hub 0 with 3 leaves. knn(3) = 1.0 (hub sees leaves),
+    # knn(1) = 3.0 (leaves see the hub).
+    g = _graph(spark, [(0, 1), (0, 2), (0, 3)])
+    rows = {r["k"]: r for r in knn_curve(g).collect()}
+    assert rows[3]["n_vertices"] == 1 and rows[3]["knn_e6"] == 1_000_000
+    assert rows[1]["n_vertices"] == 3 and rows[1]["knn_e6"] == 3_000_000
+
+
+def test_knn_curve_direction_free(spark):
+    from webgraph.algos.stats import knn_curve
+
+    # reversing every edge changes nothing: the curve is undirected.
+    fwd = knn_curve(_graph(spark, [(0, 1), (1, 2)])).collect()
+    rev = knn_curve(_graph(spark, [(1, 0), (2, 1)])).collect()
+    as_map = lambda rows: {r["k"]: (r["n_vertices"], r["knn_e6"]) for r in rows}  # noqa: E731
+    assert as_map(fwd) == as_map(rev)
+
+
+# ---------------------------------------------------- import graph --------
+
+
+def test_import_graph_dedup_and_anchoring(spark):
+    from webgraph.code import import_graph
+
+    df = spark.createDataFrame(
+        [
+            # repeated import dedups within the file; mid-line and
+            # malformed mentions never match the line-anchored regex.
+            (1, "a", "import b\nimport b\nimport a\nx import c\nimportd\n"),
+            (2, "a", "import b"),
+            (3, "b", "import a\n"),
+            (4, "c", "no imports here"),
+        ],
+        "doc_id long, module string, content string",
+    )
+    got = {
+        (r["src_module"], r["dst_module"]): r["n_files"]
+        for r in import_graph(df).collect()
+    }
+    assert got == {("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_import_graph_plan_is_codegen(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from webgraph.code import import_graph
+
+    df = spark.createDataFrame(
+        [(1, "a", "import b")], "doc_id long, module string, content string"
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        import_graph(df).explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan

@@ -14,5 +14,6 @@ from webgraph.algos.pagerank import (  # noqa: F401
     personalized_pagerank,
     spam_mass,
 )
+from webgraph.algos.bowtie import bowtie  # noqa: F401
 from webgraph.algos.scc import strongly_connected_components  # noqa: F401
 from webgraph.algos.triangles import triangle_count  # noqa: F401

@@ -124,3 +124,46 @@ def powerlaw_alpha(g: EncodedGraph, d_min: int = 2) -> DataFrame:
             / F.sum(F.log(F.col("deg") / (F.lit(float(d_min)) - 0.5)))
         ).alias("alpha"),
     )
+
+
+def knn_curve(g: EncodedGraph) -> DataFrame:
+    """Average-nearest-neighbor-degree curve knn(k) (Pastor-Satorras,
+    Vazquez & Vespignani 2001) — the standard degree-correlation profile
+    behind the single assortativity scalar: for each undirected degree k,
+    the mean degree of the neighbors of degree-k vertices,
+
+        knn(k) = ( sum_{v: deg(v)=k} sum_{u in N(v)} deg(u) )
+               / ( sum_{v: deg(v)=k} deg(v) )
+
+    (edge-weighted form: one exact integer/integer division per k, so the
+    micro-unit rounding is engine-portable — no average-of-averages
+    double rounding). Returns (k, n_vertices, knn_e6), one row per
+    occupied degree.
+
+    Physical plan: degree agg over the symmetrized edges, one
+    edge⋈degree equi-join on the neighbor endpoint with a map-side
+    combining SUM per vertex, then one final hash agg keyed on k — the
+    edge set is scanned twice total, no window, no driver loop. Hub skew
+    lands on the per-vertex SUM, which partial aggregation absorbs
+    exactly like the degree agg itself.
+    """
+    sym = symmetrize(g.edges)
+    deg = sym.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
+    nbr_sum = (
+        sym.join(
+            deg.select(F.col("vid").alias("dst"), F.col("deg").alias("nbr_deg")),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("vid"))
+        .agg(F.sum("nbr_deg").alias("s"))
+    )
+    return (
+        deg.join(nbr_sum, "vid")
+        .groupBy(F.col("deg").alias("k"))
+        .agg(
+            F.count("*").alias("n_vertices"),
+            F.round(F.lit(1e6) * F.sum("s") / F.sum("deg"))
+            .cast("long")
+            .alias("knn_e6"),
+        )
+    )

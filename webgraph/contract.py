@@ -6463,6 +6463,242 @@ GROUP BY inst.doc_id
 QUERIES.update({"t_bigram_lm": (q_t_bigram_lm, o_t_bigram_lm)})
 
 
+# Purpose-built bowtie graph: lineitem rows fan into six structural
+# strata keyed on l_orderkey % 5, so every Broder region materializes:
+# a dense digraph on the 0-99 range whose recurring sources form the
+# largest SCC (the CORE), an IN stratum (100-199) wired into it, an OUT
+# stratum (200-299) wired from it, a TUBE stratum (300-399) on IN->OUT
+# paths that bypass the core, a TENDRIL stratum (400-499) hanging off
+# IN, and an acyclic DISCONNECTED stratum (500-599) in its own weak
+# component (src<dst keeps its SCCs singleton so it can never outgrow
+# the core). o%5 and o%100 are correlated (both derive from l_orderkey),
+# which deliberately roughens the strata — e.g. core-range vertices that
+# never recur as sources fall into OUT, and rule-3 IN->IN edges are what
+# make the tube reachable — so the classifier is exercised on emergent,
+# not hand-labeled, structure. The oracle is ground truth either way:
+# it recomputes regions from the exact reachability closure.
+BOWTIE_EDGES_SQL = """
+SELECT DISTINCT src, dst FROM (
+  SELECT (o % 100) AS src, (p % 100) AS dst FROM bw_base WHERE m = 0
+  UNION ALL SELECT 100 + (o % 100), (p % 100) FROM bw_base WHERE m = 1
+  UNION ALL SELECT 100 + (o % 100), 100 + (p % 100) FROM bw_base
+    WHERE m = 1 AND (p % 100) < (o % 100)
+  UNION ALL SELECT (o % 100), 200 + (p % 100) FROM bw_base WHERE m = 2
+  UNION ALL SELECT 200 + (o % 100), 200 + (p % 100) FROM bw_base
+    WHERE m = 2 AND (p % 100) > (o % 100)
+  UNION ALL SELECT 100 + (o % 100), 300 + (p % 100) FROM bw_base WHERE m = 3
+  UNION ALL SELECT 300 + (o % 100), 200 + (p % 100) FROM bw_base WHERE m = 3
+  UNION ALL SELECT 100 + (o % 100), 400 + (p % 100) FROM bw_base
+    WHERE m = 4 AND q < 25
+  UNION ALL SELECT 500 + (o % 100), 500 + (p % 100) FROM bw_base
+    WHERE m = 4 AND q >= 25 AND (o % 100) < (p % 100)
+) WHERE src <> dst
+"""
+BOWTIE_BASE_SQL = (
+    "SELECT l_orderkey AS o, l_partkey AS p, l_quantity AS q, "
+    "l_orderkey % 5 AS m FROM lineitem"
+)
+
+
+def derived_bowtie_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of BOWTIE_EDGES_SQL."""
+    base = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"),
+        F.col("l_partkey").alias("p"),
+        F.col("l_quantity").alias("q"),
+        (F.col("l_orderkey") % 5).alias("m"),
+    )
+    o, p, q, m = F.col("o") % 100, F.col("p") % 100, F.col("q"), F.col("m")
+
+    def stratum(cond, src, dst):
+        return base.filter(cond).select(src.alias("src"), dst.alias("dst"))
+
+    parts = [
+        stratum(m == 0, o, p),
+        stratum(m == 1, o + 100, p),
+        stratum((m == 1) & (p < o), o + 100, p + 100),
+        stratum(m == 2, o, p + 200),
+        stratum((m == 2) & (p > o), o + 200, p + 200),
+        stratum(m == 3, o + 100, p + 300),
+        stratum(m == 3, o + 300, p + 200),
+        stratum((m == 4) & (q < 25), o + 100, p + 400),
+        stratum((m == 4) & (q >= 25) & (o < p), o + 500, p + 500),
+    ]
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def q_g_bowtie(spark, sf_dir):
+    """Broder bowtie decomposition (algos/bowtie.py): largest SCC ->
+    CORE; forward/backward frontier sweeps from it -> OUT/IN; closures of
+    IN and OUT classify TUBE vs TENDRIL; weak components mark
+    DISCONNECTED. The oracle recomputes every region from the exact
+    recursive reachability closure."""
+    from webgraph.algos import bowtie
+
+    g = from_int_edges(derived_bowtie_edges(spark, sf_dir))
+    return bowtie(g)
+
+
+def o_g_bowtie():
+    return f"""
+WITH RECURSIVE bw_base AS ({BOWTIE_BASE_SQL}),
+e AS ({BOWTIE_EDGES_SQL}),
+-- NOTE: inside a WITH RECURSIVE list, DuckDB (1.0.0) parses a bare
+-- UNION in ANY sibling CTE as the recursive base/step split and skips
+-- the global dedup a plain UNION would do — so every non-recursive CTE
+-- here dedups explicitly via SELECT DISTINCT ... UNION ALL.
+v AS (SELECT DISTINCT vid FROM
+      (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),
+r (a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.a, e.dst FROM r JOIN e ON r.b = e.src
+),
+rr AS (SELECT DISTINCT a, b FROM
+       (SELECT a, b FROM r UNION ALL SELECT vid, vid FROM v)),
+scc AS (
+  SELECT r1.a AS vid, MIN(r1.b) AS scc
+  FROM rr r1 JOIN rr r2 ON r1.a = r2.b AND r1.b = r2.a
+  GROUP BY 1
+),
+core_id AS (
+  SELECT scc FROM (SELECT scc, COUNT(*) AS n FROM scc GROUP BY 1)
+  ORDER BY n DESC, scc ASC LIMIT 1
+),
+corev AS (SELECT vid FROM scc WHERE scc = (SELECT scc FROM core_id)),
+fwd AS (SELECT DISTINCT b AS vid FROM rr WHERE a IN (SELECT vid FROM corev)),
+bwd AS (SELECT DISTINCT a AS vid FROM rr WHERE b IN (SELECT vid FROM corev)),
+inn AS (SELECT vid FROM bwd WHERE vid NOT IN (SELECT vid FROM fwd)),
+outt AS (SELECT vid FROM fwd WHERE vid NOT IN (SELECT vid FROM bwd)),
+from_in AS (
+  SELECT DISTINCT b AS vid FROM rr WHERE a IN (SELECT vid FROM inn)
+),
+to_out AS (
+  SELECT DISTINCT a AS vid FROM rr WHERE b IN (SELECT vid FROM outt)
+),
+ue AS (SELECT DISTINCT src, dst FROM
+       (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)),
+ur (a, b) AS (
+  SELECT src, dst FROM ue
+  UNION
+  SELECT ur.a, ue.dst FROM ur JOIN ue ON ur.b = ue.src
+),
+wcc AS (
+  SELECT vid, MIN(x) AS component FROM (
+    SELECT a AS vid, b AS x FROM ur UNION ALL SELECT vid, vid FROM v
+  ) GROUP BY 1
+),
+core_wcc AS (
+  SELECT MIN(component) AS c FROM wcc
+  WHERE vid IN (SELECT vid FROM corev)
+)
+SELECT v.vid,
+  CASE
+    WHEN v.vid IN (SELECT vid FROM corev) THEN 'CORE'
+    WHEN v.vid IN (SELECT vid FROM inn) THEN 'IN'
+    WHEN v.vid IN (SELECT vid FROM outt) THEN 'OUT'
+    WHEN wcc.component <> (SELECT c FROM core_wcc) THEN 'DISCONNECTED'
+    WHEN v.vid IN (SELECT vid FROM from_in)
+     AND v.vid IN (SELECT vid FROM to_out) THEN 'TUBE'
+    ELSE 'TENDRIL'
+  END AS region
+FROM v JOIN wcc ON wcc.vid = v.vid
+"""
+
+
+QUERIES.update({"g_bowtie": (q_g_bowtie, o_g_bowtie)})
+
+
+def q_g_knn_degree(spark, sf_dir):
+    """Average-nearest-neighbor-degree curve knn(k)
+    (algos/stats.py:knn_curve) — the full degree-correlation profile
+    behind the g_assortativity scalar. Edge-weighted integer/integer
+    form: exactly one rounding per k, engine-portable."""
+    from webgraph.algos.stats import knn_curve
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    return knn_curve(g)
+
+
+def o_g_knn_degree():
+    return f"""
+WITH e AS ({EDGES_SQL}),
+sym AS ({SYM_SQL}),
+deg AS (SELECT src AS vid, COUNT(*) AS deg FROM sym GROUP BY 1),
+nbr AS (
+  SELECT sym.src AS vid, SUM(d2.deg) AS s
+  FROM sym JOIN deg d2 ON d2.vid = sym.dst GROUP BY 1
+)
+SELECT deg.deg AS k, COUNT(*) AS n_vertices,
+  CAST(ROUND(1e6 * SUM(nbr.s) / SUM(deg.deg)) AS BIGINT) AS knn_e6
+FROM deg JOIN nbr ON nbr.vid = deg.vid
+GROUP BY 1
+"""
+
+
+QUERIES.update({"g_knn_degree": (q_g_knn_degree, o_g_knn_degree)})
+
+
+# Import-graph seeding: module = doc_id % 50, each file imports modules
+# (doc_id*7) % 50 and (doc_id*13) % 50 — multiplicative striding gives
+# every module ~uniform fan-in/fan-out, and doc_id % 25 == 0 files
+# self-import (7x ≡ x mod 50 there), exercising the self-edge drop.
+CODE_IMPORT_SEED_SQL = """
+  SELECT doc_id, 'm' || CAST(doc_id % 50 AS VARCHAR) AS module,
+    'import m' || CAST((doc_id * 7) % 50 AS VARCHAR) || chr(10)
+    || 'import m' || CAST((doc_id * 13) % 50 AS VARCHAR) || chr(10)
+    || text AS content
+  FROM documents
+"""
+
+
+def _code_import_seeded(spark, sf_dir):
+    """Spark twin of CODE_IMPORT_SEED_SQL."""
+    d = F.col("doc_id")
+    content = F.concat(
+        F.lit("import m"), ((d * 7) % 50).cast("string"), F.lit("\n"),
+        F.lit("import m"), ((d * 13) % 50).cast("string"), F.lit("\n"),
+        F.col("text"),
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("m"), (d % 50).cast("string")).alias("module"),
+        content.alias("content"),
+    )
+
+
+def q_c_import_graph(spark, sf_dir):
+    """Module-level import dependency graph (code.py:import_graph): the
+    code-corpus twin of the page-link extraction — files are pages,
+    import statements are hrefs, modules are domains. Codegen
+    regexp_extract_all + explode, per-file distinct, one hash agg."""
+    from webgraph.code import import_graph
+
+    return import_graph(_code_import_seeded(spark, sf_dir))
+
+
+def o_c_import_graph():
+    return f"""
+WITH seeded AS ({CODE_IMPORT_SEED_SQL}),
+imp AS (
+  SELECT doc_id, module AS src_module,
+    unnest(regexp_extract_all(content,
+           '(?m)^import ([a-z][a-z0-9]*)$', 1)) AS dst_module
+  FROM seeded
+)
+SELECT src_module, dst_module, COUNT(*) AS n_files FROM (
+  SELECT DISTINCT doc_id, src_module, dst_module FROM imp
+  WHERE src_module <> dst_module
+) GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"c_import_graph": (q_c_import_graph, o_c_import_graph)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry
