@@ -43,6 +43,10 @@ HEAVY = [
     "r_sessionize",
     "s_stream_join",
     "t_heavy_hitters",
+    # round-5g additions
+    "g_bowtie",
+    "g_knn_degree",
+    "c_import_graph",
 ]
 
 
