@@ -135,3 +135,79 @@ def test_import_graph_plan_is_codegen(spark):
         import_graph(df).explain(mode="formatted")
     plan = buf.getvalue()
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+# ----------------------------------------- product quantization -----------
+
+
+def test_pq_exact_when_codebook_holds_every_vector(spark):
+    # with n_codes >= N and iters=0 every subvector is (or ties with) a
+    # codebook entry at distance 0, so ADC distance == the true squared
+    # L2 distance (per-subspace micro-rounded) and the ranking matches
+    # brute force exactly.
+    from webgraph.similarity import build_pq_index, pq_topk
+
+    vecs = {
+        1: [0.0, 0.0, 10.0, 10.0],
+        2: [1.0, 0.0, 10.0, 11.0],
+        3: [10.0, 10.0, 0.0, 0.0],
+        4: [9.0, 10.0, 1.0, 0.0],
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    codes, books = build_pq_index(emb, m=2, n_codes=4, iters=0)
+    q = vecs[1]
+    got = [
+        (r["vec_id"], r["adc_e6"])
+        for r in pq_topk(codes.filter("vec_id <> 1"), books, q, k=3).collect()
+    ]
+
+    def d2(a, b, lo, hi):
+        return sum((a[i] - b[i]) ** 2 for i in range(lo, hi))
+
+    want = sorted(
+        (int(round(1e6 * d2(q, v, 0, 2))) + int(round(1e6 * d2(q, v, 2, 4))), i)
+        for i, v in vecs.items()
+        if i != 1
+    )
+    assert got == [(i, s) for s, i in want[:3]]
+
+
+def test_pq_lloyd_never_increases_distortion(spark):
+    from webgraph.similarity import build_pq_index
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def distortion(iters):
+        codes, books = build_pq_index(emb, m=2, n_codes=4, iters=iters)
+        by_id = dict(rows)
+        total = 0.0
+        for r in codes.collect():
+            v = by_id[r["vec_id"]]
+            for j, c in enumerate(r["codes"]):
+                cent = books[j][c]
+                sub = v[j * 4 : (j + 1) * 4]
+                total += sum((x - y) ** 2 for x, y in zip(sub, cent))
+        return total
+
+    d0, d2_ = distortion(0), distortion(2)
+    assert d2_ <= d0 + 1e-9
+
+
+def test_pq_dim_not_divisible_raises(spark):
+    import pytest
+
+    from webgraph.similarity import build_pq_index
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        build_pq_index(emb, m=2)

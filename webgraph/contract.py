@@ -6699,6 +6699,89 @@ SELECT src_module, dst_module, COUNT(*) AS n_files FROM (
 QUERIES.update({"c_import_graph": (q_c_import_graph, o_c_import_graph)})
 
 
+# PQ contract constants: dim 64 -> m=4 subspaces of 16; 16-entry
+# codebooks from the portable-hash sample (seed 42 + j per subspace,
+# iters=0) so the oracle replays codebook selection exactly; ADC LUT
+# entries round to micro-units BEFORE the per-row sum, making the final
+# ranking an integer total (the t_bm25 trick).
+PQ_M = 4
+PQ_DSUB = 16
+PQ_CODES = 16
+PQ_SEED = 42
+PQ_K = 10
+
+
+def q_e_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (similarity.py:build_pq_index/pq_topk):
+    Jegou et al. 2011 — m-subspace codebooks, per-vector m-byte codes,
+    asymmetric-distance top-k via an integer micro-unit LUT. The third
+    ANN modality on the board (brute cosine = exact baseline, IVF =
+    scan pruning, PQ = memory compression; IVF-PQ composes)."""
+    from webgraph.similarity import build_pq_index, pq_topk
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codes, books = build_pq_index(
+        emb, m=PQ_M, n_codes=PQ_CODES, iters=0, seed=PQ_SEED
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    ).first()
+    return pq_topk(
+        codes.filter(F.col("vec_id") != 0), books, list(qrow["v"]), k=PQ_K
+    )
+
+
+def o_e_pq_topk():
+    from webgraph.dedup import _MIX_BASE, POLY_MOD
+
+    P, MIX = POLY_MOD, _MIX_BASE
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sub AS (
+  SELECT vec_id, j,
+    v[j * {PQ_DSUB} + 1 : j * {PQ_DSUB} + {PQ_DSUB}] AS sv
+  FROM base, (SELECT unnest(range({PQ_M})) AS j)
+),
+cents AS (
+  SELECT j, code, sv AS cvec FROM (
+    SELECT j, vec_id, sv,
+      ROW_NUMBER() OVER (
+        PARTITION BY j
+        ORDER BY ((vec_id % {P}) * {MIX} + (42 + j)) % {P}, vec_id
+      ) - 1 AS code
+    FROM sub
+  ) WHERE code < {PQ_CODES}
+),
+dist AS (
+  SELECT s.vec_id, s.j, c.code,
+    list_sum(list_transform(range(1, {PQ_DSUB + 1}),
+      i -> (s.sv[i] - c.cvec[i]) * (s.sv[i] - c.cvec[i]))) AS d2
+  FROM sub s JOIN cents c ON c.j = s.j
+),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, code ASC)
+      AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT j, code, CAST(ROUND(1e6 * d2) AS BIGINT) AS e6
+  FROM dist WHERE vec_id = 0
+)
+SELECT c.vec_id, CAST(SUM(l.e6) AS BIGINT) AS adc_e6
+FROM codes c JOIN lut l ON l.j = c.j AND l.code = c.code
+WHERE c.vec_id <> 0
+GROUP BY 1
+ORDER BY adc_e6 ASC, c.vec_id ASC
+LIMIT {PQ_K}
+"""
+
+
+QUERIES.update({"e_pq_topk": (q_e_pq_topk, o_e_pq_topk)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry

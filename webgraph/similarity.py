@@ -408,3 +408,180 @@ def embedding_covariance(
     if upper_only:
         out = out.filter(F.col("i") <= F.col("j"))
     return out
+
+
+# --------------------------------------------- product quantization --
+
+
+def build_pq_index(
+    emb: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Product quantization (Jegou et al. 2011, "Product quantization for
+    nearest neighbor search"): split each vector into ``m`` contiguous
+    subspaces, learn an ``n_codes``-entry codebook per subspace, store
+    each vector as ``m`` small codes. Memory per vector drops from
+    dim x 4 bytes to m bytes — the standard billion-vector ANN
+    compression, complementary to IVF (which prunes the scan; IVF-PQ
+    composes both).
+
+    Codebook init is the portable-hash sample (the repo's deterministic
+    sampling convention, seed + j per subspace) so ``iters=0`` is exactly
+    SQL-replayable by the contract oracle; ``iters>0`` runs Lloyd rounds
+    per subspace through the same assign/mean machinery as
+    kmeans_centroids (broadcast centroids, distributed means — covered by
+    pytest fixtures rather than SQL).
+
+    Returns (codes frame ``(id_col, codes array<int>)``, codebooks
+    ``[m][n_codes][dsub]``). Encode is ONE pass over the corpus: the m
+    subspaces explode in-row (m rows per vector), join the broadcast
+    (j, code, cvec) table, and a map-side-combining MIN(struct) argmin
+    collapses the m x n_codes candidates before the single id-keyed
+    exchange — full vectors never shuffle.
+    """
+    from webgraph.dedup import POLY_MOD, _MIX_BASE
+
+    spark = emb.sparkSession
+    base = emb.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).persist()
+    first = base.select(F.size("v").alias("d")).first()
+    if first is None:
+        raise ValueError("build_pq_index: empty embedding frame")
+    dim = first["d"]
+    if dim % m != 0:
+        raise ValueError(f"build_pq_index: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    codebooks: list[list[list[float]]] = []
+    for j in range(m):
+        sub = base.select("id", F.slice("v", j * dsub + 1, dsub).alias("v"))
+        pr = ((F.col("id") % POLY_MOD) * F.lit(_MIX_BASE) + F.lit(seed + j)) % POLY_MOD
+        cents = [
+            [float(x) for x in r["v"]]
+            for r in sub.orderBy(pr, "id").limit(n_codes).collect()
+        ]
+        for _ in range(iters):
+            assigned = assign_buckets(sub, centroid_frame(spark, cents))
+            means = (
+                assigned.select("bucket", F.posexplode("v").alias("pos", "val"))
+                .groupBy("bucket", "pos")
+                .agg(F.avg("val").alias("mv"))
+                .groupBy("bucket")
+                .agg(
+                    F.sort_array(F.collect_list(F.struct("pos", "mv"))).alias("pm")
+                )
+                .select(
+                    "bucket",
+                    F.transform("pm", lambda s: s.getField("mv")).alias("c"),
+                )
+                .collect()
+            )
+            new = {r["bucket"]: [float(x) for x in r["c"]] for r in means}
+            cents = [new.get(i, cents[i]) for i in range(len(cents))]
+        codebooks.append(cents)
+
+    cent_rows = [
+        (j, c, codebooks[j][c])
+        for j in range(m)
+        for c in range(len(codebooks[j]))
+    ]
+    cdf = spark.createDataFrame(cent_rows, "j int, code int, cvec array<double>")
+    sub_all = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice("v", j * dsub + 1, dsub).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    codes = (
+        sub_all.join(F.broadcast(cdf), "j")
+        .select(
+            "id", "j", F.struct(d2.alias("d2"), F.col("code").alias("c")).alias("_dc")
+        )
+        .groupBy("id", "j")
+        .agg(F.min("_dc").alias("_m"))
+        .groupBy("id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("j", F.col("_m.c").alias("c"))))
+            .alias("jc")
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.transform("jc", lambda s: s.getField("c")).alias("codes"),
+        )
+    )
+    base.unpersist()
+    return codes, codebooks
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ index: precompute the
+    m x n_codes lookup table of squared distances between the query's
+    subvectors and every codebook entry, then score each stored vector as
+    the SUM of m table lookups — no vector math per corpus row at all.
+
+    Each LUT entry is rounded to integer micro-units BEFORE the per-row
+    sum (the t_bm25 trick), so the ranking is an integer total — exactly
+    reproducible across engines regardless of float summation order.
+    Returns (id_col, adc_e6) ascending; the plan is one in-row transform
+    over the codes column + TakeOrderedAndProject.
+    """
+    import math
+
+    m = len(codebooks)
+    dsub = len(query_vec) // m
+    lut_e6 = [
+        [
+            int(
+                math.floor(
+                    1e6
+                    * sum(
+                        (float(query_vec[j * dsub + i]) - c[i]) ** 2
+                        for i in range(dsub)
+                    )
+                    + 0.5
+                )
+            )
+            for c in codebooks[j]
+        ]
+        for j in range(m)
+    ]
+    lut_col = F.array(
+        *[F.array(*[F.lit(x).cast("long") for x in row]) for row in lut_e6]
+    )
+    score = F.aggregate(
+        F.zip_with(
+            F.col("codes"), lut_col, lambda code, lut: F.element_at(lut, code + 1)
+        ),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    return (
+        codes.select(F.col(id_col), score.alias("adc_e6"))
+        .orderBy(F.asc("adc_e6"), F.asc(id_col))
+        .limit(k)
+    )
