@@ -100,6 +100,8 @@ def run_bench(
         "s_asof_state",
         "r_pricing_summary",
         "r_customer_nation_revenue",
+        "g_knn_degree",
+        "e_pq_topk",
     ]
     for name in headline:
         fn = QUERIES[name][0]
