@@ -211,3 +211,59 @@ def test_pq_dim_not_divisible_raises(spark):
     )
     with pytest.raises(ValueError):
         build_pq_index(emb, m=2)
+
+
+# ------------------------------------------------------------- OPIC -------
+
+
+def test_opic_hand_computed_two_rounds(spark):
+    from webgraph.algos.opic import opic
+
+    # 0->1, 0->2, 1->0; vertex 2 dangles. After 2 synchronous rounds:
+    # cash = (10/9, 17/18, 17/18), history = (7/3, 11/6, 11/6).
+    g = _graph(spark, [(0, 1), (0, 2), (1, 0)])
+    rows = {r["vid"]: r for r in opic(g, iters=2).collect()}
+    assert abs(rows[0]["cash"] - 10 / 9) < 1e-12
+    assert abs(rows[1]["cash"] - 17 / 18) < 1e-12
+    assert abs(rows[2]["cash"] - 17 / 18) < 1e-12
+    assert abs(rows[0]["history"] - 7 / 3) < 1e-12
+    assert abs(rows[1]["history"] - 11 / 6) < 1e-12
+    # cash is exactly conserved at N per round
+    assert abs(sum(r["cash"] for r in rows.values()) - 3.0) < 1e-12
+
+
+def test_opic_rejects_zero_iters(spark):
+    import pytest
+
+    from webgraph.algos.opic import opic
+
+    with pytest.raises(ValueError):
+        opic(_graph(spark, [(0, 1)]), iters=0)
+
+
+# -------------------------------------------- duplicate n-gram frac -------
+
+
+def test_dup_ngram_fraction_cross_doc_only(spark):
+    from webgraph.text import dup_ngram_fraction
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # trigrams: "a b c"(dup), "b c d"
+            (2, "a b c x"),        # trigrams: "a b c"(dup), "b c x"
+            (3, "zz yy"),          # too short: (0, 0, 0)
+            (4, "q w e q w e"),    # "q w e" repeats WITHIN the doc only:
+                                   # document frequency 1 -> not a dup
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["dup_ngrams"], r["dup_frac_e6"])
+        for r in dup_ngram_fraction(docs).collect()
+    }
+    assert got == {
+        1: (2, 1, 500_000),
+        2: (2, 1, 500_000),
+        3: (0, 0, 0),
+        4: (4, 0, 0),
+    }

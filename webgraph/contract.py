@@ -6782,6 +6782,101 @@ LIMIT {PQ_K}
 QUERIES.update({"e_pq_topk": (q_e_pq_topk, o_e_pq_topk)})
 
 
+def q_t_dup_ngram_frac(spark, sf_dir):
+    """Cross-document duplicate-trigram fraction
+    (text.py:dup_ngram_fraction) — the WIMBD-style residual-duplication
+    diagnostic you run AFTER a dedup pass. Exact integer ratio per doc."""
+    from webgraph.text import dup_ngram_fraction
+
+    return dup_ngram_fraction(load(spark, sf_dir, "documents"))
+
+
+def o_t_dup_ngram_frac():
+    return r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tok
+  FROM documents
+), idx AS (
+  SELECT doc_id, tok, unnest(range(1, GREATEST(len(tok) - 2, 0) + 1)) AS i
+  FROM toks
+), tri AS (
+  SELECT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS t FROM idx
+), pdg AS (
+  SELECT doc_id, t, COUNT(*) AS c FROM tri GROUP BY 1, 2
+), dfg AS (
+  SELECT t, COUNT(*) AS nd FROM pdg GROUP BY 1
+), per AS (
+  SELECT p.doc_id, SUM(p.c) AS n_ngrams,
+    SUM(CASE WHEN g.nd >= 2 THEN p.c ELSE 0 END) AS dup_ngrams
+  FROM pdg p JOIN dfg g USING (t) GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(COALESCE(per.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+  CAST(COALESCE(per.dup_ngrams, 0) AS BIGINT) AS dup_ngrams,
+  CAST(CASE WHEN COALESCE(per.n_ngrams, 0) = 0 THEN 0
+       ELSE ROUND(1e6 * per.dup_ngrams / per.n_ngrams) END AS BIGINT)
+    AS dup_frac_e6
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+QUERIES.update({"t_dup_ngram_frac": (q_t_dup_ngram_frac, o_t_dup_ngram_frac)})
+
+
+OPIC_ITERS = 5
+
+
+def q_g_opic(spark, sf_dir):
+    """OPIC crawl-frontier importance (algos/opic.py): Abiteboul et al.
+    2003 cash/history iteration with uniform dangling redistribution,
+    truncated at OPIC_ITERS synchronous rounds — exactly SQL-replayable
+    (the Katz unrolled-oracle pattern)."""
+    from webgraph.algos.opic import opic
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    out = opic(g, iters=OPIC_ITERS)
+    return out.select(
+        "vid",
+        F.round(F.col("cash") * 1e6).cast("long").alias("cash_e6"),
+        F.round(F.col("history") * 1e6).cast("long").alias("history_e6"),
+    )
+
+
+def o_g_opic():
+    parts = [
+        f"WITH e AS ({EDGES_SQL}),",
+        f"v AS ({VERTS_SQL}),",
+        "od AS (SELECT src AS vid, COUNT(*) AS d FROM e GROUP BY 1),",
+        "nv AS (SELECT COUNT(*) AS n FROM v),",
+        "l0 AS (SELECT vid, 1.0e0 AS cash, 0.0e0 AS hist FROM v),",
+    ]
+    for i in range(1, OPIC_ITERS + 1):
+        p = i - 1
+        parts += [
+            f"dang{i} AS (SELECT COALESCE(SUM(cash), 0e0) AS dc FROM l{p} "
+            "WHERE vid NOT IN (SELECT vid FROM od)),",
+            # mirrors Spark's cash * (1/od) exactly (not cash / od — the
+            # two differ in the last ulp and the margin audit is cheaper
+            # than the doubt)
+            f"m{i} AS (SELECT e.dst AS vid, SUM(l.cash * (1.0e0 / od.d)) "
+            f"AS inflow FROM e JOIN l{p} l ON e.src = l.vid "
+            "JOIN od ON od.vid = e.src GROUP BY e.dst),",
+            f"l{i} AS (SELECT v.vid, COALESCE(m.inflow, 0e0) + "
+            f"(SELECT dc FROM dang{i}) / (SELECT n FROM nv) AS cash, "
+            f"l.hist + l.cash AS hist FROM v JOIN l{p} l USING (vid) "
+            f"LEFT JOIN m{i} m USING (vid)),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT vid, CAST(ROUND(cash * 1e6) AS BIGINT) AS cash_e6, "
+        f"CAST(ROUND(hist * 1e6) AS BIGINT) AS history_e6 FROM l{OPIC_ITERS}"
+    )
+    return _unrolled(parts)
+
+
+QUERIES.update({"g_opic": (q_g_opic, o_g_opic)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry

@@ -1308,3 +1308,62 @@ def bigram_lm_score(
             F.count("*").alias("n_bigrams"),
         )
     )
+
+
+def dup_ngram_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicate-n-gram fraction (the WIMBD-style corpus
+    diagnostic; Elazar et al. 2023): per document, the fraction of its
+    n-gram INSTANCES whose n-gram occurs in >= ``min_docs`` distinct
+    documents. Complements repetition_score (within-doc repeats) and the
+    dedup family (which REMOVES duplicates — this MEASURES residual
+    cross-doc duplication, the number you check after a dedup pass).
+
+    Returns (id_col, n_ngrams, dup_ngrams, dup_frac_e6); docs with fewer
+    than n tokens report (0, 0, 0). Exact integer ratio, one rounding.
+
+    Plan: one explode -> per-(doc, gram) count (map-side combine collapses
+    within-doc repeats before the shuffle) -> gram document-frequency agg
+    over those collapsed rows -> one semi-join-shaped reaggregation. Gram
+    strings shuffle once; for 100-TB corpora swap the join key for the
+    portable shingle hash (dedup.shingles) — same plan, 8-byte keys.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    inst = df.select(F.col(id_col), F.explode(grams).alias("t"))
+    pdg = inst.groupBy(id_col, "t").agg(F.count("*").alias("c"))
+    dfg = pdg.groupBy("t").agg(F.count("*").alias("nd"))
+    per = (
+        pdg.join(dfg, "t")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_ngrams"),
+            F.sum(F.when(F.col("nd") >= min_docs, F.col("c")).otherwise(0)).alias(
+                "dup_ngrams"
+            ),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("dup_ngrams", F.lit(0)).cast("long").alias("dup_ngrams"),
+            F.when(F.coalesce("n_ngrams", F.lit(0)) == 0, F.lit(0))
+            .otherwise(F.round(F.lit(1e6) * F.col("dup_ngrams") / F.col("n_ngrams")))
+            .cast("long")
+            .alias("dup_frac_e6"),
+        )
+    )
