@@ -267,3 +267,47 @@ def test_dup_ngram_fraction_cross_doc_only(spark):
         3: (0, 0, 0),
         4: (4, 0, 0),
     }
+
+
+# --------------------------------------------------------- coreness -------
+
+
+def test_coreness_matches_kcore_membership(spark):
+    from webgraph.algos.kcore import coreness, k_core
+
+    # triangle {0,1,2} + path 2-3-4 + isolated-by-absence: coreness is
+    # 2 on the triangle, 1 on the path tail.
+    g = _graph(spark, [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)])
+    state, run, converged = coreness(g)
+    got = {r["vid"]: r["c"] for r in state.collect()}
+    assert got == {0: 2, 1: 2, 2: 2, 3: 1, 4: 1}
+    assert converged and run <= 5
+    # cross-check against the peel: coreness(v) >= k iff v in the k-core
+    for k in (1, 2, 3):
+        members, _ = k_core(g, k)
+        in_core = {r["vid"] for r in members.collect()}
+        assert in_core == {v for v, c in got.items() if c >= k}
+
+
+def test_coreness_truncation_is_monotone(spark):
+    from webgraph.algos.kcore import coreness
+
+    # a long path needs several rounds; a 1-round truncation must sit
+    # ABOVE the true coreness (monotone non-increasing iteration).
+    edges = [(i, i + 1) for i in range(8)]
+    g = _graph(spark, edges)
+    one, _, _ = coreness(g, rounds=1, early_stop=False)
+    full, _, conv = coreness(g)
+    one_m = {r["vid"]: r["c"] for r in one.collect()}
+    full_m = {r["vid"]: r["c"] for r in full.collect()}
+    assert conv and all(full_m[v] == 1 for v in full_m)
+    assert all(one_m[v] >= full_m[v] for v in one_m)
+
+
+def test_coreness_rejects_zero_rounds(spark):
+    import pytest
+
+    from webgraph.algos.kcore import coreness
+
+    with pytest.raises(ValueError):
+        coreness(_graph(spark, [(0, 1)]), rounds=0)

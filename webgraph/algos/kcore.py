@@ -117,3 +117,84 @@ def k_core(
         # kept as an invariant guard
         raise RuntimeError("k_core: exited without reaching the fixpoint")
     return survivors.select("vid"), metrics
+
+
+def coreness(
+    g: EncodedGraph, rounds: int = 30, early_stop: bool = True
+) -> tuple[DataFrame, int, bool]:
+    """Full core decomposition via the h-index iteration (Lü et al. 2016,
+    "The H-index of a network node and its relation to degree and
+    coreness"; distributed form: Montresor, De Pellegrini & Miorandi
+    2013): c_0(v) = deg(v), then
+
+        c_{t+1}(v) = H( { c_t(u) : u in N(v) } )
+
+    where H is the h-index operator (max h such that >= h neighbors have
+    value >= h). The sequence is monotone non-increasing and converges
+    exactly to coreness(v) — the largest k with v in the k-core — so
+    k_core() answers one k, coreness() answers all of them at once.
+
+    Truncation semantics: runs min(fixpoint, ``rounds``) rounds and
+    returns (state ``(vid, c)``, rounds_run, converged). Because the
+    operator is idempotent at the fixpoint, a converged early stop equals
+    any longer horizon — the contract oracle unrolls the FULL ``rounds``
+    horizon and matches whether or not Spark stopped early.
+
+    Per round: one edges ⋈ state equi-join, one vid-partitioned window
+    (row_number over neighbor values desc — a partition-local sort, not a
+    global one) and one MAX(LEAST(rank, value)) aggregate; state passes
+    through truncate_lineage. Isolated vertices hold c = 0 via the left
+    join. At power-law scale the window sort on a hub vertex touches
+    deg(v) rows — the histogram reformulation (count neighbors >= h per
+    h) bounds that to max-coreness buckets if hubs ever dominate; the
+    sort form is exact and simpler, so it stays until measurement says
+    otherwise.
+    """
+    from pyspark.sql.window import Window
+
+    if rounds < 1:
+        raise ValueError(f"coreness: rounds must be >= 1, got {rounds}")
+    sym = symmetrize(g.edges).persist()
+    sym.count()
+    deg = sym.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("c"))
+    state = truncate_lineage(
+        g.vertices.select("vid")
+        .join(deg, "vid", "left")
+        .select("vid", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+    )
+    # row_number among tied nc values is engine-arbitrary, but
+    # MAX(LEAST(rank, value)) is invariant to which tied row takes which
+    # rank (equal values fill a contiguous rank block), so the result is
+    # deterministic without a tiebreak column.
+    w = Window.partitionBy("vid").orderBy(F.desc("nc"))
+    run, converged = 0, False
+    for _ in range(rounds):
+        nbr = sym.join(
+            state.select(F.col("vid").alias("dst"), F.col("c").alias("nc")), "dst"
+        ).select(F.col("src").alias("vid"), "nc")
+        h = (
+            nbr.withColumn("rn", F.row_number().over(w))
+            .groupBy("vid")
+            .agg(F.max(F.least(F.col("rn").cast("long"), F.col("nc"))).alias("h"))
+        )
+        new_state = truncate_lineage(
+            state.select("vid")
+            .join(h, "vid", "left")
+            .select("vid", F.coalesce("h", F.lit(0)).cast("long").alias("c"))
+        )
+        run += 1
+        if early_stop:
+            changed = (
+                new_state.alias("n")
+                .join(state.alias("p"), "vid")
+                .filter(F.col("n.c") != F.col("p.c"))
+                .count()
+            )
+            state = new_state
+            if changed == 0:
+                converged = True
+                break
+        else:
+            state = new_state
+    sym.unpersist()
+    return state, run, converged

@@ -6877,6 +6877,53 @@ def o_g_opic():
 QUERIES.update({"g_opic": (q_g_opic, o_g_opic)})
 
 
+CORENESS_ROUNDS = 8
+
+
+def q_g_coreness(spark, sf_dir):
+    """Full core decomposition via the h-index iteration
+    (kcore.py:coreness): monotone from deg(v) down to coreness(v). The
+    operator is idempotent at its fixpoint, so the Spark side may stop
+    early on zero change and still equal the oracle's full unrolled
+    CORENESS_ROUNDS horizon."""
+    from webgraph.algos.kcore import coreness
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    state, _, _ = coreness(g, rounds=CORENESS_ROUNDS)
+    return state.select("vid", F.col("c").alias("coreness"))
+
+
+def o_g_coreness():
+    parts = [
+        f"WITH e AS ({EDGES_SQL}),",
+        f"sym AS ({SYM_SQL}),",
+        f"v AS ({VERTS_SQL}),",
+        "d0 AS (SELECT src AS vid, COUNT(*) AS c FROM sym GROUP BY 1),",
+        "l0 AS (SELECT v.vid, CAST(COALESCE(d0.c, 0) AS BIGINT) AS c "
+        "FROM v LEFT JOIN d0 USING (vid)),",
+    ]
+    for i in range(1, CORENESS_ROUNDS + 1):
+        p = i - 1
+        parts += [
+            f"nb{i} AS (SELECT s.src AS vid, l.c AS nc FROM sym s "
+            f"JOIN l{p} l ON l.vid = s.dst),",
+            f"h{i} AS (SELECT vid, MAX(LEAST(CAST(rn AS BIGINT), nc)) AS h "
+            f"FROM (SELECT vid, nc, ROW_NUMBER() OVER "
+            f"(PARTITION BY vid ORDER BY nc DESC) AS rn FROM nb{i}) "
+            "GROUP BY vid),",
+            f"l{i} AS (SELECT v.vid, CAST(COALESCE(h{i}.h, 0) AS BIGINT) AS c "
+            f"FROM v LEFT JOIN h{i} USING (vid)),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT vid, c AS coreness FROM l{CORENESS_ROUNDS}"
+    )
+    return _unrolled(parts)
+
+
+QUERIES.update({"g_coreness": (q_g_coreness, o_g_coreness)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry
