@@ -311,3 +311,43 @@ def test_coreness_rejects_zero_rounds(spark):
 
     with pytest.raises(ValueError):
         coreness(_graph(spark, [(0, 1)]), rounds=0)
+
+
+# ---------------------------------------------------- trending top-k ------
+
+
+def test_trending_topk_ranks_within_window(spark):
+    from webgraph.streaming import trending_topk
+
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 10)
+    t1 = dt.datetime(2026, 1, 1, 11)
+    counts = spark.createDataFrame(
+        [
+            (t0, "click", 10), (t0, "view", 10), (t0, "buy", 3),
+            (t1, "buy", 7), (t1, "view", 2),
+        ],
+        "window_start timestamp, event_type string, n long",
+    )
+    got = {
+        (r["window_start"], r["event_type"]): r["trend_rank"]
+        for r in trending_topk(counts, k=2).collect()
+    }
+    # tie at n=10 breaks alphabetically: click before view
+    assert got == {
+        (t0, "click"): 1, (t0, "view"): 2,
+        (t1, "buy"): 1, (t1, "view"): 2,
+    }
+
+
+def test_trending_topk_rejects_zero_k(spark):
+    import pytest
+
+    from webgraph.streaming import trending_topk
+
+    counts = spark.createDataFrame(
+        [], "window_start timestamp, event_type string, n long"
+    )
+    with pytest.raises(ValueError):
+        trending_topk(counts, k=0)

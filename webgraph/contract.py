@@ -6924,6 +6924,61 @@ def o_g_coreness():
 QUERIES.update({"g_coreness": (q_g_coreness, o_g_coreness)})
 
 
+def q_s_trending_topk(spark, sf_dir):
+    """Windowed trending top-k: the streaming job maintains per-window
+    per-type counts (windowed_event_counts -> AvailableNow parquet sink),
+    the serving query ranks the drained table
+    (streaming.py:trending_topk). Tumbling epoch-aligned windows make the
+    batch SQL the exact oracle."""
+    import tempfile
+
+    from webgraph.streaming import (
+        run_to_parquet_sink,
+        trending_topk,
+        windowed_event_counts,
+    )
+
+    _STREAM_SINK_N[0] += 1
+    out = tempfile.mkdtemp(prefix=f"trending_topk_{_STREAM_SINK_N[0]}_")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(sf_dir)
+    )
+    counts = windowed_event_counts(stream, "1 hour", "2 hours")
+    run_to_parquet_sink(counts, f"{out}/result", f"{out}/ck")
+    drained = spark.read.parquet(f"{out}/result")
+    return trending_topk(drained, k=3).select(
+        F.unix_timestamp("window_start").alias("hour_epoch"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        "trend_rank",
+    )
+
+
+def o_s_trending_topk():
+    return """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT CAST(epoch(h) AS BIGINT) AS hour_epoch, event_type,
+    CAST(n AS BIGINT) AS n,
+    CAST(ROW_NUMBER() OVER (PARTITION BY h ORDER BY n DESC, event_type ASC)
+      AS BIGINT) AS trend_rank
+  FROM c
+)
+SELECT hour_epoch, event_type, n, trend_rank FROM r WHERE trend_rank <= 3
+"""
+
+
+QUERIES.update({"s_trending_topk": (q_s_trending_topk, o_s_trending_topk)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry

@@ -466,3 +466,25 @@ def stream_stream_join(
         & (F.col(rt) < F.col(lt) + F.expr(f"INTERVAL {max_gap}"))
     )
     return lw.join(rw, cond, "inner").drop("_rkey")
+
+
+def trending_topk(windowed_counts: DataFrame, k: int = 3) -> DataFrame:
+    """Trending items: top-``k`` event types per tumbling window, ranked
+    by count (ties broken by type name for determinism). Runs over the
+    DRAINED windowed-counts table (the parquet sink of
+    windowed_event_counts) rather than inside the stream: Structured
+    Streaming cannot host a rank over an updating aggregate, and a
+    production trending pipeline ranks at read time for exactly that
+    reason — the streaming job maintains counts, the serving query ranks.
+    Per-window partitioned window rank: the sort is local to a window's
+    partition, never global."""
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"trending_topk: k must be >= 1, got {k}")
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return windowed_counts.withColumn(
+        "trend_rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("trend_rank") <= k)
