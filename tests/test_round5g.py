@@ -351,3 +351,33 @@ def test_trending_topk_rejects_zero_k(spark):
     )
     with pytest.raises(ValueError):
         trending_topk(counts, k=0)
+
+
+# ------------------------------------------------------- robots -----------
+
+
+def test_robots_longest_match_and_allow_tie(spark):
+    from webgraph.filters import robots_filter
+
+    pages = spark.createDataFrame(
+        [
+            (1, "a.com", "/private/x"),   # deny-all, no carve-out
+            (2, "a.com", "/public/doc"),  # longer allow beats deny-all
+            (3, "a.com", "/tie/z"),       # equal-length allow+deny: allow
+            (4, "b.com", "/anything"),    # no rule for host -> allowed
+        ],
+        "doc_id long, host string, path string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("a.com", "/", False),
+            ("a.com", "/public", True),
+            ("a.com", "/tie/", True),
+            ("a.com", "/tie/", False),
+        ],
+        "host string, prefix string, allow boolean",
+    )
+    got = {
+        r["doc_id"]: r["allowed"] for r in robots_filter(pages, rules).collect()
+    }
+    assert got == {1: False, 2: True, 3: True, 4: True}

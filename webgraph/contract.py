@@ -6979,6 +6979,82 @@ SELECT hour_epoch, event_type, n, trend_rank FROM r WHERE trend_rank <= 3
 QUERIES.update({"s_trending_topk": (q_s_trending_topk, o_s_trending_topk)})
 
 
+# Robots seeding: pages fan over 20 hosts x 7 path groups; nation's 25
+# rows become layered rules (deny-all '/', allow '/pK', deny '/pK/x'),
+# so the longest-match decision actually layers on most hosts.
+ROBOTS_PAGES_SQL = """
+  SELECT doc_id, 'h' || CAST(doc_id % 20 AS VARCHAR) AS host,
+    '/p' || CAST(doc_id % 7 AS VARCHAR) || '/x'
+    || CAST(doc_id % 97 AS VARCHAR) AS path
+  FROM documents
+"""
+ROBOTS_RULES_SQL = """
+  SELECT 'h' || CAST(n_nationkey % 20 AS VARCHAR) AS host,
+    CASE n_nationkey % 3
+      WHEN 0 THEN '/'
+      WHEN 1 THEN '/p' || CAST(n_nationkey % 7 AS VARCHAR)
+      ELSE '/p' || CAST(n_nationkey % 7 AS VARCHAR) || '/x' END AS prefix,
+    (n_nationkey % 3) = 1 AS allow
+  FROM nation
+"""
+
+
+def _robots_seeded(spark, sf_dir):
+    """Spark twins of ROBOTS_PAGES_SQL / ROBOTS_RULES_SQL."""
+    d = F.col("doc_id")
+    pages = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), (d % 20).cast("string")).alias("host"),
+        F.concat(
+            F.lit("/p"), (d % 7).cast("string"),
+            F.lit("/x"), (d % 97).cast("string"),
+        ).alias("path"),
+    )
+    n = F.col("n_nationkey")
+    rules = load(spark, sf_dir, "nation").select(
+        F.concat(F.lit("h"), (n % 20).cast("string")).alias("host"),
+        F.when(n % 3 == 0, F.lit("/"))
+        .when(n % 3 == 1, F.concat(F.lit("/p"), (n % 7).cast("string")))
+        .otherwise(
+            F.concat(F.lit("/p"), (n % 7).cast("string"), F.lit("/x"))
+        )
+        .alias("prefix"),
+        (n % 3 == 1).alias("allow"),
+    )
+    return pages, rules
+
+
+def q_f_robots(spark, sf_dir):
+    """Robots-exclusion decision (filters.py:robots_filter): RFC 9309
+    longest-prefix-match with allow-on-tie, broadcast rule table,
+    MAX(struct) argmax so the shuffle carries one row per page."""
+    from webgraph.filters import robots_filter
+
+    pages, rules = _robots_seeded(spark, sf_dir)
+    return robots_filter(pages, rules)
+
+
+def o_f_robots():
+    return f"""
+WITH pages AS ({ROBOTS_PAGES_SQL}),
+rules AS ({ROBOTS_RULES_SQL}),
+m AS (
+  SELECT doc_id, allow FROM (
+    SELECT p.doc_id, r.allow,
+      ROW_NUMBER() OVER (PARTITION BY p.doc_id
+        ORDER BY length(r.prefix) DESC, CAST(r.allow AS INT) DESC) AS rn
+    FROM pages p JOIN rules r
+      ON r.host = p.host AND starts_with(p.path, r.prefix)
+  ) WHERE rn = 1
+)
+SELECT p.doc_id, p.host, p.path, COALESCE(m.allow, TRUE) AS allowed
+FROM pages p LEFT JOIN m USING (doc_id)
+"""
+
+
+QUERIES.update({"f_robots": (q_f_robots, o_f_robots)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry

@@ -180,3 +180,60 @@ def crawl_schedule(
     ).withColumn(
         "batch", ((F.col("rank_in_host") - 1) / per_host_batch).cast("long")
     )
+
+
+def robots_filter(
+    pages: DataFrame,
+    rules: DataFrame,
+    key_col: str = "doc_id",
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Robots-exclusion decision per page (the REP longest-match rule,
+    RFC 9309 §2.2.2): among the rules whose host matches and whose
+    ``prefix`` is a prefix of the page path, the LONGEST prefix wins;
+    a length tie resolves to allow (the least-restrictive rule, §2.2.2);
+    no matching rule means allowed. The reference crawler leaves robots
+    handling to the live-fetch layer (App.java's crawler config) — over a
+    corpus table the decision becomes this joinable column.
+
+    ``rules`` is (host, prefix, allow boolean) — robots.txt files are
+    tiny, so the rule table broadcasts; the per-page argmax is
+    MAX(struct(prefix_len, allow)), a map-side-combining aggregate, so
+    the shuffle carries one row per page no matter how many rules match.
+    Returns pages' (key, host, path) plus an ``allowed`` column —
+    projection, not filter, so callers can quarantine the denies the way
+    split_crawlable does.
+    """
+    matched = (
+        pages.select(key_col, host_col, path_col)
+        .join(
+            F.broadcast(rules.select(
+                F.col("host").alias("_rh"),
+                F.col("prefix").alias("_rp"),
+                F.col("allow").alias("_ra"),
+            )),
+            (F.col(host_col) == F.col("_rh"))
+            & F.col(path_col).startswith(F.col("_rp")),
+        )
+        .groupBy(key_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("_rp").alias("plen"),
+                    F.col("_ra").cast("int").alias("a"),
+                )
+            ).alias("_best")
+        )
+        .select(key_col, (F.col("_best.a") == 1).alias("_allow"))
+    )
+    return (
+        pages.select(key_col, host_col, path_col)
+        .join(matched, key_col, "left")
+        .select(
+            key_col,
+            host_col,
+            path_col,
+            F.coalesce("_allow", F.lit(True)).alias("allowed"),
+        )
+    )
