@@ -47,6 +47,9 @@ HEAVY = [
     "g_bowtie",
     "g_knn_degree",
     "c_import_graph",
+    # round-5h additions that scale with corpus/event volume
+    "t_dup_ngram_frac",
+    "s_trending_topk",
 ]
 
 
