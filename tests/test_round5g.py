@@ -381,3 +381,49 @@ def test_robots_longest_match_and_allow_tie(spark):
         r["doc_id"]: r["allowed"] for r in robots_filter(pages, rules).collect()
     }
     assert got == {1: False, 2: True, 3: True, 4: True}
+
+
+# --------------------------------------------------------- plan pins ------
+
+
+def _plan_of(df):
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_round5_plans_stay_jvm_side_and_broadcast(spark):
+    from webgraph.filters import robots_filter
+    from webgraph.similarity import build_pq_index
+    from webgraph.text import dup_ngram_fraction
+
+    # PQ encode: the (j, code, cvec) table must arrive broadcast — the
+    # corpus side never re-partitions for the centroid join.
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0, 1.0, 2.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    codes, _ = build_pq_index(emb, m=2, n_codes=2, iters=0)
+    pq_plan = _plan_of(codes)
+    assert "BroadcastHashJoin" in pq_plan
+    assert "BatchEvalPython" not in pq_plan and "CartesianProduct" not in pq_plan
+
+    # robots: broadcast rules, no cartesian (host equi-key extracted).
+    pages = spark.createDataFrame(
+        [(1, "a", "/x")], "doc_id long, host string, path string"
+    )
+    rules = spark.createDataFrame(
+        [("a", "/", True)], "host string, prefix string, allow boolean"
+    )
+    robots_plan = _plan_of(robots_filter(pages, rules))
+    assert "BroadcastHashJoin" in robots_plan
+    assert "CartesianProduct" not in robots_plan
+
+    # dup-ngram: pure codegen + hash aggregates, no Python, no cartesian.
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    dg_plan = _plan_of(dup_ngram_fraction(docs))
+    assert "BatchEvalPython" not in dg_plan and "CartesianProduct" not in dg_plan
