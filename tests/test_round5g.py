@@ -427,3 +427,52 @@ def test_round5_plans_stay_jvm_side_and_broadcast(spark):
     docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     dg_plan = _plan_of(dup_ngram_fraction(docs))
     assert "BatchEvalPython" not in dg_plan and "CartesianProduct" not in dg_plan
+
+
+# --------------------------------------------------- temporal reach -------
+
+
+def test_temporal_reach_respects_time_ordering(spark):
+    from webgraph.algos.temporal import temporal_earliest_arrival
+
+    # 0 -(t=5)-> 1 -(t=3)-> 2: the 1->2 edge fires BEFORE anything can
+    # arrive at 1, so 2 is unreachable despite static connectivity.
+    # 0 -(t=2)-> 3 -(t=2)-> 4: equal times are allowed (non-decreasing).
+    te = spark.createDataFrame(
+        [(0, 1, 5), (1, 2, 3), (0, 3, 2), (3, 4, 2)],
+        "src long, dst long, t long",
+    )
+    seeds = spark.createDataFrame([(0,)], "vid long")
+    got = {
+        r["vid"]: r["arrival"]
+        for r in temporal_earliest_arrival(te, seeds).collect()
+    }
+    assert got == {0: 0, 1: 5, 3: 2, 4: 2}
+
+
+def test_temporal_reach_takes_earliest_of_many_paths(spark):
+    from webgraph.algos.temporal import temporal_earliest_arrival
+
+    # two routes to 2: direct at t=9, two-hop arriving at t=4.
+    te = spark.createDataFrame(
+        [(0, 2, 9), (0, 1, 1), (1, 2, 4)], "src long, dst long, t long"
+    )
+    seeds = spark.createDataFrame([(0,)], "vid long")
+    got = {
+        r["vid"]: r["arrival"]
+        for r in temporal_earliest_arrival(te, seeds).collect()
+    }
+    assert got[2] == 4
+
+
+def test_temporal_reach_raises_instead_of_partial(spark):
+    import pytest
+
+    from webgraph.algos.temporal import temporal_earliest_arrival
+
+    te = spark.createDataFrame(
+        [(i, i + 1, i + 1) for i in range(6)], "src long, dst long, t long"
+    )
+    seeds = spark.createDataFrame([(0,)], "vid long")
+    with pytest.raises(RuntimeError):
+        temporal_earliest_arrival(te, seeds, max_iter=2)

@@ -7055,6 +7055,119 @@ FROM pages p LEFT JOIN m USING (doc_id)
 QUERIES.update({"f_robots": (q_f_robots, o_f_robots)})
 
 
+TEMPORAL_EDGES_SQL = """
+  SELECT DISTINCT l_orderkey % 500 AS src, l_partkey % 500 AS dst,
+    (year(l_shipdate) - 1992) * 12 + month(l_shipdate) AS t
+  FROM lineitem WHERE (l_orderkey % 500) <> (l_partkey % 500)
+"""
+
+
+def q_g_temporal_reach(spark, sf_dir):
+    """Time-respecting earliest-arrival reachability
+    (algos/temporal.py:temporal_earliest_arrival) from seed vertex 0 —
+    edges are stamped with their observation month and a path's edge
+    times may never decrease. Static reachability overstates influence;
+    this is the temporal-network correction (Holme & Saramaki 2012)."""
+    from webgraph.algos.temporal import temporal_earliest_arrival
+
+    li = load(spark, sf_dir, "lineitem")
+    te = (
+        li.select(
+            (F.col("l_orderkey") % 500).alias("src"),
+            (F.col("l_partkey") % 500).alias("dst"),
+            ((F.year("l_shipdate") - 1992) * 12 + F.month("l_shipdate")).alias(
+                "t"
+            ),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    seeds = spark.createDataFrame([(0,)], "vid long")
+    return temporal_earliest_arrival(te, seeds, t0=0)
+
+
+def o_g_temporal_reach():
+    return f"""
+WITH RECURSIVE te AS ({TEMPORAL_EDGES_SQL}),
+r (v, t) AS (
+  SELECT CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT) AS t
+  UNION
+  SELECT te.dst, CAST(te.t AS BIGINT) FROM r JOIN te
+    ON te.src = r.v AND te.t >= r.t
+)
+SELECT v AS vid, MIN(t) AS arrival FROM r GROUP BY 1
+"""
+
+
+QUERIES.update({"g_temporal_reach": (q_g_temporal_reach, o_g_temporal_reach)})
+
+
+def q_c_module_cycles(spark, sf_dir):
+    """Dependency-cycle detection over the module import graph: SCC on
+    c_import_graph's edges; modules in a component of size >= 2 are in an
+    import cycle (the code-review smell the graph exists to find).
+    Module names are 'm<k>' so the integer key is portable and the SCC
+    label (min member) is engine-comparable."""
+    from webgraph.algos import strongly_connected_components
+    from webgraph.code import import_graph
+
+    edges = import_graph(_code_import_seeded(spark, sf_dir)).select(
+        F.regexp_replace("src_module", "^m", "").cast("long").alias("src"),
+        F.regexp_replace("dst_module", "^m", "").cast("long").alias("dst"),
+    )
+    g = from_int_edges(edges)
+    scc, _ = strongly_connected_components(g, max_rounds=60)
+    sizes = scc.groupBy("scc").agg(F.count("*").alias("cycle_size"))
+    return (
+        scc.join(sizes, "scc")
+        .filter(F.col("cycle_size") >= 2)
+        .select(
+            F.concat(F.lit("m"), F.col("vid").cast("string")).alias("module"),
+            F.col("scc").alias("cycle_id"),
+            F.col("cycle_size").cast("long").alias("cycle_size"),
+        )
+    )
+
+
+def o_c_module_cycles():
+    return f"""
+WITH RECURSIVE seeded AS ({CODE_IMPORT_SEED_SQL}),
+imp AS (
+  SELECT doc_id, module AS src_module,
+    unnest(regexp_extract_all(content,
+           '(?m)^import ([a-z][a-z0-9]*)$', 1)) AS dst_module
+  FROM seeded
+),
+e AS (
+  SELECT DISTINCT CAST(regexp_replace(src_module, '^m', '') AS BIGINT) AS src,
+    CAST(regexp_replace(dst_module, '^m', '') AS BIGINT) AS dst
+  FROM imp WHERE src_module <> dst_module
+),
+v AS (SELECT DISTINCT vid FROM
+      (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),
+r (a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.a, e.dst FROM r JOIN e ON r.b = e.src
+),
+rr AS (SELECT DISTINCT a, b FROM
+       (SELECT a, b FROM r UNION ALL SELECT vid, vid FROM v)),
+scc AS (
+  SELECT r1.a AS vid, MIN(r1.b) AS scc
+  FROM rr r1 JOIN rr r2 ON r1.a = r2.b AND r1.b = r2.a
+  GROUP BY 1
+),
+sizes AS (SELECT scc, COUNT(*) AS n FROM scc GROUP BY 1)
+SELECT 'm' || CAST(scc.vid AS VARCHAR) AS module, scc.scc AS cycle_id,
+  CAST(sizes.n AS BIGINT) AS cycle_size
+FROM scc JOIN sizes USING (scc)
+WHERE sizes.n >= 2
+"""
+
+
+QUERIES.update({"c_module_cycles": (q_c_module_cycles, o_c_module_cycles)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry
