@@ -50,6 +50,7 @@ HEAVY = [
     # round-5h additions that scale with corpus/event volume
     "t_dup_ngram_frac",
     "s_trending_topk",
+    "g_temporal_reach",
 ]
 
 
