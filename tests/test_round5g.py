@@ -476,3 +476,38 @@ def test_temporal_reach_raises_instead_of_partial(spark):
     seeds = spark.createDataFrame([(0,)], "vid long")
     with pytest.raises(RuntimeError):
         temporal_earliest_arrival(te, seeds, max_iter=2)
+
+
+# ------------------------------------------------------ triad census ------
+
+
+def test_triad_census_isomorphism_invariance(spark):
+    from webgraph.algos.motifs import triad_census
+
+    def census(edges):
+        return {
+            r["motif"]: r["n_triads"]
+            for r in triad_census(_graph(spark, edges)).collect()
+        }
+
+    transitive = census([(0, 1), (0, 2), (1, 2)])
+    # relabeled + reoriented transitive triangle: same canonical code
+    transitive2 = census([(9, 4), (9, 7), (7, 4)])
+    cyclic = census([(0, 1), (1, 2), (2, 0)])
+    full = census([(0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1)])
+
+    assert len(transitive) == len(cyclic) == len(full) == 1
+    assert transitive == transitive2
+    assert set(transitive) != set(cyclic)
+    assert list(full) == ["111111"]
+    assert sum(transitive.values()) == 1 and sum(cyclic.values()) == 1
+
+
+def test_triad_census_counts_each_triangle_once(spark):
+    from webgraph.algos.motifs import triad_census
+
+    # two triangles sharing an edge; reciprocal pair collapses to flags
+    got = triad_census(
+        _graph(spark, [(0, 1), (1, 0), (1, 2), (2, 0), (1, 3), (3, 0)])
+    ).collect()
+    assert sum(r["n_triads"] for r in got) == 2

@@ -7168,6 +7168,52 @@ WHERE sizes.n >= 2
 QUERIES.update({"c_module_cycles": (q_c_module_cycles, o_c_module_cycles)})
 
 
+def q_g_triad_census(spark, sf_dir):
+    """Directed triad census (algos/motifs.py): counts of every closed
+    three-vertex motif keyed by its canonical 6-bit adjacency code (the
+    lexicographic minimum over the 6 orderings — exact isomorphism
+    classes with no hand-written type table). Runs on the block-
+    structured SCC graph, whose mixed cyclic/acyclic strata populate
+    multiple motif classes."""
+    from webgraph.algos.motifs import triad_census
+
+    g = from_int_edges(derived_scc_edges(spark, sf_dir))
+    return triad_census(g)
+
+
+def o_g_triad_census():
+    return f"""
+WITH e AS ({SCC_EDGES_SQL}),
+p AS (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
+    MAX(CASE WHEN src < dst THEN 1 ELSE 0 END) AS fwd,
+    MAX(CASE WHEN src > dst THEN 1 ELSE 0 END) AS bwd
+  FROM e GROUP BY 1, 2
+),
+tri AS (
+  SELECT
+    CAST(p1.fwd AS VARCHAR) AS ab, CAST(p1.bwd AS VARCHAR) AS ba,
+    CAST(p2.fwd AS VARCHAR) AS bc, CAST(p2.bwd AS VARCHAR) AS cb,
+    CAST(p3.fwd AS VARCHAR) AS ac, CAST(p3.bwd AS VARCHAR) AS ca
+  FROM p p1
+  JOIN p p2 ON p2.u = p1.v
+  JOIN p p3 ON p3.u = p1.u AND p3.v = p2.v
+)
+SELECT LEAST(
+  ab || ba || ac || ca || bc || cb,
+  ac || ca || ab || ba || cb || bc,
+  ba || ab || bc || cb || ac || ca,
+  bc || cb || ba || ab || ca || ac,
+  ca || ac || cb || bc || ab || ba,
+  cb || bc || ca || ac || ba || ab
+) AS motif, COUNT(*) AS n_triads
+FROM tri GROUP BY 1
+"""
+
+
+QUERIES.update({"g_triad_census": (q_g_triad_census, o_g_triad_census)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry
