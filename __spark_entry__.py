@@ -5,11 +5,12 @@ entry():      flagship query (top-50 by in-degree over the derived link
               README.md:107-112) at sf0.001.
 queries():    one entry per implemented operator family from SURVEY.md §2,
               implemented in webgraph.contract.
-oracle_sql(): DuckDB-equivalent SQL for every query (iterative algorithms
-              are verified via unrolled fixed-iteration SQL). Non-SQL ops
-              (MinHash-LSH, SimHash — probabilistic sketches) are verified
-              by pytest oracles instead and appear in queries() without an
-              oracle entry.
+oracle_sql(): DuckDB-equivalent SQL for EVERY query — iterative
+              algorithms via unrolled fixed-iteration SQL, reachability
+              via recursive CTEs, and the probabilistic sketches
+              (MinHash-LSH, SimHash, IVF, PQ, CMS, HLL, HyperBall) made
+              exactly replayable through engine-portable integer hashing
+              and micro-unit rounding. No query lacks an oracle.
 """
 
 from __future__ import annotations
