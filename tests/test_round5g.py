@@ -511,3 +511,33 @@ def test_triad_census_counts_each_triangle_once(spark):
         _graph(spark, [(0, 1), (1, 0), (1, 2), (2, 0), (1, 3), (3, 0)])
     ).collect()
     assert sum(r["n_triads"] for r in got) == 2
+
+
+# -------------------------------------------------- warm-start CC ---------
+
+
+def test_cc_warm_start_equals_cold_and_saves_rounds(spark):
+    from webgraph.algos import connected_components
+
+    # long path: cold min-label needs ~n rounds; warm-starting from the
+    # true labels of a subgraph covering most of the path converges
+    # faster and lands on the identical fixpoint.
+    full = _graph(spark, [(i, i + 1) for i in range(12)])
+    sub = _graph(spark, [(i, i + 1) for i in range(10)])
+    prior, _ = connected_components(sub, collect_skew=False)
+    cold, cold_m = connected_components(full, collect_skew=False)
+    warm, warm_m = connected_components(
+        full, collect_skew=False, initial_labels=prior
+    )
+    as_map = lambda df: {r["vid"]: r["component"] for r in df.collect()}  # noqa: E731
+    assert as_map(warm) == as_map(cold)
+    assert len(warm_m) < len(cold_m)
+
+
+def test_cc_warm_start_ignores_unknown_vertices(spark):
+    from webgraph.algos import connected_components
+
+    g = _graph(spark, [(5, 6)])
+    prior = spark.createDataFrame([(99, 99)], "vid long, component long")
+    labels, _ = connected_components(g, collect_skew=False, initial_labels=prior)
+    assert {r["vid"]: r["component"] for r in labels.collect()} == {5: 5, 6: 5}

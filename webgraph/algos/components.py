@@ -38,17 +38,39 @@ def connected_components(
     resume: bool = False,
     collect_skew: bool = True,
     _probe=None,
+    initial_labels: DataFrame | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Returns (labels DataFrame ``(vid, component)``, iteration metrics).
     ``component`` is the minimum vid in the component (stable, comparable
     across runs). ``_probe(it, changed_df)`` is a test seam that receives
-    the convergence-count frame before it executes (plan assertions)."""
+    the convergence-count frame before it executes (plan assertions).
+
+    ``initial_labels`` (vid, component) warm-starts the min-label
+    propagation — the incremental-maintenance pattern: labels from a
+    PRIOR run on a SUBGRAPH of the current edge set are a valid starting
+    point because (a) a subgraph's min-reachable label is always >= the
+    full graph's (edges only merge components under append-only
+    maintenance), and (b) each label is itself a vid inside the vertex's
+    component, so propagating minima still bottoms out at the component's
+    true minimum. The warm fixpoint is therefore IDENTICAL to the cold
+    one — warm starting buys iterations, never correctness. Vertices
+    absent from ``initial_labels`` fall back to their own vid."""
     spark = g.edges.sparkSession
     sym = symmetrize(g.edges).persist()
     num_msgs = sym.count()
 
     ckpt = CheckpointManager(checkpoint_dir, "components") if checkpoint_dir else None
     labels = g.vertices.select("vid", F.col("vid").alias("component"))
+    if initial_labels is not None:
+        labels = (
+            g.vertices.select("vid")
+            .join(
+                initial_labels.select("vid", F.col("component").alias("_w")),
+                "vid",
+                "left",
+            )
+            .select("vid", F.coalesce("_w", F.col("vid")).alias("component"))
+        )
     start_iter = 0
     if ckpt and resume:
         loaded = ckpt.load_latest(spark)

@@ -7214,6 +7214,72 @@ FROM tri GROUP BY 1
 QUERIES.update({"g_triad_census": (q_g_triad_census, o_g_triad_census)})
 
 
+def q_s_cc_refresh(spark, sf_dir):
+    """Incremental maintenance feeding warm component re-label: drain the
+    edge stream through the incremental merger (the s_pagerank_refresh
+    state machinery), compute PRIOR labels on the first-file subgraph,
+    then re-run min-label CC on the full drained state warm-started from
+    those stale labels. Append-only merges only ever MERGE components, so
+    the stale labels are a valid upper bound and the warm fixpoint is
+    identical to a cold run — the oracle is g_components' unrolled SQL
+    verbatim, certifying the composition."""
+    import tempfile
+
+    from webgraph.algos import connected_components
+    from webgraph.streaming import incremental_edge_merge, read_edge_state
+
+    _STREAM_SINK_N[0] += 1
+    base = tempfile.mkdtemp(prefix=f"cc_refresh_{_STREAM_SINK_N[0]}_")
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_partkey").cast("long").alias("l_partkey"),
+    )
+    li.repartition(4).write.parquet(f"{base}/in")
+    stream = (
+        spark.readStream.schema("l_orderkey long, l_partkey long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/in")
+    )
+
+    def extract(batch):
+        return batch.select(
+            (F.col("l_orderkey") % N_NODES).alias("src"),
+            (F.col("l_partkey") % N_NODES).alias("dst"),
+        ).distinct()
+
+    q = incremental_edge_merge(
+        spark, stream, f"{base}/state", [], f"{base}/ck", extract_fn=extract
+    )
+    q.awaitTermination()
+    edges = read_edge_state(spark, f"{base}/state").select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    g = from_int_edges(edges)
+
+    # prior labels from a strict subgraph (≈ the state before the last
+    # few batches): every odd-orderkey edge.
+    sub = from_int_edges(
+        li.filter(F.col("l_orderkey") % 2 == 1).select(
+            (F.col("l_orderkey") % N_NODES).alias("src"),
+            (F.col("l_partkey") % N_NODES).alias("dst"),
+        )
+    )
+    prior, _ = connected_components(sub, max_iter=CC_ITERS, collect_skew=False)
+
+    labels, _ = connected_components(
+        g, max_iter=CC_ITERS, collect_skew=False, initial_labels=prior
+    )
+    return labels.select("vid", "component")
+
+
+def o_s_cc_refresh():
+    return o_g_components()
+
+
+QUERIES.update({"s_cc_refresh": (q_s_cc_refresh, o_s_cc_refresh)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry
