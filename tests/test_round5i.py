@@ -1,0 +1,166 @@
+"""Round-5i operators: gap-encoding compression stats (Boldi-Vigna),
+BPE merge learning, explicit k-means clustering. House style: tiny
+hand-checkable fixtures with exact expected values, plus structural pins.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+
+def _plan_of(df):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+# ----------------------------------------------- gap-encoding stats -------
+
+
+def test_gamma_bit_length_exact_at_powers_of_two(spark):
+    from webgraph.algos.compress import gamma_bit_length
+
+    # gamma(v) = 2*floor(log2 v) + 1; powers of two are where a naive
+    # float log2 rounds wrong.
+    vals = [1, 2, 3, 4, 7, 8, 1023, 1024, 1025, 2**40]
+    got = (
+        spark.createDataFrame([(v,) for v in vals], "v long")
+        .select("v", gamma_bit_length(F.col("v")).alias("bits"))
+        .collect()
+    )
+    expect = {v: 2 * (v.bit_length() - 1) + 1 for v in vals}
+    assert {r["v"]: r["bits"] for r in got} == expect
+
+
+def test_gap_encoding_stats_hand_computed(spark):
+    from webgraph.algos.compress import gap_encoding_stats
+
+    # src 0 -> [2, 3, 7]: first value 2*(2-0)+1=5 -> gamma 5 bits;
+    # gaps 1 -> 1 bit, 4 -> 5 bits; total 11.
+    # src 5 -> [1]: first value 2*(5-1)-1+1=8 -> gamma 7 bits.
+    # src 9 -> [9]: self-loop, first value 1 -> 1 bit.
+    edges = spark.createDataFrame(
+        [(0, 2), (0, 3), (0, 7), (5, 1), (9, 9)], "src long, dst long"
+    )
+    got = {
+        r["src"]: (r["out_deg"], r["gamma_bits"])
+        for r in gap_encoding_stats(edges).collect()
+    }
+    assert got == {0: (3, 11), 5: (1, 7), 9: (1, 1)}
+
+
+def test_gap_encoding_plan_is_codegen(spark):
+    from webgraph.algos.compress import gap_encoding_stats
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    plan = _plan_of(gap_encoding_stats(edges))
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+# ----------------------------------------------- BPE merge learning -------
+
+
+def test_bpe_merges_hand_computed(spark):
+    from webgraph.text import bpe_learn_merges
+
+    # "aabaab" + "aab": round 1 counts aa:3 ab:3 ba:1 -> tie broken to
+    # (a,a); round 2 (aa,b):3; round 3 (aab,aab):1.
+    docs = spark.createDataFrame(
+        [(1, "aabaab"), (2, "aab")], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in bpe_learn_merges(docs, n_merges=3).collect()]
+    assert got == [
+        (1, "a", "a", "aa", 3),
+        (2, "aa", "b", "aab", 3),
+        (3, "aab", "aab", "aabaab", 1),
+    ]
+
+
+def test_bpe_greedy_merge_is_left_to_right(spark):
+    from webgraph.text import bpe_learn_merges
+
+    # "aaaa": round 1 pair (a,a) counted with overlaps (3), greedy
+    # application yields (aa)(aa) -> round 2 pair is (aa,aa) count 1.
+    docs = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+    got = [tuple(r) for r in bpe_learn_merges(docs, n_merges=2).collect()]
+    assert got == [(1, "a", "a", "aa", 3), (2, "aa", "aa", "aaaa", 1)]
+
+
+def test_bpe_strips_non_alpha_and_stops_when_corpus_exhausted(spark):
+    from webgraph.text import bpe_learn_merges
+
+    # Only a-z survive seeding; a single-symbol corpus has no pairs, so
+    # the loop stops early instead of emitting empty rounds.
+    docs = spark.createDataFrame([(1, "A!1b")], "doc_id long, text string")
+    got = [tuple(r) for r in bpe_learn_merges(docs, n_merges=4).collect()]
+    assert got == [(1, "a", "b", "ab", 1)]
+
+
+# ----------------------------------------------- explicit k-means ---------
+
+
+def test_kmeans_init_centroids_converges_to_true_clusters(spark):
+    from webgraph.similarity import (
+        assign_buckets,
+        centroid_frame,
+        kmeans_centroids,
+    )
+
+    # Two well-separated groups; init from the two lowest-id vectors (one
+    # in each group): two Lloyd rounds land every point with its group.
+    pts = [
+        (0, [0.0, 0.1]), (2, [0.1, 0.0]), (4, [0.0, 0.0]),
+        (1, [10.0, 10.1]), (3, [10.1, 10.0]), (5, [10.0, 10.0]),
+    ]
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    init = [[0.0, 0.1], [10.0, 10.1]]
+    cents = kmeans_centroids(emb, n_centroids=2, iters=2, init_centroids=init)
+    assert [round(x, 6) for x in cents[0]] == [
+        round(x, 6) for x in [0.1 / 3, 0.1 / 3]
+    ]
+    assigned = assign_buckets(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v")),
+        centroid_frame(spark, cents),
+    )
+    got = {r["id"]: r["bucket"] for r in assigned.collect()}
+    assert got == {0: 0, 2: 0, 4: 0, 1: 1, 3: 1, 5: 1}
+
+
+def test_kmeans_hash_init_still_default(spark):
+    from webgraph.similarity import kmeans_centroids
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i)]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    a = kmeans_centroids(emb, n_centroids=2, iters=1)
+    b = kmeans_centroids(emb, n_centroids=2, iters=1)
+    assert a == b  # seeded-hash init stays deterministic
+
+
+def test_bpe_plan_has_no_python_and_no_cartesian(spark):
+    from webgraph.text import bpe_learn_merges
+
+    docs = spark.createDataFrame([(1, "abab")], "doc_id long, text string")
+    # the returned frame is a driver-built literal table; pin the plan of
+    # the heavy intermediate instead: the symbol seeding explode.
+    from webgraph.algos.common import truncate_lineage  # noqa: F401
+
+    s = F.substring(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""), 1, 24)
+    base = docs.select(F.col("doc_id"), s.alias("s")).filter(F.length("s") > 0)
+    seeded = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("s")),
+                lambda i: F.col("s").substr(i, F.lit(1)),
+            )
+        ).alias("pos", "sym"),
+    )
+    plan = _plan_of(seeded)
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan

@@ -7280,6 +7280,189 @@ def o_s_cc_refresh():
 QUERIES.update({"s_cc_refresh": (q_s_cc_refresh, o_s_cc_refresh)})
 
 
+def q_g_gap_stats(spark, sf_dir):
+    """Adjacency-list compressibility (algos/compress.py:gap_encoding_stats):
+    Boldi-Vigna gap encoding of each sorted successor list with
+    Elias-gamma bit costs — the storage-layout sizing measurement of the
+    WebGraph compression framework (WWW'04). One src-partitioned window
+    (lag) + one hash agg; pure codegen arithmetic."""
+    from webgraph.algos.compress import gap_encoding_stats
+
+    return gap_encoding_stats(derived_edges(spark, sf_dir))
+
+
+def o_g_gap_stats():
+    return f"""
+WITH e AS ({EDGES_SQL}),
+g AS (SELECT src, dst, LAG(dst) OVER (PARTITION BY src ORDER BY dst) AS prev FROM e),
+v AS (SELECT src,
+  CASE WHEN prev IS NULL THEN
+    (CASE WHEN dst >= src THEN 2 * (dst - src) ELSE 2 * (src - dst) - 1 END) + 1
+  ELSE dst - prev END AS val FROM g),
+p0 AS (SELECT src, val, CAST(FLOOR(LOG2(val)) AS BIGINT) AS p FROM v),
+pb AS (SELECT src,
+  CASE WHEN POWER(2, p) > val THEN p - 1
+       WHEN POWER(2, p + 1) <= val THEN p + 1 ELSE p END AS p FROM p0)
+SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg,
+  CAST(SUM(2 * p + 1) AS BIGINT) AS gamma_bits
+FROM pb GROUP BY 1
+"""
+
+
+QUERIES.update({"g_gap_stats": (q_g_gap_stats, o_g_gap_stats)})
+
+
+# ------------------------------------------ BPE merge learning (r05i) --
+
+BPE_MERGES = 3
+BPE_PREFIX = 24
+
+
+def q_t_bpe_merges(spark, sf_dir):
+    """Tokenizer training: learn the first 3 BPE merge rules from the
+    documents corpus (text.py:bpe_learn_merges — Sennrich et al. 2016).
+    Relational symbol rows, lead-window pair counts with map-side
+    combine, gaps-and-islands greedy merge application; the oracle
+    unrolls the identical three rounds in window SQL."""
+    from webgraph.text import bpe_learn_merges
+
+    return bpe_learn_merges(
+        load(spark, sf_dir, "documents"),
+        n_merges=BPE_MERGES,
+        prefix_chars=BPE_PREFIX,
+    )
+
+
+def o_t_bpe_merges():
+    parts = [
+        f"""WITH base AS (SELECT doc_id,
+  substr(regexp_replace(lower(text), '[^a-z]', '', 'g'), 1, {BPE_PREFIX}) AS s
+  FROM documents),""",
+        """sx AS (SELECT doc_id, s,
+  unnest(generate_series(1, len(s))) AS pos FROM base WHERE len(s) > 0),""",
+        "sym0 AS (SELECT doc_id, pos, substr(s, CAST(pos AS INT), 1) AS sym FROM sx),",
+    ]
+    for r in range(1, BPE_MERGES + 1):
+        q = r - 1
+        parts += [
+            f"""sq{r} AS (SELECT doc_id, pos, sym,
+  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS seq,
+  LEAD(sym) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM sym{q}),""",
+            f"""top{r} AS (SELECT sym AS lhs, nxt AS rhs, COUNT(*) AS n_pairs
+  FROM sq{r} WHERE nxt IS NOT NULL GROUP BY 1, 2
+  ORDER BY n_pairs DESC, lhs, rhs LIMIT 1),""",
+            f"""isl{r} AS (SELECT doc_id, seq,
+  seq - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY seq) AS isl
+  FROM sq{r} JOIN top{r} t ON sym = t.lhs AND nxt = t.rhs),""",
+            f"""st{r} AS (SELECT doc_id, seq FROM (
+  SELECT doc_id, seq,
+    ROW_NUMBER() OVER (PARTITION BY doc_id, isl ORDER BY seq) AS k
+  FROM isl{r}) WHERE k % 2 = 1),""",
+            f"""sym{r} AS (SELECT q.doc_id, q.pos,
+  CASE WHEN st.seq IS NOT NULL THEN t.lhs || t.rhs ELSE q.sym END AS sym
+  FROM sq{r} q CROSS JOIN top{r} t
+  LEFT JOIN st{r} st ON st.doc_id = q.doc_id AND st.seq = q.seq
+  LEFT JOIN st{r} dr ON dr.doc_id = q.doc_id AND dr.seq = q.seq - 1
+  WHERE dr.doc_id IS NULL),""",
+        ]
+    tail = "\n".join(
+        f"UNION ALL SELECT {r}, lhs, rhs, lhs || rhs, CAST(n_pairs AS BIGINT) FROM top{r}"
+        for r in range(2, BPE_MERGES + 1)
+    )
+    parts += [
+        f"""fin AS (SELECT CAST(1 AS INT) AS round, lhs, rhs, lhs || rhs AS merged,
+  CAST(n_pairs AS BIGINT) AS n_pairs FROM top1
+{tail})""",
+        "SELECT round, lhs, rhs, merged, n_pairs FROM fin",
+    ]
+    return _unrolled(parts)
+
+
+QUERIES.update({"t_bpe_merges": (q_t_bpe_merges, o_t_bpe_merges)})
+
+
+# --------------------------------------- k-means clustering (r05i) --
+# SemDeDup's oracle certifies the END RESULT against the global exact
+# pair graph (k-means is only its pruning strategy); this row certifies
+# the Lloyd iteration ITSELF — portable init (the k lowest-id vectors),
+# two unrolled assign/recompute rounds, final assignment.
+
+KMEANS_K = 4
+KMEANS_ITERS = 2
+
+
+def q_e_kmeans(spark, sf_dir):
+    """Distributed Lloyd's k-means assignments (similarity.py:
+    kmeans_centroids + assign_buckets): broadcast-centroid assign,
+    fully-distributed mean recompute; ties to the lowest bucket id.
+    Returns (vec_id, cluster, cluster_size)."""
+    from webgraph.similarity import assign_buckets, centroid_frame, kmeans_centroids
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    init = [
+        list(r["v"])
+        for r in emb.filter(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
+    ]
+    cents = kmeans_centroids(
+        emb,
+        n_centroids=KMEANS_K,
+        iters=KMEANS_ITERS,
+        vec_col="v",
+        init_centroids=init,
+    )
+    assigned = assign_buckets(
+        emb.select(F.col("vec_id").alias("id"), "v"), centroid_frame(spark, cents)
+    )
+    sz = assigned.groupBy("bucket").agg(F.count("*").alias("cluster_size"))
+    return assigned.join(sz, "bucket").select(
+        F.col("id").alias("vec_id"),
+        F.col("bucket").cast("int").alias("cluster"),
+        "cluster_size",
+    )
+
+
+def o_e_kmeans():
+    parts = [
+        """WITH be AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),""",
+        """px AS (SELECT vec_id, v,
+  unnest(generate_series(1, len(v))) AS pos FROM be),""",
+        "pt AS (SELECT vec_id, pos, v[CAST(pos AS INT)] AS val FROM px),",
+        f"c0 AS (SELECT vec_id AS bucket, pos, val FROM pt WHERE vec_id < {KMEANS_K}),",
+    ]
+    for i in range(1, KMEANS_ITERS + 2):  # last round = final assign only
+        q = i - 1
+        parts += [
+            f"""d{i} AS (SELECT b.vec_id, c.bucket,
+  SUM((b.val - c.val) * (b.val - c.val)) AS d2
+  FROM pt b JOIN c{q} c USING (pos) GROUP BY 1, 2),""",
+            f"""a{i} AS (SELECT vec_id, bucket FROM (
+  SELECT vec_id, bucket,
+    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, bucket) AS rn
+  FROM d{i}) WHERE rn = 1),""",
+        ]
+        if i <= KMEANS_ITERS:
+            parts += [
+                f"""m{i} AS (SELECT a.bucket, b.pos, AVG(b.val) AS val
+  FROM pt b JOIN a{i} a USING (vec_id) GROUP BY 1, 2),""",
+                f"""c{i} AS (SELECT p.bucket, p.pos, COALESCE(m.val, p.val) AS val
+  FROM c{q} p LEFT JOIN m{i} m ON m.bucket = p.bucket AND m.pos = p.pos),""",
+            ]
+    last = KMEANS_ITERS + 1
+    parts += [
+        f"sz AS (SELECT bucket, COUNT(*) AS n FROM a{last} GROUP BY 1)",
+        f"""SELECT a.vec_id, CAST(a.bucket AS INT) AS cluster,
+  CAST(s.n AS BIGINT) AS cluster_size
+FROM a{last} a JOIN sz s USING (bucket)""",
+    ]
+    return _unrolled(parts)
+
+
+QUERIES.update({"e_kmeans": (q_e_kmeans, o_e_kmeans)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry

@@ -113,23 +113,30 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    init_centroids: list[list[float]] | None = None,
 ) -> list[list[float]]:
     """Deterministic Lloyd's k-means for the IVF coarse quantizer.
 
     Init: the n_centroids rows ranked first by a seeded content hash (a
-    stable pseudo-random sample). Each iteration: assign via the broadcast
-    centroid join (assign_buckets) -> recompute means fully distributed
-    (posexplode + groupBy). The driver holds only the k x dim centroid
-    list (tiny); at no point does the plan embed k x dim literals."""
+    stable pseudo-random sample), or the caller-supplied
+    ``init_centroids`` (the contract oracle uses the k lowest-id vectors
+    so the unrolled SQL twin can reproduce the init relationally). Each
+    iteration: assign via the broadcast centroid join (assign_buckets) ->
+    recompute means fully distributed (posexplode + groupBy). The driver
+    holds only the k x dim centroid list (tiny); at no point does the
+    plan embed k x dim literals."""
     base = emb.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     ).persist()
-    cents = [
-        [float(x) for x in r["v"]]
-        for r in base.orderBy(F.xxhash64(F.col("v").cast("string"), F.lit(seed)))
-        .limit(n_centroids)
-        .collect()
-    ]
+    if init_centroids is not None:
+        cents = [[float(x) for x in c] for c in init_centroids]
+    else:
+        cents = [
+            [float(x) for x in r["v"]]
+            for r in base.orderBy(F.xxhash64(F.col("v").cast("string"), F.lit(seed)))
+            .limit(n_centroids)
+            .collect()
+        ]
     spark = emb.sparkSession
     for _ in range(iters):
         assigned = assign_buckets(base, centroid_frame(spark, cents))

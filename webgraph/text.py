@@ -1367,3 +1367,115 @@ def dup_ngram_fraction(
             .alias("dup_frac_e6"),
         )
     )
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_chars: int = 24,
+) -> DataFrame:
+    """Learn the first ``n_merges`` byte-pair-encoding merge rules from a
+    corpus (Sennrich, Haddow & Birch 2016, "Neural Machine Translation of
+    Rare Words with Subword Units" — the standard LLM tokenizer-training
+    loop). Returns ``(round, lhs, rhs, merged, n_pairs)``: per round, the
+    most frequent adjacent symbol pair (ties broken lexicographically, so
+    the result is deterministic and engine-portable) and its corpus count.
+
+    Corpus representation is RELATIONAL, not array-valued: one row per
+    symbol ``(doc_id, pos, sym)``. Pair counting is a lead() window plus a
+    hash aggregate (map-side combine absorbs the Zipfian pair skew —
+    partial counts collapse at the mappers exactly like min-label CC).
+    The winning pair is a driver scalar (TakeOrdered limit 1); merge
+    application is the windows-only greedy left-to-right pass:
+
+      * re-number surviving symbols per doc (``seq``) so sequence
+        adjacency survives earlier rounds' deletions,
+      * match positions where ``(sym, lead(sym)) == (lhs, rhs)``,
+      * gaps-and-islands (``seq - row_number``) groups CONSECUTIVE
+        matches; within an island the 1st, 3rd, ... match merges — the
+        exact greedy scan semantics ("aaaa" + (a,a) -> "aa","aa") without
+        any sequential driver loop,
+      * merge starts rewrite their symbol to ``lhs || rhs``; the symbol at
+        the following sequence position drops.
+
+    Every window partitions by doc_id (documents are small; the shuffle
+    key is uniform), so at 100 TB each round is a fixed number of
+    doc-partitioned exchanges regardless of vocabulary size. State is
+    lineage-truncated per round (the iterative-loop rule from
+    algos/common.truncate_lineage). Only lowercase a-z of the first
+    ``prefix_chars`` chars feed training, which bounds per-doc cost while
+    keeping counts integer-exact for the contract oracle."""
+    from pyspark.sql import Window
+
+    from webgraph.algos.common import truncate_lineage
+
+    spark = docs.sparkSession
+    s = F.substring(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", ""), 1, prefix_chars
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), s.alias("s")).filter(
+        F.length("s") > 0
+    )
+    cur = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("s")),
+                lambda i: F.col("s").substr(i, F.lit(1)),
+            )
+        ).alias("pos", "sym"),
+    )
+    cur = truncate_lineage(cur)
+
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    merges: list[tuple] = []
+    for rnd in range(1, n_merges + 1):
+        paired = cur.withColumn("seq", F.row_number().over(w_doc)).withColumn(
+            "nxt", F.lead("sym").over(w_doc)
+        )
+        top = (
+            paired.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("sym").alias("lhs"), F.col("nxt").alias("rhs"))
+            .agg(F.count("*").alias("n_pairs"))
+            .orderBy(F.desc("n_pairs"), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        lhs, rhs, n = top[0]["lhs"], top[0]["rhs"], int(top[0]["n_pairs"])
+        merges.append((rnd, lhs, rhs, lhs + rhs, n))
+
+        w_seq = Window.partitionBy("doc_id").orderBy("seq")
+        islands = (
+            paired.filter((F.col("sym") == lhs) & (F.col("nxt") == rhs))
+            .withColumn("isl", F.col("seq") - F.row_number().over(w_seq))
+        )
+        w_isl = Window.partitionBy("doc_id", "isl").orderBy("seq")
+        starts = (
+            islands.withColumn("k", F.row_number().over(w_isl))
+            .filter(F.col("k") % 2 == 1)
+            .select("doc_id", "seq")
+        )
+        drops = starts.select("doc_id", (F.col("seq") + 1).alias("seq"))
+        cur = (
+            paired.join(
+                starts.withColumn("_st", F.lit(True)), ["doc_id", "seq"], "left"
+            )
+            .join(drops.withColumn("_dr", F.lit(True)), ["doc_id", "seq"], "left")
+            .filter(F.col("_dr").isNull())
+            .select(
+                "doc_id",
+                "pos",
+                F.when(F.col("_st").isNotNull(), F.lit(lhs + rhs))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+        )
+        cur = truncate_lineage(cur)
+
+    return spark.createDataFrame(
+        merges, "round int, lhs string, rhs string, merged string, n_pairs long"
+    )
