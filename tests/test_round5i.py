@@ -164,3 +164,61 @@ def test_bpe_plan_has_no_python_and_no_cartesian(spark):
     )
     plan = _plan_of(seeded)
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+# ----------------------------------------------- node2vec walks -----------
+
+
+def _graph(spark, edges):
+    from webgraph.algos.common import from_int_edges
+
+    return from_int_edges(spark.createDataFrame(edges, "src long, dst long"))
+
+
+def test_node2vec_degenerates_to_first_order_at_unit_costs(spark):
+    from webgraph.algos.walks import deterministic_walks, node2vec_walks
+
+    g = _graph(
+        spark,
+        [(0, 1), (0, 2), (1, 2), (1, 3), (2, 0), (2, 3), (3, 0), (3, 1)],
+    )
+    first = {
+        (r["walk_id"], r["step"]): r["vid"]
+        for r in deterministic_walks(g, walk_len=3, seed=7).collect()
+    }
+    second = {
+        (r["walk_id"], r["step"]): r["vid"]
+        for r in node2vec_walks(
+            g, walk_len=3, return_cost=1, inout_cost=1, seed=7
+        ).collect()
+    }
+    assert first == second
+
+
+def test_node2vec_bias_classes_pick_the_common_neighbor(spark):
+    from webgraph.algos.walks import WALK_MOD, node2vec_walks
+
+    # From 0 the only move is 1 (prev becomes 0). At step 2 the
+    # candidates are: back to 0 (return class), 2 (prev 0 also links to
+    # it -> class 1), 3 (outward class). With both return and in-out
+    # costs at WALK_MOD, any class-1 candidate wins the hash race.
+    g = _graph(spark, [(0, 1), (0, 2), (1, 0), (1, 2), (1, 3)])
+    out = {
+        (r["walk_id"], r["step"]): r["vid"]
+        for r in node2vec_walks(
+            g, walk_len=2, return_cost=WALK_MOD, inout_cost=WALK_MOD
+        ).collect()
+    }
+    assert out[(0, 0)] == 0 and out[(0, 1)] == 1 and out[(0, 2)] == 2
+
+
+def test_node2vec_walk_ends_at_dangling_vertex(spark):
+    from webgraph.algos.walks import node2vec_walks
+
+    g = _graph(spark, [(0, 1)])  # 1 has no out-edges
+    rows = sorted(
+        (r["walk_id"], r["step"], r["vid"])
+        for r in node2vec_walks(g, walk_len=4).collect()
+        if r["walk_id"] == 0
+    )
+    assert rows == [(0, 0, 0), (0, 1, 1)]

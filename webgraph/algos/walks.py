@@ -125,3 +125,88 @@ def deterministic_walks(
             )
             frontier = nxt
     return acc
+
+
+def node2vec_walks(
+    g: EncodedGraph,
+    walk_len: int = 3,
+    return_cost: int = 4,
+    inout_cost: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Second-order biased walks (Grover & Leskovec 2016, node2vec) in the
+    same deterministic no-RNG form as ``deterministic_walks``: each
+    candidate's priority is ``inv_weight * h(cur, step, dst)`` (ties by
+    dst) and the walk takes the argmin, so a LARGER inverse weight makes a
+    candidate proportionally less likely to win the hash race. Inverse
+    weights follow node2vec's three classes — ``return_cost`` (node2vec
+    p) for stepping back to the previous vertex, 1 for a candidate the
+    previous vertex also links to (BFS-like), ``inout_cost`` (node2vec q)
+    for jumping outward (DFS-like). ``return_cost = inout_cost = 1``
+    degenerates to exactly ``deterministic_walks`` (pinned by test).
+
+    The second-order state is one row per live walk ``(walk_id, prev,
+    cur)``. Per step: frontier joins the stationary persisted edge table
+    on ``cur`` (the PageRank economics — only the walk-shaped frontier
+    re-shuffles), then the candidate set left-joins edges once more on
+    ``(prev, dst)`` for the in/out classification — the distributed
+    analog of node2vec's alias-table adjacency test, an equi-join on the
+    edge key rather than per-vertex alias tables, so it needs no
+    precomputed O(sum deg^2) structure and survives power-law fan-out.
+    Integer-exact everywhere (priority < 2^63), hence the DuckDB oracle
+    replays it verbatim. Walks end early at dangling vertices; rows are
+    emitted only for steps actually taken."""
+    edges = g.edges.select("src", "dst")
+    frontier = g.vertices.select(
+        F.col("vid").alias("walk_id"),
+        F.lit(None).cast("long").alias("prev"),
+        F.col("vid").alias("cur"),
+    )
+    acc = frontier.select(
+        "walk_id", F.lit(0).alias("step"), F.col("cur").alias("vid")
+    )
+    adj = edges.select(
+        F.col("src").alias("_asrc"), F.col("dst").alias("_adst")
+    ).withColumn("_hit", F.lit(True))
+    for t in range(1, walk_len + 1):
+        cand = frontier.join(edges, frontier.cur == edges.src, "inner").select(
+            "walk_id",
+            "prev",
+            "cur",
+            "dst",
+            _step_hash(F.col("cur"), t, F.col("dst"), seed).alias("h"),
+        )
+        classed = cand.join(
+            adj,
+            (cand.prev == adj._asrc) & (cand.dst == adj._adst),
+            "left",
+        ).select(
+            "walk_id",
+            "cur",
+            "dst",
+            F.when(F.col("prev").isNull(), F.lit(1))
+            .when(F.col("dst") == F.col("prev"), F.lit(return_cost))
+            .when(F.col("_hit").isNotNull(), F.lit(1))
+            .otherwise(F.lit(inout_cost))
+            .cast("long")
+            .alias("iw"),
+            "h",
+        )
+        pri = (F.col("iw") * F.col("h")).alias("p")
+        nxt = (
+            classed.groupBy("walk_id")
+            .agg(
+                F.min(
+                    F.struct(pri, F.col("dst").alias("d"), F.col("cur").alias("c"))
+                ).alias("m")
+            )
+            .select(
+                "walk_id", F.col("m.c").alias("prev"), F.col("m.d").alias("cur")
+            )
+        )
+        nxt = nxt.transform(truncate_lineage)
+        acc = acc.unionByName(
+            nxt.select("walk_id", F.lit(t).alias("step"), F.col("cur").alias("vid"))
+        )
+        frontier = nxt
+    return acc

@@ -7463,6 +7463,66 @@ FROM a{last} a JOIN sz s USING (bucket)""",
 QUERIES.update({"e_kmeans": (q_e_kmeans, o_e_kmeans)})
 
 
+# ------------------------------------ node2vec biased walks (r05i) --
+
+N2V_LEN = 3
+N2V_RET = 4  # node2vec p (return cost)
+N2V_OUT = 2  # node2vec q (in-out cost)
+
+
+def q_g_node2vec_walks(spark, sf_dir):
+    """Second-order biased walks (algos/walks.py:node2vec_walks — Grover
+    & Leskovec 2016): candidate priority = inverse-weight * portable step
+    hash, argmin; the in/out classification is a candidate-vs-edge
+    equi-join instead of per-vertex alias tables. Integer-exact, so the
+    oracle replays every step verbatim."""
+    from webgraph.algos.walks import node2vec_walks
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    out = node2vec_walks(
+        g, walk_len=N2V_LEN, return_cost=N2V_RET, inout_cost=N2V_OUT, seed=WALK_SEED
+    )
+    return out.select("walk_id", F.col("step").cast("long").alias("step"), "vid")
+
+
+def o_g_node2vec_walks():
+    from webgraph.algos.walks import step_hash_sql
+
+    parts = [
+        f"WITH e AS ({EDGES_SQL}),",
+        f"v AS ({VERTS_SQL}),",
+        "w0 AS (SELECT vid AS walk_id, CAST(NULL AS BIGINT) AS prev, vid AS cur FROM v),",
+    ]
+    for t in range(1, N2V_LEN + 1):
+        p = t - 1
+        h = step_hash_sql("c.cur", t, "c.dst", WALK_SEED)
+        parts += [
+            f"c{t} AS (SELECT w.walk_id, w.prev, w.cur, e.dst "
+            f"FROM w{p} w JOIN e ON e.src = w.cur),",
+            f"x{t} AS (SELECT c.walk_id, c.cur, c.dst, "
+            f"(CASE WHEN c.prev IS NULL THEN 1 "
+            f"WHEN c.dst = c.prev THEN {N2V_RET} "
+            f"WHEN a.src IS NOT NULL THEN 1 ELSE {N2V_OUT} END) "
+            f"* ({h}) AS pri "
+            f"FROM c{t} c LEFT JOIN e a ON a.src = c.prev AND a.dst = c.dst),",
+            f"w{t} AS (SELECT walk_id, cur AS prev, dst AS cur FROM ("
+            f"SELECT walk_id, cur, dst, ROW_NUMBER() OVER "
+            f"(PARTITION BY walk_id ORDER BY pri, dst) AS rn FROM x{t}) "
+            f"WHERE rn = 1),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    selects = ["SELECT walk_id, CAST(0 AS BIGINT) AS step, cur AS vid FROM w0"]
+    for t in range(1, N2V_LEN + 1):
+        selects.append(
+            f"SELECT walk_id, CAST({t} AS BIGINT) AS step, cur AS vid FROM w{t}"
+        )
+    parts.append(" UNION ALL ".join(selects))
+    return _unrolled(parts)
+
+
+QUERIES.update({"g_node2vec_walks": (q_g_node2vec_walks, o_g_node2vec_walks)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry
