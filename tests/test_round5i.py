@@ -222,3 +222,55 @@ def test_node2vec_walk_ends_at_dangling_vertex(spark):
         if r["walk_id"] == 0
     )
     assert rows == [(0, 0, 0), (0, 1, 1)]
+
+
+# ----------------------------------------------- type-2 clones ------------
+
+
+def test_type2_normalization_is_rename_and_literal_invariant(spark):
+    from webgraph.code import normalize_type2
+
+    got = (
+        spark.createDataFrame(
+            [("x = 1\ny = x + 2",), ("foo = 10\nbar = foo + 25",)],
+            "block string",
+        )
+        .select(normalize_type2(F.col("block")).alias("n"))
+        .collect()
+    )
+    assert got[0]["n"] == got[1]["n"] == "ID = N ID = ID + N"
+
+
+def test_type2_keywords_carry_structure(spark):
+    from webgraph.code import normalize_type2
+
+    # same token shapes but different keywords must NOT collapse
+    got = (
+        spark.createDataFrame(
+            [("if x:\n    return y",), ("while x:\n    return y",)],
+            "block string",
+        )
+        .select(normalize_type2(F.col("block")).alias("n"))
+        .collect()
+    )
+    assert got[0]["n"] == "if ID : return ID"
+    assert got[1]["n"] == "while ID : return ID"
+
+
+def test_clone_type2_groups_renamed_blocks_across_repos(spark):
+    from webgraph.code import clone_type2
+
+    docs = spark.createDataFrame(
+        [
+            ("r1", "x = 1\ny = x + 2"),
+            ("r2", "foo = 10\nbar = foo + 25"),
+            ("r3", "if alpha:\n    return beta + 1"),  # different structure
+        ],
+        "repo string, content string",
+    )
+    rows = clone_type2(docs).collect()
+    assert len(rows) == 1  # only the renamed pair survives min_copies
+    r = rows[0]
+    assert (r["n_tokens"], r["n_copies"], r["n_repos"], r["first_repo"]) == (
+        8, 2, 2, "r1",
+    )

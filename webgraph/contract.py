@@ -7523,6 +7523,76 @@ def o_g_node2vec_walks():
 QUERIES.update({"g_node2vec_walks": (q_g_node2vec_walks, o_g_node2vec_walks)})
 
 
+# ------------------------------------ type-2 clone detection (r05i) --
+
+
+def q_c_clone_type2(spark, sf_dir):
+    """Rename-invariant (type-2) clone groups (code.py:clone_type2):
+    blocks identical after identifier/literal normalization group even
+    with zero shared bytes. Seed: doc_id % 4 picks one of four code
+    blocks — the first two are type-2 clones of each other (same token
+    structure, different names/literals) so they land in ONE group,
+    which no exact-match pass can produce. The engine-specific xxhash64
+    group key is projected out; the oracle groups by the normalized
+    string itself (the c_block_clones pattern)."""
+    from webgraph.code import clone_type2
+
+    d = F.col("doc_id")
+    blk = (
+        F.when(d % 4 == 0, F.lit("x = 1\ny = x + 2"))
+        .when(d % 4 == 1, F.lit("foo = 10\nbar = foo + 25"))
+        .when(d % 4 == 2, F.lit("if alpha:\n    return beta + 1"))
+        .otherwise(F.lit("while count:\n    count = step(count)"))
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("source").alias("repo"),
+        F.concat(F.col("text"), F.lit("\n\n"), blk).alias("content"),
+    )
+    return clone_type2(docs).select(
+        "n_tokens", "n_copies", "n_repos", "first_repo"
+    )
+
+
+def o_c_clone_type2():
+    from webgraph.code import TYPE2_KEYWORDS, TYPE2_TOKEN_RE
+
+    kw = ", ".join(f"'{k}'" for k in TYPE2_KEYWORDS)
+    return f"""
+WITH seeded AS (
+  SELECT source AS repo,
+    text || chr(10) || chr(10) ||
+    CASE doc_id % 4
+      WHEN 0 THEN 'x = 1' || chr(10) || 'y = x + 2'
+      WHEN 1 THEN 'foo = 10' || chr(10) || 'bar = foo + 25'
+      WHEN 2 THEN 'if alpha:' || chr(10) || '    return beta + 1'
+      ELSE 'while count:' || chr(10) || '    count = step(count)'
+    END AS content
+  FROM documents
+), blocks AS (
+  SELECT repo, trim(unnest(string_split(content, chr(10) || chr(10)))) AS block
+  FROM seeded
+), normed AS (
+  SELECT repo, array_to_string(list_transform(
+    regexp_extract_all(block, '{TYPE2_TOKEN_RE}'),
+    x -> CASE WHEN x IN ({kw}) THEN x
+              WHEN regexp_matches(x, '^[0-9]+$') THEN 'N'
+              WHEN regexp_matches(x, '^[A-Za-z_]') THEN 'ID'
+              ELSE x END), ' ') AS norm
+  FROM blocks
+), sized AS (
+  SELECT repo, norm, CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens
+  FROM normed WHERE len(string_split(norm, ' ')) >= 6
+)
+SELECT n_tokens, CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(COUNT(DISTINCT repo) AS BIGINT) AS n_repos,
+       MIN(repo) AS first_repo
+FROM sized GROUP BY norm, n_tokens HAVING COUNT(*) >= 2
+"""
+
+
+QUERIES.update({"c_clone_type2": (q_c_clone_type2, o_c_clone_type2)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry
