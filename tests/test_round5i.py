@@ -274,3 +274,48 @@ def test_clone_type2_groups_renamed_blocks_across_repos(spark):
     assert (r["n_tokens"], r["n_copies"], r["n_repos"], r["first_repo"]) == (
         8, 2, 2, "r1",
     )
+
+
+# ----------------------------------------------- label spreading ----------
+
+
+def test_label_spread_seeds_absorb_and_majority_wins(spark):
+    from webgraph.algos.labelprop import seeded_label_spread
+
+    # path 0-1-2 plus hub 3 linked to two class-0 seeds and one class-1:
+    # seeds: 0 (class 0), 2 (class 1), 4 (class 0).
+    # vertex 1 borders seeds 0 and 2 -> tie (1 vs 1) -> smallest label 0.
+    # vertex 3 borders 0, 2, 4 -> class 0 wins 2:1.
+    g = _graph(spark, [(0, 1), (1, 2), (3, 0), (3, 2), (3, 4)])
+    seeds = spark.createDataFrame(
+        [(0, 0), (2, 1), (4, 0)], "vid long, label long"
+    )
+    out = {
+        r["vid"]: (r["label"], r["is_seed"])
+        for r in seeded_label_spread(g, seeds, iters=2).collect()
+    }
+    assert out[0] == (0, True) and out[2] == (1, True) and out[4] == (0, True)
+    assert out[1] == (0, False)
+    assert out[3] == (0, False)
+
+
+def test_label_spread_unreached_vertices_stay_unlabeled(spark):
+    from webgraph.algos.labelprop import seeded_label_spread
+
+    # component {5,6} holds no seed: absent from the output.
+    g = _graph(spark, [(0, 1), (5, 6)])
+    seeds = spark.createDataFrame([(0, 3)], "vid long, label long")
+    out = {r["vid"]: r["label"] for r in seeded_label_spread(g, seeds, iters=4).collect()}
+    assert out == {0: 3, 1: 3}
+
+
+def test_label_spread_seed_overrides_neighborhood(spark):
+    from webgraph.algos.labelprop import seeded_label_spread
+
+    # seed 1 (class 9) is surrounded by class-0 mass but never flips.
+    g = _graph(spark, [(0, 1), (2, 1), (3, 1)])
+    seeds = spark.createDataFrame(
+        [(0, 0), (2, 0), (3, 0), (1, 9)], "vid long, label long"
+    )
+    out = {r["vid"]: r["label"] for r in seeded_label_spread(g, seeds, iters=3).collect()}
+    assert out[1] == 9

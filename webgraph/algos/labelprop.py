@@ -96,3 +96,58 @@ def label_propagation(
         prev_changed = changed
 
     return labels, metrics
+
+
+def seeded_label_spread(
+    g: EncodedGraph,
+    seeds: DataFrame,
+    iters: int = 3,
+) -> DataFrame:
+    """Semi-supervised label spreading with ABSORBING seeds (the
+    hard-label variant of Zhu & Ghahramani 2003's harmonic label
+    propagation — the TrustRank-adjacent way quality/spam labels extend
+    from a small audited set over the whole web graph). ``seeds`` is
+    ``(vid, label)`` with integer classes; seed labels never change,
+    every other vertex synchronously adopts the most frequent label
+    among its labeled (undirected) neighbors each round — ties to the
+    smallest label, so the result is deterministic and the fixed-horizon
+    oracle replays it exactly. A vertex with no labeled neighbor stays
+    unlabeled that round; re-computation is from scratch each round, so
+    a non-seed CAN change class as mass shifts. Returns ``(vid, label,
+    is_seed)`` for LABELED vertices only.
+
+    Plan per round: the LPA economics (labelprop.py:32) — stationary
+    persisted symmetrized edges, labeled-frontier join, one
+    (dst, label) frequency aggregate with map-side combine, one max_by
+    argmax; only the vertex-shaped label state re-shuffles."""
+    sym = symmetrize(g.edges).persist()
+    sym.count()
+    seed_labels = (
+        g.vertices.select("vid")
+        .join(seeds.select("vid", F.col("label").cast("long").alias("label")), "vid")
+        .persist()
+    )
+    labels = seed_labels
+    for _ in range(iters):
+        freq = (
+            sym.join(labels, sym.src == labels.vid, "inner")
+            .groupBy(sym.dst.alias("vid"), F.col("label"))
+            .agg(F.count("*").alias("n"))
+        )
+        best = freq.groupBy("vid").agg(
+            F.max_by("label", F.struct(F.col("n"), -F.col("label"))).alias(
+                "nbr_label"
+            )
+        )
+        # absorbing: seeds override whatever the neighborhood says
+        labels = (
+            best.join(seed_labels.withColumnRenamed("label", "_seed"), "vid", "full")
+            .select(
+                "vid",
+                F.coalesce(F.col("_seed"), F.col("nbr_label")).alias("label"),
+            )
+            .transform(truncate_lineage)
+        )
+    return labels.join(
+        seed_labels.select("vid").withColumn("_s", F.lit(True)), "vid", "left"
+    ).select("vid", "label", F.col("_s").isNotNull().alias("is_seed"))

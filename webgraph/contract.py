@@ -7593,6 +7593,59 @@ FROM sized GROUP BY norm, n_tokens HAVING COUNT(*) >= 2
 QUERIES.update({"c_clone_type2": (q_c_clone_type2, o_c_clone_type2)})
 
 
+# ------------------------------------ seeded label spreading (r05i) --
+
+LS_ITERS = 3
+
+
+def q_g_label_spread(spark, sf_dir):
+    """Semi-supervised label spreading with absorbing seeds
+    (algos/labelprop.py:seeded_label_spread — hard-label Zhu &
+    Ghahramani 2003): 20 audited seed pages (vid % 25 == 0, class
+    vid % 7) spread their class over the undirected graph for 3
+    synchronous rounds; seeds never change, ties to the smallest
+    label."""
+    from webgraph.algos.labelprop import seeded_label_spread
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    seeds = g.vertices.filter(F.col("vid") % 25 == 0).select(
+        "vid", (F.col("vid") % 7).alias("label")
+    )
+    return seeded_label_spread(g, seeds, iters=LS_ITERS)
+
+
+def o_g_label_spread():
+    parts = [
+        f"WITH e AS ({EDGES_SQL}),",
+        f"v AS ({VERTS_SQL}),",
+        f"sym AS ({SYM_SQL}),",
+        "seeds AS (SELECT vid, CAST(vid % 7 AS BIGINT) AS label FROM v WHERE vid % 25 = 0),",
+        "l0 AS (SELECT vid, label FROM seeds),",
+    ]
+    for i in range(1, LS_ITERS + 1):
+        q = i - 1
+        parts += [
+            f"f{i} AS (SELECT s.dst AS vid, l.label, COUNT(*) AS n "
+            f"FROM sym s JOIN l{q} l ON s.src = l.vid GROUP BY 1, 2),",
+            f"b{i} AS (SELECT vid, label FROM ("
+            f"SELECT vid, label, ROW_NUMBER() OVER "
+            f"(PARTITION BY vid ORDER BY n DESC, label) AS rn FROM f{i}) "
+            f"WHERE rn = 1),",
+            f"l{i} AS (SELECT COALESCE(sd.vid, b.vid) AS vid, "
+            f"COALESCE(sd.label, b.label) AS label "
+            f"FROM b{i} b FULL JOIN seeds sd ON sd.vid = b.vid),",
+        ]
+    parts += [
+        f"""fin AS (SELECT l.vid, l.label, (s.vid IS NOT NULL) AS is_seed
+FROM l{LS_ITERS} l LEFT JOIN seeds s ON s.vid = l.vid)""",
+        "SELECT vid, label, is_seed FROM fin",
+    ]
+    return _unrolled(parts)
+
+
+QUERIES.update({"g_label_spread": (q_g_label_spread, o_g_label_spread)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry
