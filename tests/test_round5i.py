@@ -319,3 +319,62 @@ def test_label_spread_seed_overrides_neighborhood(spark):
     )
     out = {r["vid"]: r["label"] for r in seeded_label_spread(g, seeds, iters=3).collect()}
     assert out[1] == 9
+
+
+# ----------------------------------------------- truss decomposition ------
+
+
+def test_trussness_k4_is_4_everywhere(spark):
+    from webgraph.algos.triangles import truss_decomposition
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = {
+        (r["a"], r["b"]): r["trussness"]
+        for r in truss_decomposition(_graph(spark, k4)).collect()
+    }
+    assert got == {e: 4 for e in k4}
+
+
+def test_trussness_shared_edge_of_two_triangles_is_3(spark):
+    from webgraph.algos.triangles import truss_decomposition
+
+    # triangles {1,2,3} and {2,3,4} share edge (2,3): the 4-truss is
+    # empty (edge (1,2) has support 1, peeling cascades), so every edge
+    # — including the support-2 shared edge — has trussness 3.
+    g = _graph(spark, [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)])
+    got = {
+        (r["a"], r["b"]): r["trussness"]
+        for r in truss_decomposition(g).collect()
+    }
+    assert got == {(1, 2): 3, (1, 3): 3, (2, 3): 3, (2, 4): 3, (3, 4): 3}
+
+
+def test_trussness_triangle_free_edge_is_2(spark):
+    from webgraph.algos.triangles import truss_decomposition
+
+    g = _graph(spark, [(0, 1), (1, 2)])
+    got = {
+        (r["a"], r["b"]): r["trussness"]
+        for r in truss_decomposition(g).collect()
+    }
+    assert got == {(0, 1): 2, (1, 2): 2}
+
+
+def test_trussness_early_stop_equals_fixed_horizon(spark):
+    from webgraph.algos.triangles import truss_decomposition
+
+    # K4 plus a pendant triangle hanging off vertex 0
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [
+        (0, 10), (0, 11), (10, 11),
+    ]
+    g = _graph(spark, edges)
+    stopped = {
+        (r["a"], r["b"]): r["trussness"]
+        for r in truss_decomposition(g, iters=None).collect()
+    }
+    fixed = {
+        (r["a"], r["b"]): r["trussness"]
+        for r in truss_decomposition(g, iters=6).collect()
+    }
+    assert stopped == fixed
+    assert stopped[(0, 1)] == 4 and stopped[(0, 10)] == 3

@@ -51,6 +51,12 @@ HEAVY = [
     "t_dup_ngram_frac",
     "s_trending_topk",
     "g_temporal_reach",
+    # round-5i additions with iterative/windowed plans
+    "s_cc_refresh",
+    "g_node2vec_walks",
+    "g_label_spread",
+    "t_bpe_merges",
+    "g_gap_stats",
 ]
 
 

@@ -299,3 +299,126 @@ def k_truss(
             "a", "b", "support"
         )
     return kept
+
+
+def truss_decomposition(
+    g: EncodedGraph,
+    iters: int | None = None,
+    max_iter: int = 64,
+) -> DataFrame:
+    """FULL truss decomposition — every edge's trussness (the maximum k
+    with the edge inside the k-truss) in one pass, where k_truss answers
+    a single fixed k. Uses the local h-index iteration (the edge-level
+    analog of kcore.py's coreness h-index; Sariyuce, Seshadhri & Pinar's
+    local nucleus decomposition, WWW 2018): init t(e) = support(e); each
+    round every edge looks at its triangles, takes rho = min of the two
+    partner edges' values per triangle, and lowers itself to the h-index
+    of its rho multiset. Monotone non-increasing, fixpoint = trussness-2
+    exactly; ``iters=None`` stops at the zero-change round (idempotent
+    at the fixpoint, so a fixed-horizon oracle >= the convergence round
+    matches the early-stopped run bit-for-bit — the g_coreness pattern).
+
+    Scale: triangles enumerate ONCE into a persisted static incidence
+    table (edge + its two partner edges) — the per-round cost is two
+    equi-joins of the edge-value state onto that stationary table, one
+    bounded per-edge window (partition size = the edge's support), and
+    one hash aggregate; the state that re-shuffles is edge-shaped, and
+    no round re-runs the wedge self-join (k_truss pays it every round
+    because pruning changes the triangle set; trussness never prunes,
+    so the incidence table is loop-invariant)."""
+    from pyspark.sql import Window
+
+    e = (
+        symmetrize(g.edges)
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .transform(truncate_lineage)
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("z")),
+        ["x", "z"],
+        "left_semi",
+    )
+
+    def side(ea, eb, p1a, p1b, p2a, p2b):
+        return tri.select(
+            F.col(ea).alias("ea"), F.col(eb).alias("eb"),
+            F.col(p1a).alias("p1a"), F.col(p1b).alias("p1b"),
+            F.col(p2a).alias("p2a"), F.col(p2b).alias("p2b"),
+        )
+
+    inc = (
+        side("x", "y", "y", "z", "x", "z")
+        .unionAll(side("y", "z", "x", "y", "x", "z"))
+        .unionAll(side("x", "z", "x", "y", "y", "z"))
+        .persist()
+    )
+    inc.count()
+
+    sup = inc.groupBy("ea", "eb").agg(F.count("*").cast("long").alias("val"))
+    t = (
+        e.join(sup, (e.a == sup.ea) & (e.b == sup.eb), "left")
+        .select("a", "b", F.coalesce("val", F.lit(0)).cast("long").alias("val"))
+        .transform(truncate_lineage)
+    )
+
+    w = Window.partitionBy("ea", "eb").orderBy(F.desc("rho"))
+    it = 0
+    while True:
+        if iters is not None and it >= iters:
+            break
+        if iters is None and it >= max_iter:
+            raise RuntimeError(
+                f"truss_decomposition: no fixpoint after {max_iter} rounds"
+            )
+        t1 = t.select(
+            F.col("a").alias("p1a"), F.col("b").alias("p1b"),
+            F.col("val").alias("v1"),
+        )
+        t2 = t.select(
+            F.col("a").alias("p2a"), F.col("b").alias("p2b"),
+            F.col("val").alias("v2"),
+        )
+        rho = (
+            inc.join(t1, ["p1a", "p1b"])
+            .join(t2, ["p2a", "p2b"])
+            .select("ea", "eb", F.least("v1", "v2").alias("rho"))
+        )
+        h = (
+            rho.withColumn("rn", F.row_number().over(w))
+            .groupBy("ea", "eb")
+            .agg(
+                F.max(
+                    F.when(F.col("rho") >= F.col("rn"), F.col("rn")).otherwise(0)
+                ).alias("h")
+            )
+        )
+        new_t = (
+            t.join(h, (t.a == h.ea) & (t.b == h.eb), "left")
+            .select(
+                "a", "b",
+                F.when(F.col("h").isNull(), F.col("val"))
+                .otherwise(F.least(F.col("val"), F.col("h")))
+                .cast("long")
+                .alias("val"),
+            )
+            .transform(truncate_lineage)
+        )
+        it += 1
+        if iters is None:
+            changed = (
+                new_t.join(
+                    t.withColumnRenamed("val", "prev"), ["a", "b"]
+                )
+                .filter(F.col("val") != F.col("prev"))
+                .count()
+            )
+            t = new_t
+            if changed == 0:
+                break
+        else:
+            t = new_t
+    inc.unpersist()
+    return t.select("a", "b", (F.col("val") + 2).alias("trussness"))

@@ -7646,6 +7646,62 @@ FROM l{LS_ITERS} l LEFT JOIN seeds s ON s.vid = l.vid)""",
 QUERIES.update({"g_label_spread": (q_g_label_spread, o_g_label_spread)})
 
 
+# ------------------------------------ full truss decomposition (r05i) --
+
+TRUSS_ITERS = 4
+
+
+def q_g_trussness(spark, sf_dir):
+    """Full truss decomposition (algos/triangles.py:truss_decomposition):
+    every edge's maximal k in one h-index iteration over a static
+    triangle-incidence table — g_ktruss answers one fixed k and re-pays
+    the wedge join every peel round; this enumerates triangles once.
+    Fixed horizon TRUSS_ITERS on both sides (the operator is idempotent
+    at its fixpoint — the g_coreness pattern)."""
+    from webgraph.algos.triangles import truss_decomposition
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    return truss_decomposition(g, iters=TRUSS_ITERS)
+
+
+def o_g_trussness():
+    parts = [
+        f"WITH e AS ({EDGES_SQL}),",
+        "cn AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b "
+        "FROM e WHERE src <> dst),",
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+        "FROM cn e1 JOIN cn e2 ON e2.a = e1.b "
+        "JOIN cn e3 ON e3.a = e1.a AND e3.b = e2.b),",
+        "inc AS (SELECT x AS ea, y AS eb, y AS p1a, z AS p1b, x AS p2a, z AS p2b FROM tri "
+        "UNION ALL SELECT y, z, x, y, x, z FROM tri "
+        "UNION ALL SELECT x, z, x, y, y, z FROM tri),",
+        "t0 AS (SELECT cn.a, cn.b, COALESCE(s.c, 0) AS val FROM cn LEFT JOIN "
+        "(SELECT ea, eb, COUNT(*) AS c FROM inc GROUP BY 1, 2) s "
+        "ON s.ea = cn.a AND s.eb = cn.b),",
+    ]
+    for i in range(1, TRUSS_ITERS + 1):
+        q = i - 1
+        parts += [
+            f"r{i} AS (SELECT i.ea, i.eb, LEAST(t1.val, t2.val) AS rho "
+            f"FROM inc i JOIN t{q} t1 ON t1.a = i.p1a AND t1.b = i.p1b "
+            f"JOIN t{q} t2 ON t2.a = i.p2a AND t2.b = i.p2b),",
+            f"h{i} AS (SELECT ea, eb, MAX(CASE WHEN rho >= rn THEN rn ELSE 0 END) AS h "
+            f"FROM (SELECT ea, eb, rho, ROW_NUMBER() OVER "
+            f"(PARTITION BY ea, eb ORDER BY rho DESC) AS rn FROM r{i}) GROUP BY 1, 2),",
+            f"t{i} AS (SELECT t.a, t.b, "
+            f"CASE WHEN h.h IS NULL THEN t.val ELSE LEAST(t.val, h.h) END AS val "
+            f"FROM t{q} t LEFT JOIN h{i} h ON h.ea = t.a AND h.eb = t.b),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT a, b, CAST(val + 2 AS BIGINT) AS trussness FROM t{TRUSS_ITERS}"
+    )
+    return _unrolled(parts)
+
+
+QUERIES.update({"g_trussness": (q_g_trussness, o_g_trussness)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry
@@ -7664,9 +7720,12 @@ DRIVER_WINDOW = [
     "g_top50_in_degree", "g_edge_count", "g_pagerank", "g_pagerank_warm",
     "g_components", "g_louvain", "g_triangles", "g_katz", "g_sssp",
     "g_eff_diameter", "g_ktruss", "g_butterflies", "g_link_predict",
-    # code corpus family
-    "c_code_stats", "c_stack_filter", "c_license_rollup", "c_secret_scan",
-    "c_comment_ratio", "c_repo_dedup", "c_block_clones", "c_repo_stats",
+    # code corpus family (license/secret/comment rows rotated out r05i —
+    # still sweep-checked — to driver-check the new modules below)
+    "c_code_stats", "c_stack_filter", "c_repo_dedup", "c_block_clones",
+    "c_clone_type2",
+    # round-5i new modules/families
+    "g_gap_stats", "t_bpe_merges", "g_node2vec_walks",
     # embedding similarity
     "e_semdedup", "e_ivf_topk",
     # streaming
