@@ -378,3 +378,40 @@ def test_trussness_early_stop_equals_fixed_horizon(spark):
     }
     assert stopped == fixed
     assert stopped[(0, 1)] == 4 and stopped[(0, 10)] == 3
+
+
+# ----------------------------------------------- snowball sampling --------
+
+
+def test_snowball_fanout_caps_expansion(spark):
+    from webgraph.algos.sampling import snowball_sample
+
+    g = _graph(spark, [(0, d) for d in range(1, 6)])
+    seeds = spark.createDataFrame([(0,)], "vid long")
+    out = snowball_sample(g, seeds, fanout=3, depth=1)
+    levels = {r["level"]: r["n"] for r in out.groupBy("level").agg(F.count("*").alias("n")).collect()}
+    assert levels == {0: 1, 1: 3}
+
+
+def test_snowball_keeps_first_reached_level(spark):
+    from webgraph.algos.sampling import snowball_sample
+
+    # 2 is reachable directly (level 1) and via 1 (level 2): must be 1.
+    g = _graph(spark, [(0, 1), (0, 2), (1, 2), (2, 3)])
+    seeds = spark.createDataFrame([(0,)], "vid long")
+    out = {
+        r["vid"]: r["level"]
+        for r in snowball_sample(g, seeds, fanout=5, depth=2).collect()
+    }
+    assert out == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_snowball_is_deterministic_across_runs(spark):
+    from webgraph.algos.sampling import snowball_sample
+
+    edges = [(a, (a * 7 + b) % 20) for a in range(20) for b in range(1, 5)]
+    g = _graph(spark, edges)
+    seeds = spark.createDataFrame([(0,), (13,)], "vid long")
+    a = sorted(tuple(r) for r in snowball_sample(g, seeds, fanout=2, depth=3).collect())
+    b = sorted(tuple(r) for r in snowball_sample(g, seeds, fanout=2, depth=3).collect())
+    assert a == b and len(a) > 2

@@ -7702,6 +7702,61 @@ def o_g_trussness():
 QUERIES.update({"g_trussness": (q_g_trussness, o_g_trussness)})
 
 
+# ------------------------------------ snowball sampling (r05i) --
+
+SNOW_FANOUT = 3
+SNOW_DEPTH = 2
+
+
+def q_g_snowball(spark, sf_dir):
+    """Deterministic snowball sample (algos/sampling.py:snowball_sample —
+    Leskovec & Faloutsos KDD'06 BFS-family sampling): seeds vid % 25
+    == 0, fanout 3, depth 2; neighbor choice by smallest portable hash
+    so the oracle replays it exactly."""
+    from webgraph.algos.sampling import snowball_sample
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    seeds = g.vertices.filter(F.col("vid") % 25 == 0).select("vid")
+    return snowball_sample(
+        g, seeds, fanout=SNOW_FANOUT, depth=SNOW_DEPTH, seed=WALK_SEED
+    )
+
+
+def o_g_snowball():
+    from webgraph.algos.walks import step_hash_sql
+
+    parts = [
+        f"WITH e AS ({EDGES_SQL}),",
+        f"v AS ({VERTS_SQL}),",
+        "s0 AS (SELECT vid, 0 AS level FROM v WHERE vid % 25 = 0),",
+        "f0 AS (SELECT vid FROM s0),",
+    ]
+    for lv in range(1, SNOW_DEPTH + 1):
+        q = lv - 1
+        h = step_hash_sql("e.src", lv, "e.dst", WALK_SEED)
+        parts += [
+            f"c{lv} AS (SELECT e.src, e.dst, {h} AS h "
+            f"FROM f{q} f JOIN e ON e.src = f.vid),",
+            f"k{lv} AS (SELECT DISTINCT dst FROM ("
+            f"SELECT src, dst, ROW_NUMBER() OVER "
+            f"(PARTITION BY src ORDER BY h, dst) AS rn FROM c{lv}) "
+            f"WHERE rn <= {SNOW_FANOUT}),",
+            f"n{lv} AS (SELECT k.dst AS vid, {lv} AS level FROM k{lv} k "
+            f"LEFT JOIN s{q} s ON s.vid = k.dst WHERE s.vid IS NULL),",
+            f"s{lv} AS (SELECT vid, level FROM s{q} "
+            f"UNION ALL SELECT vid, level FROM n{lv}),",
+            f"f{lv} AS (SELECT vid FROM n{lv}),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT vid, CAST(level AS INT) AS level FROM s{SNOW_DEPTH}"
+    )
+    return _unrolled(parts)
+
+
+QUERIES.update({"g_snowball": (q_g_snowball, o_g_snowball)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry
