@@ -415,3 +415,45 @@ def test_snowball_is_deterministic_across_runs(spark):
     a = sorted(tuple(r) for r in snowball_sample(g, seeds, fanout=2, depth=3).collect())
     b = sorted(tuple(r) for r in snowball_sample(g, seeds, fanout=2, depth=3).collect())
     assert a == b and len(a) > 2
+
+
+# ----------------------------------------------- perceptron ---------------
+
+
+def test_perceptron_learns_a_separable_threshold(spark):
+    from webgraph.ml import train_perceptron
+
+    # 1-D separable data: label +1 iff x >= 5.
+    rows = [(i, i, 1 if i >= 5 else -1) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, x long, y long")
+    w, scored, mistakes = train_perceptron(df, "y", ["x"], iters=25)
+    got = {r["doc_id"]: r["pred"] for r in scored.collect()}
+    assert got == {i: (1 if i >= 5 else -1) for i in range(10)}
+    assert min(mistakes) == 0  # the pocket found a perfect separator
+
+
+def test_perceptron_pocket_keeps_the_best_round(spark):
+    from webgraph.ml import train_perceptron
+
+    # w=0 -> every margin is 0 (<= 0, misclassified): round-0 mistakes
+    # = all rows, and the round-1 candidate is [sum(y), sum(y*x)].
+    rows = [(0, 2, 1), (1, 3, -1), (2, 7, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, x long, y long")
+    w, scored, mistakes = train_perceptron(df, "y", ["x"], iters=1)
+    assert mistakes[0] == 3
+    cand1 = [1 + (-1) + 1, 2 - 3 + 7]  # [1, 6]
+    # pocket = argmin(mistakes, round): cand1 classifies all three
+    # correctly (scores 3, 7, 13 -> but y=-1 at x=3 is wrong: 1+18>0),
+    # so mistakes[1] = 1 and the pocket is still cand1 over the all-zero
+    # w0 (3 mistakes).
+    assert w == cand1 and mistakes[1] == 1
+
+
+def test_perceptron_is_deterministic_under_repartition(spark):
+    from webgraph.ml import train_perceptron
+
+    rows = [(i, (i * 13) % 23, (i * 7) % 11, 1 if i % 3 else -1) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, a long, b long, y long")
+    w1, _, m1 = train_perceptron(df.repartition(2), "y", ["a", "b"], iters=4)
+    w2, _, m2 = train_perceptron(df.repartition(16), "y", ["a", "b"], iters=4)
+    assert w1 == w2 and m1 == m2

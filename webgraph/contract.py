@@ -7757,6 +7757,99 @@ def o_g_snowball():
 QUERIES.update({"g_snowball": (q_g_snowball, o_g_snowball)})
 
 
+# ------------------------------------ perceptron quality classifier (r05i) --
+
+PERC_ITERS = 20
+
+
+def q_t_perceptron(spark, sf_dir):
+    """Train-then-score a corpus quality classifier (ml.py:
+    train_perceptron — POCKET perceptron, Gallant 1990): integer count
+    features (stopword hits, digit count), label +1 iff the doc has
+    >= 2 stopword hits. Integer-exact training, so the oracle replays
+    all 20 rounds AND the pocket argmin bit-for-bit; on this corpus the
+    trajectory reaches a 0-mistake separator (round 15, measured) that
+    the plain batch rule then leaves — the pocket keeps it."""
+    from webgraph.ml import train_perceptron
+    from webgraph.text import STOPWORDS, tokens
+
+    t = F.col("text")
+    toks = tokens(t)
+    stop_hits = F.size(F.filter(toks, lambda w: F.lower(w).isin(*STOPWORDS)))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        stop_hits.cast("long").alias("x_stops"),
+        F.length(F.regexp_replace(t, "[^0-9]", "")).cast("long").alias("x_digits"),
+        F.when(stop_hits >= 2, F.lit(1)).otherwise(F.lit(-1)).alias("y"),
+    )
+    _, scored, _ = train_perceptron(
+        docs,
+        label_col="y",
+        feature_cols=["x_stops", "x_digits"],
+        iters=PERC_ITERS,
+    )
+    return scored
+
+
+def o_t_perceptron():
+    from webgraph.text import STOPWORDS
+
+    sw = ", ".join(f"'{s}'" for s in STOPWORDS)
+    nx = 3  # bias + stops + digits
+    dotp = " + ".join(f"w.w{i} * x{i}" for i in range(nx))
+    parts = [
+        f"""WITH f0 AS (SELECT doc_id, text,
+  len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+      t -> lower(t) IN ({sw}))) AS stops FROM documents),""",
+        """f AS (SELECT doc_id, CAST(1 AS BIGINT) AS x0,
+  CAST(stops AS BIGINT) AS x1,
+  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS x2,
+  CASE WHEN stops >= 2 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+  FROM f0),""",
+        "w0 AS (SELECT "
+        + ", ".join(f"CAST(0 AS BIGINT) AS w{i}" for i in range(nx))
+        + "),",
+    ]
+    for r in range(1, PERC_ITERS + 1):
+        q = r - 1
+        ds = ", ".join(
+            f"COALESCE(CAST(SUM(CASE WHEN y * ({dotp}) <= 0 THEN y * x{i} END) "
+            f"AS BIGINT), 0) AS d{i}"
+            for i in range(nx)
+        )
+        ws = ", ".join(f"w.w{i} + u.d{i} AS w{i}" for i in range(nx))
+        parts += [
+            f"u{r} AS (SELECT COUNT(CASE WHEN y * ({dotp}) <= 0 THEN 1 END) AS m, "
+            f"{ds} FROM f CROSS JOIN w{q} w),",
+            f"w{r} AS (SELECT {ws} FROM w{q} w CROSS JOIN u{r} u),",
+        ]
+    parts.append(
+        f"uf AS (SELECT COUNT(CASE WHEN y * ({dotp}) <= 0 THEN 1 END) AS m "
+        f"FROM f CROSS JOIN w{PERC_ITERS} w),"
+    )
+    # pocket argmin: mistakes of w{r} are in u{r+1}.m (uf.m for the last)
+    mr = " UNION ALL ".join(
+        [f"SELECT {r} AS r, m FROM u{r + 1}" for r in range(PERC_ITERS)]
+        + [f"SELECT {PERC_ITERS} AS r, m FROM uf"]
+    )
+    parts.append(f"mr AS ({mr}),")
+    parts.append("best AS (SELECT r FROM mr ORDER BY m, r LIMIT 1),")
+    sc = " UNION ALL ".join(
+        f"SELECT {r} AS r, f.doc_id, CAST({dotp} AS BIGINT) AS score, f.y "
+        f"FROM f CROSS JOIN w{r} w"
+        for r in range(PERC_ITERS + 1)
+    )
+    parts.append(f"sc AS ({sc})")
+    parts.append(
+        "SELECT doc_id, score, CASE WHEN score > 0 THEN 1 ELSE -1 END AS pred, "
+        "y AS label FROM sc JOIN best USING (r)"
+    )
+    return _unrolled(parts)
+
+
+QUERIES.update({"t_perceptron": (q_t_perceptron, o_t_perceptron)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry
