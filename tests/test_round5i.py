@@ -457,3 +457,90 @@ def test_perceptron_is_deterministic_under_repartition(spark):
     w1, _, m1 = train_perceptron(df.repartition(2), "y", ["a", "b"], iters=4)
     w2, _, m2 = train_perceptron(df.repartition(16), "y", ["a", "b"], iters=4)
     assert w1 == w2 and m1 == m2
+
+
+# ----------------------------------------------- streaming minhash --------
+
+
+def _drain_minhash(spark, tmpdir, docs):
+    from webgraph.streaming import streaming_minhash_state
+
+    docs.repartition(2).write.mode("overwrite").parquet(f"{tmpdir}/in")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmpdir}/in")
+    )
+    q = streaming_minhash_state(
+        spark, stream, f"{tmpdir}/state", f"{tmpdir}/ck", num_hashes=16, bands=4
+    )
+    q.awaitTermination()
+
+
+def test_streaming_minhash_state_equals_batch_index(spark, tmp_path):
+    from webgraph.dedup import minhash_band_buckets, minhash_signatures, shingles
+    from webgraph.streaming import read_minhash_state
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon doc{i % 3} zeta") for i in range(12)],
+        "doc_id long, text string",
+    )
+    _drain_minhash(spark, str(tmp_path), docs)
+    drained = {
+        (r["id"], r["band"], r["bsig"])
+        for r in read_minhash_state(spark, f"{tmp_path}/state").collect()
+    }
+    batch = {
+        (r["id"], r["band"], r["bsig"])
+        for r in minhash_band_buckets(
+            minhash_signatures(shingles(docs), 16), 4, 4
+        ).collect()
+    }
+    assert drained == batch
+
+
+def test_streaming_minhash_serves_exact_near_dups(spark, tmp_path):
+    from webgraph.streaming import minhash_pairs_from_state
+
+    # 0 and 1 share every shingle; 2 is unrelated.
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog again"),
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "completely different words with no overlap here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    _drain_minhash(spark, str(tmp_path), docs)
+    got = [
+        (r["a"], r["b"], r["jaccard"])
+        for r in minhash_pairs_from_state(
+            spark, f"{tmp_path}/state", docs, threshold=0.9
+        ).collect()
+    ]
+    assert got == [(0, 1, 1.0)]
+
+
+def test_streaming_minhash_replay_is_idempotent(spark, tmp_path):
+    from webgraph.streaming import read_minhash_state, streaming_minhash_state
+
+    docs = spark.createDataFrame(
+        [(i, f"one two three four five six doc{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    _drain_minhash(spark, str(tmp_path), docs)
+    before = read_minhash_state(spark, f"{tmp_path}/state").count()
+    # re-drain the same input with a FRESH checkpoint: every batch
+    # replays, the anti-join on committed ids must add zero rows
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp_path}/in")
+    )
+    q = streaming_minhash_state(
+        spark, stream, f"{tmp_path}/state", f"{tmp_path}/ck2",
+        num_hashes=16, bands=4,
+    )
+    q.awaitTermination()
+    after = read_minhash_state(spark, f"{tmp_path}/state").count()
+    assert before == after

@@ -7850,6 +7850,51 @@ def o_t_perceptron():
 QUERIES.update({"t_perceptron": (q_t_perceptron, o_t_perceptron)})
 
 
+# ------------------------------------ streaming MinHash index (r05i) --
+
+
+def q_s_stream_minhash(spark, sf_dir):
+    """Incremental MinHash-LSH near-dup index (streaming.py:
+    streaming_minhash_state): the duplicated corpus drains through the
+    exactly-once bucket-state maintainer in 1-file micro-batches (the
+    expensive shingle/sign/band work runs once per doc at arrival);
+    serving reads the drained index, bucket-joins candidates and
+    exact-Jaccard verifies. A document's buckets depend only on its own
+    text, so the drained state equals the batch index regardless of
+    batch split — the oracle is d_minhash_dup_pairs' all-pairs SQL
+    VERBATIM, certifying the composition."""
+    import tempfile
+
+    from webgraph.streaming import minhash_pairs_from_state, streaming_minhash_state
+
+    _STREAM_SINK_N[0] += 1
+    base = tempfile.mkdtemp(prefix=f"mh_stream_{_STREAM_SINK_N[0]}_")
+    docs = _dup_docs(spark, sf_dir)
+    docs.repartition(4).write.parquet(f"{base}/in")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/in")
+    )
+    q = streaming_minhash_state(
+        spark, stream, f"{base}/state", f"{base}/ck", num_hashes=64, bands=16
+    )
+    q.awaitTermination()
+    pairs = minhash_pairs_from_state(
+        spark, f"{base}/state", docs, threshold=0.9, strict=True
+    )
+    return pairs.select(
+        "a", "b", F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_e6")
+    )
+
+
+def o_s_stream_minhash():
+    return o_d_minhash_dup_pairs()
+
+
+QUERIES.update({"s_stream_minhash": (q_s_stream_minhash, o_s_stream_minhash)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry

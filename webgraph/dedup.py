@@ -228,23 +228,15 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
-    sigs: DataFrame,
-    bands: int = 16,
-    rows_per_band: int = 4,
-    max_bucket: int = 200,
-    strict: bool = False,
+def minhash_band_buckets(
+    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
-    """Candidate pairs (a, b) sharing at least one LSH band bucket.
-
-    With b bands of r rows, a pair with Jaccard s collides with prob
-    1-(1-s^r)^b (b=16, r=4: s=0.5 -> 64%, s=0.8 -> 99.9%). Buckets larger
-    than `max_bucket` are dropped (degenerate boilerplate shingles), the
-    standard guard against quadratic bucket blowup — counted, not silent.
-    `strict=True` FAILS instead of dropping (one tiny aggregate job):
-    exact-oracle contract runs use it so a cap-drop can never masquerade
-    as a correct result."""
-    bucketed = sigs.select(
+    """(id, band, bsig) — each signature cut into LSH band buckets. The
+    bucket derivation depends ONLY on the document's signature, which is
+    what makes the streaming variant order-independent: band rows union'd
+    across micro-batches equal the batch bucket table exactly
+    (streaming.py:streaming_minhash_state)."""
+    return sigs.select(
         "id",
         F.explode(
             F.transform(
@@ -265,6 +257,16 @@ def minhash_lsh_candidates(
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"))
 
+
+def pairs_from_buckets(
+    bucketed: DataFrame, max_bucket: int = 200, strict: bool = False
+) -> DataFrame:
+    """Candidate pairs (a, b) from a (id, band, bsig) bucket table.
+    Buckets larger than `max_bucket` are dropped (degenerate boilerplate
+    shingles), the standard guard against quadratic bucket blowup —
+    counted, not silent. `strict=True` FAILS instead of dropping (one
+    tiny aggregate job): exact-oracle contract runs use it so a cap-drop
+    can never masquerade as a correct result."""
     sizes = bucketed.groupBy("band", "bsig").agg(F.count("*").alias("n"))
     if strict:
         biggest = sizes.agg(F.max("n").alias("m")).collect()[0]["m"] or 0
@@ -287,24 +289,31 @@ def minhash_lsh_candidates(
     )
 
 
-def minhash_dedup_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    num_hashes: int = 64,
+def minhash_lsh_candidates(
+    sigs: DataFrame,
     bands: int = 16,
-    threshold: float = 0.5,
+    rows_per_band: int = 4,
+    max_bucket: int = 200,
     strict: bool = False,
 ) -> DataFrame:
-    """Full MinHash-LSH pipeline: shingle -> sign -> band -> bucket-join ->
-    verify candidates with EXACT Jaccard >= threshold. Returns
-    (a, b, jaccard). The verify step makes the result deterministic (LSH
-    only affects recall, never precision). `strict` fails loudly if any
-    band bucket exceeds the size cap (see minhash_lsh_candidates)."""
-    sh = shingles(df, id_col, text_col, n).persist()
-    sigs = minhash_signatures(sh, num_hashes)
-    cands = minhash_lsh_candidates(sigs, bands, num_hashes // bands, strict=strict)
+    """Candidate pairs (a, b) sharing at least one LSH band bucket.
+
+    With b bands of r rows, a pair with Jaccard s collides with prob
+    1-(1-s^r)^b (b=16, r=4: s=0.5 -> 64%, s=0.8 -> 99.9%). Composition of
+    minhash_band_buckets + pairs_from_buckets (see those for the bucket
+    cap / strict semantics)."""
+    return pairs_from_buckets(
+        minhash_band_buckets(sigs, bands, rows_per_band), max_bucket, strict
+    )
+
+
+def verify_jaccard_pairs(
+    cands: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against the shingle
+    table ``(id, shingle)``: returns (a, b, jaccard) with jaccard >=
+    threshold. The verify step is what makes any LSH pipeline's output
+    deterministic — candidates only affect recall, never precision."""
     sz = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a_sh = sh.select(F.col("id").alias("a"), "shingle")
     b_sh = sh.select(F.col("id").alias("b"), "shingle")
@@ -326,6 +335,27 @@ def minhash_dedup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    strict: bool = False,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: shingle -> sign -> band -> bucket-join ->
+    verify candidates with EXACT Jaccard >= threshold. Returns
+    (a, b, jaccard). The verify step makes the result deterministic (LSH
+    only affects recall, never precision). `strict` fails loudly if any
+    band bucket exceeds the size cap (see minhash_lsh_candidates)."""
+    sh = shingles(df, id_col, text_col, n).persist()
+    sigs = minhash_signatures(sh, num_hashes)
+    cands = minhash_lsh_candidates(sigs, bands, num_hashes // bands, strict=strict)
+    return verify_jaccard_pairs(cands, sh, threshold)
 
 
 # ------------------------------------------------------------- simhash --

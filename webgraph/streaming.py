@@ -488,3 +488,123 @@ def trending_topk(windowed_counts: DataFrame, k: int = 3) -> DataFrame:
     return windowed_counts.withColumn(
         "trend_rank", F.row_number().over(w).cast("long")
     ).filter(F.col("trend_rank") <= k)
+
+
+# ------------------------------------------------ streaming MinHash --
+
+
+def _mh_manifest(state_dir: str) -> str:
+    import os
+
+    return os.path.join(state_dir, "buckets_manifest.jsonl")
+
+
+def _mh_manifest_entries(state_dir: str) -> list[dict]:
+    import json
+    import os
+
+    path = _mh_manifest(state_dir)
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def read_minhash_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Committed (id, band, bsig) bucket rows — only batches with a
+    manifest line are visible (the read_edge_state protocol)."""
+    entries = _mh_manifest_entries(state_dir)
+    if not entries:
+        return None
+    return spark.read.parquet(*[e["path"] for e in entries])
+
+
+def streaming_minhash_state(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+):
+    """Incremental MinHash-LSH index maintenance: every micro-batch of
+    new documents is shingled, signed, and banded ONCE — at arrival —
+    and its bucket rows are appended to the persistent LSH index with
+    the incremental_edge_merge exactly-once commit protocol (per-batch
+    parquet + manifest line, idempotent replay). The expensive per-doc
+    work (shingle -> 64 hashes -> band signatures) never re-runs for
+    old documents; a full-corpus batch re-index at 100 TB re-pays it
+    for every document on every refresh.
+
+    Order-independence (why the drained state is exactly the batch
+    index): a document's bucket rows depend only on its own text —
+    never on other documents or on arrival time — so the union of
+    per-batch bucket rows equals minhash_band_buckets over the whole
+    corpus regardless of how documents were split into batches, and
+    the near-dup pairs served from the drained state inherit the batch
+    pipeline's pinned recall. Serving is read-time (the s_trending_topk
+    pattern): pairs_from_buckets + exact-Jaccard verify over the
+    committed index."""
+    import json
+    import os
+
+    from webgraph.dedup import minhash_band_buckets, minhash_signatures, shingles
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        committed = {e["batch_id"] for e in _mh_manifest_entries(state_dir)}
+        if batch_id in committed:
+            return  # replayed batch already durable: exactly-once
+        docs = batch_df.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        existing = read_minhash_state(spark, state_dir)
+        if existing is not None:
+            docs = docs.join(
+                existing.select(F.col("id").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_anti",
+            )
+        sh = shingles(docs, "doc_id", "text", n)
+        bucketed = minhash_band_buckets(
+            minhash_signatures(sh, num_hashes), bands, num_hashes // bands
+        )
+        path = os.path.join(state_dir, "buckets", f"batch={batch_id}")
+        bucketed.write.mode("overwrite").parquet(path)
+        rows = spark.read.parquet(path).count()
+        with open(_mh_manifest(state_dir), "a") as f:
+            f.write(
+                json.dumps({"batch_id": batch_id, "path": path, "rows": rows}) + "\n"
+            )
+
+    return (
+        docs_stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def minhash_pairs_from_state(
+    spark: SparkSession,
+    state_dir: str,
+    docs: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_bucket: int = 200,
+    strict: bool = False,
+) -> DataFrame:
+    """Serve near-dup pairs from the drained streaming index: candidates
+    from the committed bucket table, exact-Jaccard verified against the
+    corpus shingles (verification is what keeps LSH deterministic —
+    candidates only affect recall, never precision)."""
+    from webgraph.dedup import pairs_from_buckets, shingles, verify_jaccard_pairs
+
+    bucketed = read_minhash_state(spark, state_dir)
+    cands = pairs_from_buckets(bucketed, max_bucket, strict)
+    sh = shingles(docs, id_col, text_col, n).persist()
+    return verify_jaccard_pairs(cands, sh, threshold)
