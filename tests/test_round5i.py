@@ -544,3 +544,40 @@ def test_streaming_minhash_replay_is_idempotent(spark, tmp_path):
     q.awaitTermination()
     after = read_minhash_state(spark, f"{tmp_path}/state").count()
     assert before == after
+
+
+# ----------------------------------------------- R-MAT + cube -------------
+
+
+def test_rmat_bits_stay_in_range_and_skew_toward_low_ids(spark):
+    from webgraph.generators import rmat_edges
+
+    e = rmat_edges(spark, scale=6, n_edges=800, a=570, b=190, c=190).cache()
+    stats = e.agg(
+        F.min("src"), F.max("src"), F.min("dst"), F.max("dst"), F.count("*")
+    ).collect()[0]
+    assert stats[4] == 800
+    assert 0 <= stats[0] and stats[1] < 64 and 0 <= stats[2] and stats[3] < 64
+    # a=0.57 concentrates mass in the low-id quadrant at every level:
+    # the low half must hold well over half of all endpoints
+    low = e.filter((F.col("src") < 32) & (F.col("dst") < 32)).count()
+    assert low > 800 * 0.5
+
+
+def test_rmat_is_a_pure_function_of_the_index(spark):
+    from webgraph.generators import rmat_edges
+
+    a = sorted(tuple(r) for r in rmat_edges(spark, scale=5, n_edges=100).collect())
+    b = sorted(tuple(r) for r in rmat_edges(spark, scale=5, n_edges=100).collect())
+    assert a == b
+    # prefix stability: the first 50 edges of a 100-edge run equal a
+    # 50-edge run outright (edge i never depends on n_edges)
+    c = sorted(tuple(r) for r in rmat_edges(spark, scale=5, n_edges=50).collect())
+    assert c == [t for t in a if t[0] < 50]
+
+
+def test_rmat_plan_has_no_shuffle(spark):
+    from webgraph.generators import rmat_edges
+
+    plan = _plan_of(rmat_edges(spark, scale=5, n_edges=10))
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

@@ -7895,6 +7895,99 @@ def o_s_stream_minhash():
 QUERIES.update({"s_stream_minhash": (q_s_stream_minhash, o_s_stream_minhash)})
 
 
+# ------------------------------------ CUBE grouping sets (r05i) --
+
+
+def q_r_cube(spark, sf_dir):
+    """CUBE over (order-priority, order-year): all four grouping sets —
+    the cross-tab completion of r_revenue_rollup's hierarchy. Spark
+    plans ONE Expand + hash aggregate; no per-set re-scan."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        "o_totalprice",
+    )
+    return (
+        o.cube("o_orderpriority", "o_year")
+        .agg(
+            F.round(F.sum("o_totalprice") * 100).cast("long").alias("revenue_c"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("o_year"), F.lit(-1)).alias("o_year"),
+            "revenue_c",
+            "n_orders",
+        )
+    )
+
+
+def o_r_cube():
+    return """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+  COALESCE(o_year, -1) AS o_year, revenue_c, n_orders
+FROM (
+  SELECT o_orderpriority,
+    CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+    CAST(ROUND(100e0 * SUM(o_totalprice)) AS BIGINT) AS revenue_c,
+    CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY CUBE (o_orderpriority, o_year)
+)
+"""
+
+
+QUERIES.update({"r_cube": (q_r_cube, o_r_cube)})
+
+
+# ------------------------------------ R-MAT generator (r05i) --
+
+RMAT_SCALE = 8
+RMAT_EDGES = 2000
+RMAT_A, RMAT_B, RMAT_C = 570, 190, 190
+
+
+def q_g_rmat(spark, sf_dir):
+    """Deterministic R-MAT scale-free edge generation (generators.py:
+    rmat_edges — Chakrabarti et al. 2004, the Graph500 recursion):
+    benchmark input at ANY size with zero I/O and zero shuffle; each
+    edge is a pure integer-hash function of its index, so even the
+    generator is oracle-checked. (sf_dir unused by construction.)"""
+    from webgraph.generators import rmat_edges
+
+    return rmat_edges(
+        spark,
+        scale=RMAT_SCALE,
+        n_edges=RMAT_EDGES,
+        a=RMAT_A,
+        b=RMAT_B,
+        c=RMAT_C,
+        seed=WALK_SEED,
+    )
+
+
+def o_g_rmat():
+    from webgraph.generators import quadrant_hash_sql
+
+    h = quadrant_hash_sql("i", "l", WALK_SEED)
+    ab, abc = RMAT_A + RMAT_B, RMAT_A + RMAT_B + RMAT_C
+    return f"""
+WITH ix AS (SELECT i FROM generate_series(0, {RMAT_EDGES - 1}) t(i)),
+lv AS (SELECT i, unnest(generate_series(0, {RMAT_SCALE - 1})) AS l FROM ix),
+r AS (SELECT i, l, {h} AS r FROM lv),
+bits AS (SELECT i, l,
+  CASE WHEN r < {ab} THEN 0 ELSE 1 END AS sb,
+  CASE WHEN (r >= {RMAT_A} AND r < {ab}) OR r >= {abc} THEN 1 ELSE 0 END AS db
+FROM r)
+SELECT i AS edge_id,
+  CAST(SUM(sb * (CAST(1 AS BIGINT) << ({RMAT_SCALE - 1} - l))) AS BIGINT) AS src,
+  CAST(SUM(db * (CAST(1 AS BIGINT) << ({RMAT_SCALE - 1} - l))) AS BIGINT) AS dst
+FROM bits GROUP BY i
+"""
+
+
+QUERIES.update({"g_rmat": (q_g_rmat, o_g_rmat)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry
@@ -7929,7 +8022,7 @@ DRIVER_WINDOW = [
     "d_minhash_dup_pairs", "d_clean_corpus", "g_mis",
     # text pipeline
     "t_main_content", "t_mix_sources", "t_dsir_sample", "t_lm_score",
-    "t_bloom_seen", "t_langid_counts", "t_token_budget_sample",
+    "t_bloom_seen", "t_langid_counts", "t_perceptron",
     "e_covariance",
     # relational windows/rollups
     "r_running_revenue", "r_revenue_rollup", "r_priority_year_pivot",
