@@ -581,3 +581,31 @@ def test_rmat_plan_has_no_shuffle(spark):
 
     plan = _plan_of(rmat_edges(spark, scale=5, n_edges=10))
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+# ----------------------------------------------- skip-gram pairs ----------
+
+
+def test_skipgram_pairs_hand_computed(spark):
+    from webgraph.algos.walks import skipgram_pairs
+
+    # one walk 10 -> 20 -> 30: window 1 gives the 4 adjacent directed
+    # pairs; window 2 adds (10,30) and (30,10).
+    walks = spark.createDataFrame(
+        [(0, 0, 10), (0, 1, 20), (0, 2, 30)], "walk_id long, step long, vid long"
+    )
+    w1 = {(r["center"], r["context"]): r["n"] for r in skipgram_pairs(walks, 1).collect()}
+    assert w1 == {(10, 20): 1, (20, 10): 1, (20, 30): 1, (30, 20): 1}
+    w2 = {(r["center"], r["context"]): r["n"] for r in skipgram_pairs(walks, 2).collect()}
+    assert w2 == {**w1, (10, 30): 1, (30, 10): 1}
+
+
+def test_skipgram_counts_aggregate_across_walks(spark):
+    from webgraph.algos.walks import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [(0, 0, 1), (0, 1, 2), (7, 0, 1), (7, 1, 2)],
+        "walk_id long, step long, vid long",
+    )
+    got = {(r["center"], r["context"]): r["n"] for r in skipgram_pairs(walks, 1).collect()}
+    assert got == {(1, 2): 2, (2, 1): 2}

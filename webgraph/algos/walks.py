@@ -210,3 +210,32 @@ def node2vec_walks(
         )
         frontier = nxt
     return acc
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context, n) skip-gram training pairs from a walk corpus —
+    the word2vec-style data-prep step between DeepWalk/node2vec walks
+    and embedding training (Perozzi et al. 2014 treat walk steps as
+    words in sentences; the training input is exactly this frequency
+    table of co-occurring vertex pairs within a step window).
+
+    Plan: one self-join per walk_id with |step delta| in [1, window] —
+    the join key is the walk id, so each key's match set is bounded by
+    walk_len^2 regardless of graph size — then one (center, context)
+    hash aggregate whose map-side combine absorbs the hub skew (hubs
+    appear in many walks; their pair counts collapse at the mappers).
+    Directional: (center, context) and (context, center) are separate
+    rows, as in word2vec's window enumeration."""
+    c = walks.select(
+        F.col("walk_id"), F.col("step").alias("cs"), F.col("vid").alias("center")
+    )
+    x = walks.select(
+        F.col("walk_id"), F.col("step").alias("xs"), F.col("vid").alias("context")
+    )
+    delta = F.abs(F.col("cs") - F.col("xs"))
+    return (
+        c.join(x, "walk_id")
+        .filter((delta >= 1) & (delta <= window))
+        .groupBy("center", "context")
+        .agg(F.count("*").alias("n"))
+    )

@@ -7988,6 +7988,38 @@ FROM bits GROUP BY i
 QUERIES.update({"g_rmat": (q_g_rmat, o_g_rmat)})
 
 
+# ------------------------------------ skip-gram pairs (r05i) --
+
+SKIPGRAM_WINDOW = 2
+
+
+def q_g_skipgram_pairs(spark, sf_dir):
+    """Skip-gram training pairs from the deterministic walk corpus
+    (algos/walks.py:skipgram_pairs — the DeepWalk 'walks are sentences'
+    data-prep step): window-2 co-occurrence counts, directional. One
+    walk-keyed self-join (match set bounded by walk_len^2 per key) +
+    one hash aggregate."""
+    from webgraph.algos.walks import deterministic_walks, skipgram_pairs
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    walks = deterministic_walks(g, walk_len=WALK_LEN, seed=WALK_SEED)
+    return skipgram_pairs(walks, window=SKIPGRAM_WINDOW)
+
+
+def o_g_skipgram_pairs():
+    w = o_g_walks()
+    return f"""
+SELECT c.vid AS center, x.vid AS context, CAST(COUNT(*) AS BIGINT) AS n
+FROM ({w}) c JOIN ({w}) x
+  ON c.walk_id = x.walk_id
+  AND abs(c.step - x.step) BETWEEN 1 AND {SKIPGRAM_WINDOW}
+GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"g_skipgram_pairs": (q_g_skipgram_pairs, o_g_skipgram_pairs)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry
