@@ -609,3 +609,40 @@ def test_skipgram_counts_aggregate_across_walks(spark):
     )
     got = {(r["center"], r["context"]): r["n"] for r in skipgram_pairs(walks, 1).collect()}
     assert got == {(1, 2): 2, (2, 1): 2}
+
+
+# ----------------------------------------------- corpus datasheet ---------
+
+
+def test_datasheet_counts_and_shares(spark):
+    from webgraph.text import corpus_datasheet
+
+    docs = spark.createDataFrame(
+        [
+            (0, "one two three", "en", "web"),
+            (1, "uno dos", "es", "web"),
+            (2, "a b c d e", "en", "book"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {
+        (r["source"], r["lang"]): (
+            r["n_docs"], r["n_tokens"], r["docs_share_e6"], r["tokens_share_e6"]
+        )
+        for r in corpus_datasheet(docs).collect()
+    }
+    assert got == {
+        ("web", "en"): (1, 3, 333333, 300000),
+        ("web", "es"): (1, 2, 333333, 200000),
+        ("book", "en"): (1, 5, 333333, 500000),
+    }
+
+
+def test_datasheet_plan_broadcasts_the_totals(spark):
+    from webgraph.text import corpus_datasheet
+
+    docs = spark.createDataFrame(
+        [(0, "x", "en", "web")], "doc_id long, text string, lang string, source string"
+    )
+    plan = _plan_of(corpus_datasheet(docs))
+    assert "BroadcastNestedLoopJoin" in plan and "BatchEvalPython" not in plan

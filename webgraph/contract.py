@@ -8020,6 +8020,37 @@ GROUP BY 1, 2
 QUERIES.update({"g_skipgram_pairs": (q_g_skipgram_pairs, o_g_skipgram_pairs)})
 
 
+# ------------------------------------ corpus datasheet (r05i) --
+
+
+def q_t_datasheet(spark, sf_dir):
+    """Corpus composition datasheet (text.py:corpus_datasheet): per
+    (source, lang) doc/token/char counts and micro-rounded corpus
+    shares — the first query against any new corpus drop, and the
+    target table t_mix_sources / token-budget sampling consume."""
+    from webgraph.text import corpus_datasheet
+
+    return corpus_datasheet(load(spark, sf_dir, "documents"))
+
+
+def o_t_datasheet():
+    return """
+WITH per AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens,
+    CAST(SUM(length(text)) AS BIGINT) AS n_chars
+  FROM documents GROUP BY 1, 2
+), tot AS (SELECT SUM(n_docs) AS td, SUM(n_tokens) AS tt FROM per)
+SELECT source, lang, n_docs, n_tokens, n_chars,
+  CAST(ROUND(1e6 * n_docs / td) AS BIGINT) AS docs_share_e6,
+  CAST(ROUND(1e6 * n_tokens / tt) AS BIGINT) AS tokens_share_e6
+FROM per CROSS JOIN tot
+"""
+
+
+QUERIES.update({"t_datasheet": (q_t_datasheet, o_t_datasheet)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry

@@ -1479,3 +1479,42 @@ def bpe_learn_merges(
     return spark.createDataFrame(
         merges, "round int, lhs string, rhs string, merged string, n_pairs long"
     )
+
+
+def corpus_datasheet(
+    docs: DataFrame,
+    by: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus composition report — the "datasheet" table every corpus
+    release publishes (Gebru et al. 2021 datasheets; the composition
+    tables in public corpus papers): per group, document and token
+    counts plus each group's share of the whole, micro-rounded to
+    integers so the report is engine-exact. The shares are what mixing
+    (t_mix_sources) and token-budget sampling consume as targets, so
+    this is the first query run against any new corpus drop.
+
+    Plan: one hash aggregate over the grouping keys, then a broadcast
+    cross join against the single-row totals frame (no second scan, no
+    window-over-everything sort)."""
+    toks = token_count(F.col(text_col))
+    per = docs.groupBy(*by).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+        F.sum(F.length(text_col)).cast("long").alias("n_chars"),
+    )
+    totals = per.agg(
+        F.sum("n_docs").alias("_td"), F.sum("n_tokens").alias("_tt")
+    )
+    return per.crossJoin(F.broadcast(totals)).select(
+        *by,
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_chars",
+        F.round(F.lit(1e6) * F.col("n_docs") / F.col("_td"))
+        .cast("long")
+        .alias("docs_share_e6"),
+        F.round(F.lit(1e6) * F.col("n_tokens") / F.col("_tt"))
+        .cast("long")
+        .alias("tokens_share_e6"),
+    )
