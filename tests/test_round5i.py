@@ -646,3 +646,38 @@ def test_datasheet_plan_broadcasts_the_totals(spark):
     )
     plan = _plan_of(corpus_datasheet(docs))
     assert "BroadcastNestedLoopJoin" in plan and "BatchEvalPython" not in plan
+
+
+# ----------------------------------------------- IVF recall ---------------
+
+
+def test_ivf_recall_probe_all_is_perfect(spark):
+    from webgraph.similarity import build_ivf_index, ivf_recall
+
+    emb = spark.createDataFrame(
+        [(i, [1.0 + (i * 7) % 5, 1.0 + (i * 3) % 4]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    init = [[1.0, 1.0], [5.0, 4.0]]
+    indexed, cents = build_ivf_index(emb, n_centroids=2, iters=1, init_centroids=init)
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = ivf_recall(indexed, cents, queries, k=5, nprobe=2)  # probe all
+    assert all(r["recall_e6"] == 1_000_000 for r in out.collect())
+
+
+def test_ivf_recall_single_probe_can_miss(spark):
+    from webgraph.similarity import build_ivf_index, ivf_recall
+
+    # two tight clusters; k spans both, one probe sees only one cluster
+    pts = [(i, [1.0, 1.0 + i * 0.01]) for i in range(6)] + [
+        (10 + i, [10.0, 1.0 - i * 0.01]) for i in range(6)
+    ]
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    indexed, cents = build_ivf_index(
+        emb, n_centroids=2, iters=1, init_centroids=[[1.0, 1.0], [10.0, 1.0]]
+    )
+    queries = emb.filter(F.col("vec_id") == 0)
+    full = ivf_recall(indexed, cents, queries, k=12, nprobe=2).collect()[0]
+    one = ivf_recall(indexed, cents, queries, k=12, nprobe=1).collect()[0]
+    assert full["recall_e6"] == 1_000_000
+    assert one["n_hits"] < 12  # the unprobed cluster's vectors are missed

@@ -8051,6 +8051,96 @@ FROM per CROSS JOIN tot
 QUERIES.update({"t_datasheet": (q_t_datasheet, o_t_datasheet)})
 
 
+# ------------------------------------ IVF recall evaluation (r05i) --
+
+IVFR_K = 10
+IVFR_NPROBE = 2
+IVFR_NQ = 5
+
+
+def q_e_ivf_recall(spark, sf_dir):
+    """Recall@k of the APPROXIMATE IVF regime (similarity.py:ivf_recall
+    — nprobe=2 of 4 buckets) against the exact scan, fully distributed
+    over 5 query vectors. e_ivf_topk certifies the probe-all reduction;
+    this row makes the approximate regime itself oracle-exact: portable
+    lowest-id k-means init, one Lloyd round, probe ranking and both
+    top-k rankings replayed in SQL with identical tie-breaks."""
+    from webgraph.similarity import build_ivf_index, ivf_recall
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    init = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    indexed, cents = build_ivf_index(
+        emb, n_centroids=4, iters=1, init_centroids=init
+    )
+    queries = emb.filter(F.col("vec_id") < IVFR_NQ)
+    return ivf_recall(indexed, cents, queries, k=IVFR_K, nprobe=IVFR_NPROBE)
+
+
+def o_e_ivf_recall():
+    parts = [
+        "WITH be AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
+        """px AS (SELECT vec_id, v,
+  unnest(generate_series(1, len(v))) AS pos FROM be),""",
+        "pt AS (SELECT vec_id, pos, v[CAST(pos AS INT)] AS val FROM px),",
+        "c0 AS (SELECT vec_id AS bucket, pos, val FROM pt WHERE vec_id < 4),",
+        # one Lloyd round (build_ivf_index iters=1), then final assignment
+        """d1 AS (SELECT b.vec_id, c.bucket,
+  SUM((b.val - c.val) * (b.val - c.val)) AS d2
+  FROM pt b JOIN c0 c USING (pos) GROUP BY 1, 2),""",
+        """a1 AS (SELECT vec_id, bucket FROM (
+  SELECT vec_id, bucket,
+    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, bucket) AS rn
+  FROM d1) WHERE rn = 1),""",
+        """m1 AS (SELECT a.bucket, b.pos, AVG(b.val) AS val
+  FROM pt b JOIN a1 a USING (vec_id) GROUP BY 1, 2),""",
+        """c1 AS (SELECT p.bucket, p.pos, COALESCE(m.val, p.val) AS val
+  FROM c0 p LEFT JOIN m1 m ON m.bucket = p.bucket AND m.pos = p.pos),""",
+        """d2f AS (SELECT b.vec_id, c.bucket,
+  SUM((b.val - c.val) * (b.val - c.val)) AS d2
+  FROM pt b JOIN c1 c USING (pos) GROUP BY 1, 2),""",
+        """a2 AS (SELECT vec_id, bucket FROM (
+  SELECT vec_id, bucket,
+    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, bucket) AS rn
+  FROM d2f) WHERE rn = 1),""",
+        # probe selection per query
+        f"q AS (SELECT vec_id AS qid, v AS qv FROM be WHERE vec_id < {IVFR_NQ}),",
+        f"qp AS (SELECT vec_id AS qid, pos, val FROM pt WHERE vec_id < {IVFR_NQ}),",
+        """qd AS (SELECT qp.qid, c.bucket,
+  SUM((qp.val - c.val) * (qp.val - c.val)) AS d2
+  FROM qp JOIN c1 c USING (pos) GROUP BY 1, 2),""",
+        f"""pr AS (SELECT qid, bucket FROM (
+  SELECT qid, bucket,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, bucket) AS rn
+  FROM qd) WHERE rn <= {IVFR_NPROBE}),""",
+        f"""ivf AS (SELECT qid, vid FROM (
+  SELECT pr.qid, a2.vec_id AS vid,
+    ROW_NUMBER() OVER (PARTITION BY pr.qid
+      ORDER BY list_cosine_similarity(bv.v, q.qv) DESC, a2.vec_id) AS rk
+  FROM pr JOIN a2 ON a2.bucket = pr.bucket
+  JOIN be bv ON bv.vec_id = a2.vec_id
+  JOIN q ON q.qid = pr.qid) WHERE rk <= {IVFR_K}),""",
+        f"""brute AS (SELECT qid, vid FROM (
+  SELECT q.qid, bv.vec_id AS vid,
+    ROW_NUMBER() OVER (PARTITION BY q.qid
+      ORDER BY list_cosine_similarity(bv.v, q.qv) DESC, bv.vec_id) AS rk
+  FROM q CROSS JOIN be bv) WHERE rk <= {IVFR_K}),""",
+        """hits AS (SELECT i.qid, COUNT(*) AS n FROM ivf i
+  JOIN brute b ON b.qid = i.qid AND b.vid = i.vid GROUP BY 1)""",
+        f"""SELECT q.qid, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+  CAST(ROUND(1e6 * COALESCE(h.n, 0) / {IVFR_K}) AS BIGINT) AS recall_e6
+FROM q LEFT JOIN hits h USING (qid)""",
+    ]
+    return _unrolled(parts)
+
+
+QUERIES.update({"e_ivf_recall": (q_e_ivf_recall, o_e_ivf_recall)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry

@@ -164,12 +164,21 @@ def build_ivf_index(
     vec_col: str = "embedding",
     seed: int = 42,
     iters: int = 5,
+    init_centroids: list[list[float]] | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Assign every vector to its nearest centroid bucket. At scale the
     returned frame is written partitioned by `bucket` so a query scans
-    only its nprobe buckets (partition pruning does the rest)."""
+    only its nprobe buckets (partition pruning does the rest).
+    ``init_centroids`` passes through to kmeans_centroids (the portable
+    lowest-id init the exact-oracle contract rows use)."""
     cents = kmeans_centroids(
-        emb, n_centroids, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
+        emb,
+        n_centroids,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        init_centroids=init_centroids,
     )
     base = emb.select(
         F.col(id_col).alias("id"),
@@ -591,4 +600,81 @@ def pq_topk(
         codes.select(F.col(id_col), score.alias("adc_e6"))
         .orderBy(F.asc("adc_e6"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def ivf_recall(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-query IVF evaluation — recall@k of the nprobe-probed index
+    against the exact scan, fully distributed (no per-query driver
+    loop): ``(qid, n_hits, recall_e6)`` per query. This is the
+    measurement an index owner runs before trusting nprobe at scale;
+    the contract row makes the APPROXIMATE regime (nprobe <
+    n_centroids) oracle-exact, where e_ivf_topk only certifies the
+    probe-all reduction.
+
+    Plan: queries broadcast everywhere (they are the small side by
+    construction). Probe selection = one broadcast centroid join + a
+    per-query window over n_centroids rows; IVF candidates = probes
+    joined to the index ON BUCKET (at scale: partition pruning on the
+    bucket-partitioned layout); brute force = queries x corpus, the
+    self-declared exact baseline. Both sides rank with the same
+    (cosine DESC, id ASC) window, so ties resolve identically."""
+    from pyspark.sql import Window
+
+    spark = indexed.sparkSession
+    cent_df = centroid_frame(spark, centroids)
+    q = queries.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    w_probe = Window.partitionBy("qid").orderBy("d2", "bucket")
+    probes = (
+        q.join(F.broadcast(cent_df))
+        .select("qid", "qv", "bucket", d2.alias("d2"))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= nprobe)
+        .select("qid", "qv", "bucket")
+    )
+    base = indexed.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"), "bucket"
+    )
+    cos = dot(F.col("v"), F.col("qv")) / (l2_norm(F.col("v")) * l2_norm(F.col("qv")))
+    w_rank = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vid"))
+
+    def topk(scored):
+        return (
+            scored.withColumn("_rk", F.row_number().over(w_rank))
+            .filter(F.col("_rk") <= k)
+            .select("qid", "vid")
+        )
+
+    ivf = topk(
+        F.broadcast(probes).join(base, "bucket").select("qid", "vid", cos.alias("cos"))
+    )
+    brute = topk(base.join(F.broadcast(q)).select("qid", "vid", cos.alias("cos")))
+    hits = ivf.join(brute, ["qid", "vid"]).groupBy("qid").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        q.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.lit(1e6) * F.coalesce("n_hits", F.lit(0)) / k)
+            .cast("long")
+            .alias("recall_e6"),
+        )
     )
