@@ -983,8 +983,9 @@ def q_e_ivf_topk(spark, sf_dir):
     bucket assignment -> probe). Contract mode probes ALL buckets
     (nprobe = n_centroids), which reduces IVF to exact brute force — so
     the DuckDB brute-force SQL is an exact oracle of the whole pipeline's
-    plumbing. The approximate regime (nprobe < n_centroids) is pinned by
-    the pytest recall test instead."""
+    plumbing. The approximate regime (nprobe < n_centroids) has its own
+    exact oracle since r05i — e_ivf_recall — plus the pytest recall
+    pin."""
     from webgraph.similarity import build_ivf_index, ivf_topk
 
     emb = load(spark, sf_dir, "embeddings")
