@@ -681,3 +681,50 @@ def test_ivf_recall_single_probe_can_miss(spark):
     one = ivf_recall(indexed, cents, queries, k=12, nprobe=1).collect()[0]
     assert full["recall_e6"] == 1_000_000
     assert one["n_hits"] < 12  # the unprobed cluster's vectors are missed
+
+
+# ----------------------------------------------- perceptual hashing -------
+
+
+def test_ahash_bits_from_injected_thumbnailer(spark):
+    from webgraph.multimodal import image_ahash
+
+    # thumbnail = 16 high pixels then 48 low: bits 1..16 set -> b0 =
+    # 0xFFFF, b1..b3 = 0 (mean = 4, high 16 > mean, low 0 not).
+    def thumb(data):
+        return [16] * 16 + [0] * 48
+
+    assets = spark.createDataFrame(
+        [(1, "image/png", bytearray(b"x"))], "asset_id long, mime string, media binary"
+    )
+    r = image_ahash(assets, thumb_fn=thumb).collect()[0]
+    assert (r["b0"], r["b1"], r["b2"], r["b3"]) == (0xFFFF, 0, 0, 0)
+
+
+def test_phash_near_pairs_banding_is_lossless_at_radius_3(spark):
+    from webgraph.multimodal import phash_near_pairs
+
+    # a/b differ in 3 bits of band 0 only (hamming 3: kept, bands 1-3
+    # equal); a/c differ in one bit per band (hamming 4: dropped).
+    rows = [
+        (1, 0b111, 10, 20, 30),
+        (2, 0b000, 10, 20, 30),
+        (3, 0b110, 11, 21, 31),
+    ]
+    hashed = spark.createDataFrame(
+        rows, "asset_id long, b0 long, b1 long, b2 long, b3 long"
+    )
+    got = {(r["a"], r["b"]): r["hamming"] for r in phash_near_pairs(hashed, 3).collect()}
+    assert got == {(1, 2): 3}
+
+
+def test_phash_identical_media_is_hamming_zero(spark):
+    from webgraph.multimodal import image_ahash, phash_near_pairs
+
+    assets = spark.createDataFrame(
+        [(1, "image/png", bytearray(b"same")), (2, "image/png", bytearray(b"same")),
+         (3, "image/png", bytearray(b"other payload entirely"))],
+        "asset_id long, mime string, media binary",
+    )
+    got = [tuple(r) for r in phash_near_pairs(image_ahash(assets)).collect()]
+    assert got == [(1, 2, 0)]

@@ -8142,6 +8142,91 @@ FROM q LEFT JOIN hits h USING (qid)""",
 QUERIES.update({"e_ivf_recall": (q_e_ivf_recall, o_e_ivf_recall)})
 
 
+# ------------------------------------ perceptual media hashing (r05i) --
+
+_AHASH_NIBBLE_SQL = """
+nib AS (SELECT asset_id, h, unnest(generate_series(1, 64)) AS i FROM a),
+vg AS (SELECT asset_id, i,
+  CAST(('0x' || substr(h, CAST(i AS INT), 1)) AS INTEGER) AS g FROM nib),
+tot AS (SELECT asset_id, SUM(g) AS tg FROM vg GROUP BY 1),
+bits AS (SELECT vg.asset_id, vg.i,
+  CASE WHEN 64 * vg.g > tot.tg THEN 1 ELSE 0 END AS bit
+  FROM vg JOIN tot USING (asset_id)),
+bands AS (SELECT asset_id, CAST((i - 1) // 16 AS INT) AS band,
+  SUM(bit * (CAST(1 AS BIGINT) << CAST(15 - ((i - 1) % 16) AS INT))) AS val
+  FROM bits GROUP BY 1, 2),
+hh AS (SELECT asset_id,
+  CAST(MAX(CASE WHEN band = 0 THEN val END) AS BIGINT) AS b0,
+  CAST(MAX(CASE WHEN band = 1 THEN val END) AS BIGINT) AS b1,
+  CAST(MAX(CASE WHEN band = 2 THEN val END) AS BIGINT) AS b2,
+  CAST(MAX(CASE WHEN band = 3 THEN val END) AS BIGINT) AS b3
+  FROM bands GROUP BY 1)
+"""
+
+
+def q_m_image_ahash(spark, sf_dir):
+    """Perceptual average-hash per image asset (multimodal.py:
+    image_ahash): 8x8 thumbnail -> above-mean bits -> four 16-bit band
+    values, through the Arrow mapInPandas seam. The stub thumbnailer
+    (sha256 hex nibbles) is deterministic and SQL-replayable; PIL's
+    resize+grayscale slots into `thumb_fn=` with zero plumbing change."""
+    from webgraph.multimodal import image_ahash
+
+    docs = load(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image/png").alias("mime"),
+        F.col("text").cast("binary").alias("media"),
+    )
+    return image_ahash(assets)
+
+
+def o_m_image_ahash():
+    return f"""
+WITH a AS (SELECT doc_id AS asset_id, sha256(text) AS h FROM documents),
+{_AHASH_NIBBLE_SQL}
+SELECT asset_id, b0, b1, b2, b3 FROM hh
+"""
+
+
+QUERIES.update({"m_image_ahash": (q_m_image_ahash, o_m_image_ahash)})
+
+
+def q_m_phash_dup_pairs(spark, sf_dir):
+    """Perceptual near-duplicate pairs over the duplicated asset corpus
+    (multimodal.py:phash_near_pairs): SimHash-style 4x16-bit banding —
+    hamming <= 3 pigeonholes into at least one exactly-matching band,
+    so candidates come from 16-bit equi-joins (never all pairs) and the
+    full xor+bit_count Hamming verifies. The oracle IS the all-pairs
+    SQL, certifying the banded path is lossless at this radius."""
+    from webgraph.multimodal import image_ahash, phash_near_pairs
+
+    docs = _dup_docs(spark, sf_dir)
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image/png").alias("mime"),
+        F.col("text").cast("binary").alias("media"),
+    )
+    return phash_near_pairs(image_ahash(assets), max_hamming=3)
+
+
+def o_m_phash_dup_pairs():
+    ham = " + ".join(f"bit_count(xor(x.b{k}, y.b{k}))" for k in range(4))
+    return f"""
+WITH a AS (
+  SELECT doc_id AS asset_id, sha256(text) AS h FROM documents
+  UNION ALL SELECT doc_id + {DUP_SHIFT}, sha256(text) FROM documents
+),
+{_AHASH_NIBBLE_SQL}
+SELECT x.asset_id AS a, y.asset_id AS b, CAST({ham} AS BIGINT) AS hamming
+FROM hh x JOIN hh y ON x.asset_id < y.asset_id
+WHERE {ham} <= 3
+"""
+
+
+QUERIES.update({"m_phash_dup_pairs": (q_m_phash_dup_pairs, o_m_phash_dup_pairs)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry

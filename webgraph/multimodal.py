@@ -203,3 +203,111 @@ def synthetic_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
         payload = hashlib.sha256(f"{seed}-{i}".encode()).digest() * (1 + i % 7)
         rows.append((i, bytearray(payload), mimes[i % len(mimes)], {"src": f"s{i%3}"}))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("b0", T.LongType()),
+        T.StructField("b1", T.LongType()),
+        T.StructField("b2", T.LongType()),
+        T.StructField("b3", T.LongType()),
+    ]
+)
+
+
+def _fake_thumbnail(data: bytes) -> list[int]:
+    """Stub 8x8 grayscale thumbnail: the 64 sha256 hex nibbles (0..15)
+    of the payload. A REAL thumbnailer (PIL resize((8, 8)) ->
+    convert('L')) has this exact signature — bytes in, 64 ints out —
+    and slots into image_ahash via the `thumb_fn=` seam."""
+    h = hashlib.sha256(data or b"").hexdigest()
+    return [int(c, 16) for c in h]
+
+
+def image_ahash(assets: DataFrame, thumb_fn=None) -> DataFrame:
+    """Perceptual average-hash (aHash) of every image asset — the
+    classic media near-dup fingerprint (8x8 grayscale thumbnail, bit i
+    set iff pixel i is above the thumbnail mean; re-encodes, format
+    shifts and mild recompression keep most bits). Returned as FOUR
+    16-bit band values (b0..b3, bits MSB-first) rather than one 64-bit
+    value: the bands are the LSH join keys downstream
+    (phash_near_pairs), and staying in [0, 2^16) sidesteps signed-long
+    edge cases in both engines.
+
+    The thumbnail is the codec seam (`thumb_fn(data) -> 64 ints`; stub
+    = sha256 hex nibbles, deterministic and SQL-replayable); the mean
+    comparison is exact integer arithmetic: bit_i = 64*g_i > sum(g),
+    no float mean. Arrow mapInPandas, payload dropped inside the batch
+    — downstream shuffles 4 longs per asset, never the blob."""
+    thumb = thumb_fn or _fake_thumbnail
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["media"]):
+                g = thumb(bytes(payload) if payload is not None else b"")
+                total = sum(g)
+                bits = [1 if 64 * v > total else 0 for v in g]
+                bands = [
+                    sum(b << (15 - j) for j, b in enumerate(bits[k * 16 : k * 16 + 16]))
+                    for k in range(4)
+                ]
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "b0": bands[0],
+                        "b1": bands[1],
+                        "b2": bands[2],
+                        "b3": bands[3],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return assets.filter(F.col("mime").startswith("image/")).select(
+        "asset_id", "media"
+    ).mapInPandas(batch_fn, schema=AHASH_SCHEMA)
+
+
+def phash_near_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(a, b, hamming) pairs of perceptually near-duplicate assets. The
+    SimHash banding argument, exact by pigeonhole: two 64-bit hashes
+    within hamming distance 3 differ in at most 3 of the 4 bands, so at
+    least one band matches EXACTLY — candidates are 4 equi-joins on a
+    16-bit key (never all pairs), then the full Hamming distance
+    (xor + bit_count over the four bands, pure codegen) verifies."""
+    long_form = hashed.select(
+        "asset_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("band"), F.col(f"b{k}").alias("v"))
+                    for k in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("asset_id", F.col("bk.band").alias("band"), F.col("bk.v").alias("v"))
+    cands = (
+        long_form.select("band", "v", F.col("asset_id").alias("a"))
+        .join(long_form.select("band", "v", F.col("asset_id").alias("b")), ["band", "v"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    ha = hashed.select(
+        F.col("asset_id").alias("a"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],
+    )
+    hb = hashed.select(
+        F.col("asset_id").alias("b"),
+        *[F.col(f"b{k}").alias(f"bb{k}") for k in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"bb{k}"))) for k in range(4)
+    )
+    return (
+        cands.join(ha, "a")
+        .join(hb, "b")
+        .select("a", "b", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
