@@ -728,3 +728,19 @@ def test_phash_identical_media_is_hamming_zero(spark):
     )
     got = [tuple(r) for r in phash_near_pairs(image_ahash(assets)).collect()]
     assert got == [(1, 2, 0)]
+
+
+def test_frame_dedup_groups_identical_frames_across_assets(spark):
+    from webgraph.multimodal import frame_dedup_groups
+
+    frames = spark.createDataFrame(
+        [
+            (1, 0, 0, "hA"), (1, 1, 1000, "hB"),
+            (2, 0, 0, "hA"),                      # same frame, other asset
+            (2, 1, 1000, "hA"),                   # and repeated within it
+            (3, 0, 0, "hC"),                      # unique: dropped
+        ],
+        "asset_id long, frame_idx int, ts_ms long, frame_sha256 string",
+    )
+    rows = [tuple(r) for r in frame_dedup_groups(frames).collect()]
+    assert rows == [(3, 2, 1)]  # hA: 3 copies, 2 assets, first asset 1

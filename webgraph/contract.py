@@ -8227,6 +8227,45 @@ WHERE {ham} <= 3
 QUERIES.update({"m_phash_dup_pairs": (q_m_phash_dup_pairs, o_m_phash_dup_pairs)})
 
 
+def q_m_frame_dedup(spark, sf_dir):
+    """Cross-video frame dedup (multimodal.py:frame_dedup_groups) over
+    the duplicated asset corpus: byte-identical frames group across
+    assets. The engine-side frame_sha256 key is projected out; the
+    oracle groups by the (payload, frame_idx) identity the stub hash
+    encodes (the c_block_clones pattern)."""
+    from webgraph.multimodal import frame_dedup_groups, sample_video_frames
+
+    assets = _dup_docs(spark, sf_dir).select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video/mp4").alias("mime"),
+        F.col("text").cast("binary").alias("media"),
+    )
+    frames = sample_video_frames(assets, every_ms=1000, max_frames=16)
+    return frame_dedup_groups(frames)
+
+
+def o_m_frame_dedup():
+    return f"""
+WITH a AS (
+  SELECT doc_id AS asset_id, text,
+    LEAST(16, GREATEST(1, octet_length(encode(text)) // 64)) AS n
+  FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_SHIFT}, text,
+    LEAST(16, GREATEST(1, octet_length(encode(text)) // 64))
+  FROM documents
+),
+fr AS (SELECT asset_id, text, i FROM a, LATERAL unnest(range(0, n)) t(i))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_copies,
+  CAST(COUNT(DISTINCT asset_id) AS BIGINT) AS n_assets,
+  MIN(asset_id) AS first_asset
+FROM fr GROUP BY text, i HAVING COUNT(*) >= 2
+"""
+
+
+QUERIES.update({"m_frame_dedup": (q_m_frame_dedup, o_m_frame_dedup)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry

@@ -311,3 +311,34 @@ def phash_near_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select("a", "b", hamming.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def frame_dedup_groups(frames: DataFrame, min_copies: int = 2) -> DataFrame:
+    """Cross-video frame-level dedup: group byte-identical frames (by
+    frame_sha256) across assets — re-uploads, clips and re-encodes of
+    the same footage share frame hashes, and the duplicate-frame report
+    is the first signal a video-corpus dedup pass acts on. Returns one
+    row per duplicated frame group: (n_copies, n_assets, first_asset).
+
+    block_clones economics (code.py:312): frames are already hash-sized
+    rows (the sampler dropped pixels batch-side), so both aggregates —
+    the (sha, asset) collapse, then the sha group — move 8-byte-ish keys
+    with map-side combining absorbing hot-frame skew (stills, slates,
+    black frames)."""
+    per_asset = frames.groupBy("frame_sha256", "asset_id").agg(
+        F.count("*").alias("n")
+    )
+    return (
+        per_asset.groupBy("frame_sha256")
+        .agg(
+            F.sum("n").alias("n_copies"),
+            F.count("*").alias("n_assets"),
+            F.min("asset_id").alias("first_asset"),
+        )
+        .filter(F.col("n_copies") >= min_copies)
+        .select(
+            F.col("n_copies").cast("long").alias("n_copies"),
+            F.col("n_assets").cast("long").alias("n_assets"),
+            "first_asset",
+        )
+    )
