@@ -744,3 +744,24 @@ def test_frame_dedup_groups_identical_frames_across_assets(spark):
     )
     rows = [tuple(r) for r in frame_dedup_groups(frames).collect()]
     assert rows == [(3, 2, 1)]  # hA: 3 copies, 2 assets, first asset 1
+
+
+# ----------------------------------------------- webgraph ascii export ----
+
+
+def test_webgraph_ascii_export_roundtrip(spark, tmp_path):
+    from webgraph.export import export_webgraph_ascii
+
+    edges = spark.createDataFrame(
+        [(0, 7), (0, 2), (5, 1), (5, 9), (5, 3)], "src long, dst long"
+    )
+    out = export_webgraph_ascii(edges, str(tmp_path / "g"), partitions=2)
+    import glob
+
+    lines = []
+    for p in sorted(glob.glob(f"{out}/part-*")):
+        with open(p) as f:
+            lines += [ln.rstrip("\n") for ln in f if ln.strip()]
+    # one line per src, successors ascending, global src order after
+    # filename-ordered concatenation
+    assert lines == ["0 2 7", "5 1 3 9"]

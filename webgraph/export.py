@@ -77,3 +77,39 @@ def export_neo4j_csv(g: GraphTables, out_dir: str) -> dict[str, str]:
         REL_COLUMNS,
     )
     return {"nodes": nodes_path, "relationships": rels_path}
+
+
+def export_webgraph_ascii(
+    edges: DataFrame, out_dir: str, partitions: int = 32
+) -> str:
+    """ASCII adjacency-list export in the WebGraph framework's graph-txt
+    shape (Boldi & Vigna's toolchain ingests it with ASCIIGraph: one
+    line per source, successors sorted ascending, space-separated —
+    public format, documented in the WebGraph distribution): the
+    hand-off that lets the compression toolchain g_gap_stats SIZES
+    actually build the compressed graph.
+
+    Written distributed: edges range-partitioned by src (so part files
+    cover disjoint, ordered src ranges — concatenating parts in
+    filename order yields one globally src-sorted file), successors
+    sorted inside a per-src hash aggregate (sort_array over the
+    collected list — per-row work bounded by out-degree, the bounded
+    direction), no driver collect. Returns the output directory."""
+    adj = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("succ"))
+        .select(
+            "src",
+            F.concat_ws(
+                " ",
+                F.col("src").cast("string"),
+                F.concat_ws(" ", F.transform("succ", lambda d: d.cast("string"))),
+            ).alias("line"),
+        )
+        .repartitionByRange(partitions, "src")
+        .sortWithinPartitions("src")
+        .select("line")
+    )
+    adj.write.mode("overwrite").text(out_dir)
+    return out_dir
