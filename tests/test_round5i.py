@@ -765,3 +765,22 @@ def test_webgraph_ascii_export_roundtrip(spark, tmp_path):
     # one line per src, successors ascending, global src order after
     # filename-ordered concatenation
     assert lines == ["0 2 7", "5 1 3 9"]
+
+
+# ----------------------------------------------- composed frontier --------
+
+
+def test_frontier_composition_denies_robots_and_batches_by_host(spark):
+    from webgraph.contract import q_f_frontier
+
+    rows = q_f_frontier(spark, "/root/testdata/sf0.001").collect()
+    # paths starting /p/1 are robots-denied
+    assert all("/p/1" != r["url"].split(".com")[1][:4] for r in rows)
+    assert not any(r["url"].endswith("/p/1") for r in rows)
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append((r["rank_in_host"], r["batch"]))
+    for host, pairs in by_host.items():
+        ranks = sorted(p[0] for p in pairs)
+        assert ranks == list(range(1, len(ranks) + 1))  # dense per-host rank
+        assert all(b == (rk - 1) // 3 for rk, b in pairs)  # rounds of 3

@@ -8266,6 +8266,84 @@ FROM fr GROUP BY text, i HAVING COUNT(*) >= 2
 QUERIES.update({"m_frame_dedup": (q_m_frame_dedup, o_m_frame_dedup)})
 
 
+# ------------------------------------ composed crawl frontier (r05i) --
+
+
+def q_f_frontier(spark, sf_dir):
+    """END-TO-END crawl frontier — the crawl-side composition twin of
+    d_clean_corpus: OPIC importance over the link graph ranks pages,
+    the RFC 9309 robots filter drops excluded paths, and the politeness
+    scheduler cuts each host's survivors into fetch rounds. One
+    composed oracle certifies the full pipeline: importance micro-
+    rounded to integers BEFORE ranking so the schedule is engine-exact."""
+    from webgraph.algos.opic import opic
+    from webgraph.filters import crawl_schedule, robots_filter
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    prio = opic(g, iters=OPIC_ITERS).select(
+        "vid", F.round(F.col("history") * 1e6).cast("long").alias("prio")
+    )
+    host = F.concat(F.lit("h"), (F.col("vid") % 20).cast("string"),
+                    F.lit(".example.com"))
+    path = F.concat(F.lit("/p/"), F.col("vid").cast("string"))
+    pages = g.vertices.select("vid", host.alias("host"), path.alias("path"))
+    rules = spark.range(20).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example.com"))
+        .alias("host"),
+        F.explode(
+            F.array(
+                F.struct(F.lit("/p/1").alias("prefix"), F.lit(False).alias("allow")),
+                F.struct(F.lit("/").alias("prefix"), F.lit(True).alias("allow")),
+            )
+        ).alias("r"),
+    ).select("host", F.col("r.prefix").alias("prefix"), F.col("r.allow").alias("allow"))
+    allowed = (
+        robots_filter(pages, rules, key_col="vid")
+        .filter(F.col("allowed"))
+        .join(prio, "vid")
+        .select(
+            F.concat(F.lit("https://"), F.col("host"), F.col("path")).alias("url"),
+            "host",
+            "prio",
+        )
+    )
+    return crawl_schedule(
+        allowed, host_col="host", priority_col="prio", per_host_batch=3
+    )
+
+
+def o_f_frontier():
+    op = o_g_opic()
+    return f"""
+WITH op AS (SELECT vid, history_e6 AS prio FROM ({op})),
+pg AS (SELECT vid,
+  'h' || CAST(vid % 20 AS VARCHAR) || '.example.com' AS host,
+  '/p/' || CAST(vid AS VARCHAR) AS path
+  FROM (SELECT vid FROM op)),
+rules AS (SELECT 'h' || CAST(k AS VARCHAR) || '.example.com' AS host,
+  p.prefix, p.allow
+  FROM range(0, 20) t(k), (VALUES ('/p/1', FALSE), ('/', TRUE)) p(prefix, allow)),
+m AS (SELECT vid, allow FROM (
+  SELECT pg.vid, r.allow,
+    ROW_NUMBER() OVER (PARTITION BY pg.vid
+      ORDER BY length(r.prefix) DESC, CAST(r.allow AS INT) DESC) AS rn
+  FROM pg JOIN rules r ON r.host = pg.host AND starts_with(pg.path, r.prefix)
+) WHERE rn = 1),
+al AS (SELECT pg.vid, pg.host, 'https://' || pg.host || pg.path AS url
+  FROM pg LEFT JOIN m USING (vid) WHERE COALESCE(m.allow, TRUE)),
+rk AS (SELECT al.url, al.host,
+  ROW_NUMBER() OVER (PARTITION BY al.host
+    ORDER BY op.prio DESC, al.url ASC) AS rank_in_host
+  FROM al JOIN op USING (vid))
+SELECT url, host, CAST(rank_in_host AS BIGINT) AS rank_in_host,
+  CAST((rank_in_host - 1) // 3 AS BIGINT) AS batch
+FROM rk
+"""
+
+
+QUERIES.update({"f_frontier": (q_f_frontier, o_f_frontier)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry
