@@ -1,0 +1,66 @@
+"""Round-5j: code-graph compositions — import-graph PageRank and
+dead-module BFS (contract queries c_import_rank / c_dead_modules)."""
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _expected_module_graph():
+    """Closed-form seeded import graph: module m has edges m -> 7m % 50
+    and m -> 13m % 50 (self-loops dropped), restricted to modules that
+    appear on at least one surviving edge."""
+    edges = set()
+    for m in range(50):
+        for d in (7 * m % 50, 13 * m % 50):
+            if d != m:
+                edges.add((m, d))
+    nodes = {v for e in edges for v in e}
+    return nodes, edges
+
+
+def test_import_rank_covers_graph_and_sums_to_one(spark):
+    from webgraph.contract import q_c_import_rank
+
+    nodes, _ = _expected_module_graph()
+    rows = q_c_import_rank(spark, SF).collect()
+    assert {r["module"] for r in rows} == {f"m{v}" for v in nodes}
+    # ranks are a probability vector (e6 units, rounding slack)
+    total = sum(r["rank_e6"] for r in rows)
+    assert abs(total - 1_000_000) <= len(rows)
+
+
+def test_dead_modules_match_python_closure(spark):
+    from webgraph.contract import (
+        DEAD_MODULE_ENTRIES,
+        q_c_dead_modules,
+    )
+
+    nodes, edges = _expected_module_graph()
+    # plain-python BFS closure from the entry modules
+    frontier = set(DEAD_MODULE_ENTRIES)
+    reached = set(frontier)
+    while frontier:
+        frontier = {
+            d for (s, d) in edges if s in frontier and d not in reached
+        }
+        reached |= frontier
+    rows = q_c_dead_modules(spark, SF).collect()
+    assert {r["module"] for r in rows} == {f"m{v}" for v in nodes}
+    got_reached = {r["module"] for r in rows if r["reachable"]}
+    assert got_reached == {f"m{v}" for v in reached}
+    # entry modules sit at depth 0
+    for r in rows:
+        if r["module"] in {f"m{s}" for s in DEAD_MODULE_ENTRIES}:
+            assert r["depth"] == 0
+
+
+def test_import_rank_plan_is_jvm_only(spark):
+    """The composition inherits the engine's hot-path rules: no per-row
+    Python, no cartesian product in the physical plan."""
+    from webgraph.contract import q_c_import_rank
+
+    df = q_c_import_rank(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
