@@ -55,6 +55,39 @@ def test_dead_modules_match_python_closure(spark):
             assert r["depth"] == 0
 
 
+def test_ccnet_buckets_balanced_and_partition_independent(spark):
+    from webgraph.text import ccnet_buckets
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = ccnet_buckets(docs, n_buckets=3).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["bucket"], set()).add(r["doc_id"])
+    # equal-population thirds (within 1 by integer cuts)
+    sizes = sorted(len(v) for v in by.values())
+    assert set(by) == {"head", "middle", "tail"}
+    assert sizes[-1] - sizes[0] <= 1
+    # head is the low-perplexity stratum
+    ppl = {r["doc_id"]: r["ppl_mnat"] for r in rows}
+    assert max(ppl[d] for d in by["head"]) <= min(ppl[d] for d in by["tail"])
+    # stratum assignment survives a different physical partitioning
+    rows2 = ccnet_buckets(docs.repartition(7), n_buckets=3).collect()
+    assert {(r["doc_id"], r["bucket"]) for r in rows2} == {
+        (r["doc_id"], r["bucket"]) for r in rows
+    }
+
+
+def test_bpe_tokenize_stats_compresses(spark):
+    from webgraph.text import bpe_tokenize_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = bpe_tokenize_stats(docs, n_merges=3).collect()
+    assert rows, "corpus has non-empty normalized prefixes"
+    assert all(0 < r["n_tokens"] <= r["n_chars"] for r in rows)
+    # the learned merges fire somewhere: total symbols strictly shrink
+    assert sum(r["n_tokens"] for r in rows) < sum(r["n_chars"] for r in rows)
+
+
 def test_import_rank_plan_is_jvm_only(spark):
     """The composition inherits the engine's hot-path rules: no per-row
     Python, no cartesian product in the physical plan."""

@@ -7334,7 +7334,11 @@ def q_t_bpe_merges(spark, sf_dir):
     )
 
 
-def o_t_bpe_merges():
+def _bpe_sym_parts():
+    """Shared oracle CTE chain: normalized corpus -> symbol rows ->
+    BPE_MERGES unrolled learn-and-apply rounds; sym{BPE_MERGES} is the
+    corpus tokenized under the learned merges. o_t_bpe_merges reads the
+    per-round winners off it, o_t_apply_bpe the final symbol state."""
     parts = [
         f"""WITH base AS (SELECT doc_id,
   substr(regexp_replace(lower(text), '[^a-z]', '', 'g'), 1, {BPE_PREFIX}) AS s
@@ -7367,6 +7371,11 @@ def o_t_bpe_merges():
   LEFT JOIN st{r} dr ON dr.doc_id = q.doc_id AND dr.seq = q.seq - 1
   WHERE dr.doc_id IS NULL),""",
         ]
+    return parts
+
+
+def o_t_bpe_merges():
+    parts = _bpe_sym_parts()
     tail = "\n".join(
         f"UNION ALL SELECT {r}, lhs, rhs, lhs || rhs, CAST(n_pairs AS BIGINT) FROM top{r}"
         for r in range(2, BPE_MERGES + 1)
@@ -8491,6 +8500,72 @@ QUERIES.update(
     {
         "c_import_rank": (q_c_import_rank, o_c_import_rank),
         "c_dead_modules": (q_c_dead_modules, o_c_dead_modules),
+    }
+)
+
+
+# --------------------------------------------- text-pipeline round-5j --
+
+
+def q_t_ccnet_buckets(spark, sf_dir):
+    """CCNet perplexity bucketing (text.py:ccnet_buckets — Wenzek et al.
+    2020): the corpus cut into head/middle/tail thirds by self-trained
+    bigram-LM perplexity. Rank is the distributed exact protocol (range
+    partition + per-partition counts -> broadcast offsets), NOT a
+    single-task global window; ordering is IEEE-double division with id
+    tie-break, so strata are engine-exact."""
+    from webgraph.text import ccnet_buckets
+
+    return ccnet_buckets(load(spark, sf_dir, "documents"), n_buckets=3, k=0.1)
+
+
+def o_t_ccnet_buckets():
+    lm = o_t_bigram_lm().strip()
+    return f"""
+WITH lm AS (
+{lm}
+),
+rk AS (SELECT doc_id, nll_e6, n_bigrams,
+  ROW_NUMBER() OVER (ORDER BY CAST(nll_e6 AS DOUBLE) / n_bigrams, doc_id) AS r,
+  COUNT(*) OVER () AS n
+  FROM lm)
+SELECT doc_id, nll_e6 // n_bigrams AS ppl_mnat,
+  CASE ((r - 1) * 3) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM rk
+"""
+
+
+def q_t_apply_bpe(spark, sf_dir):
+    """Tokenizer application (text.py:bpe_tokenize_stats): per-document
+    char->token compression under the merges t_bpe_merges learns. The
+    training loop already maintains the merged symbol state, so serving
+    costs one count aggregate; the oracle reads the same unrolled
+    sym-state chain t_bpe_merges certifies."""
+    from webgraph.text import bpe_tokenize_stats
+
+    return bpe_tokenize_stats(
+        load(spark, sf_dir, "documents"),
+        n_merges=BPE_MERGES,
+        prefix_chars=BPE_PREFIX,
+    )
+
+
+def o_t_apply_bpe():
+    parts = _bpe_sym_parts()
+    parts[-1] = parts[-1].rstrip().rstrip(",")
+    parts.append(
+        f"SELECT sy.doc_id, CAST(len(b.s) AS BIGINT) AS n_chars, "
+        f"COUNT(*) AS n_tokens FROM sym{BPE_MERGES} sy "
+        "JOIN base b ON b.doc_id = sy.doc_id GROUP BY sy.doc_id, b.s"
+    )
+    return _unrolled(parts)
+
+
+QUERIES.update(
+    {
+        "t_ccnet_buckets": (q_t_ccnet_buckets, o_t_ccnet_buckets),
+        "t_apply_bpe": (q_t_apply_bpe, o_t_apply_bpe),
     }
 )
 

@@ -1310,6 +1310,76 @@ def bigram_lm_score(
     )
 
 
+def ccnet_buckets(
+    df: DataFrame,
+    n_buckets: int = 3,
+    k: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partitions: int | None = None,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    score every document under the self-trained add-k bigram LM
+    (bigram_lm_score), order the corpus by per-bigram perplexity, and cut
+    it into ``n_buckets`` equal-population strata — head (lowest
+    perplexity = most fluent), middle, tail. Returns
+    ``(id, ppl_mnat, bucket)``: ppl_mnat is the integer micro-nats-per-
+    bigram readout (``nll_e6 DIV n_bigrams``, engine-exact) and bucket is
+    'head'/'middle'/'tail' for the default 3, the stratum index as a
+    string otherwise. Documents with < 2 tokens are absent (no bigram
+    evidence — bigram_lm_score's contract).
+
+    Scale shape: NO single-task global window. The global rank reuses the
+    token_prefix_sums protocol: repartitionByRange on the (ppl, id) sort
+    key, one per-partition row count (<= #partitions rows) -> driver
+    offsets -> broadcast back, row_number within partitions + offset.
+    Ordering is by IEEE-double division nll_e6 / n_bigrams — bit-identical
+    rounding in any engine — with ties broken by id, so the stratum
+    assignment is deterministic and partition-independent.
+    """
+    from pyspark.sql import Window
+
+    if n_buckets < 1:
+        raise ValueError(f"ccnet_buckets: n_buckets must be >= 1, got {n_buckets}")
+    spark = df.sparkSession
+    sc = bigram_lm_score(df, k=k, id_col=id_col, text_col=text_col).select(
+        id_col,
+        (F.col("nll_e6").cast("double") / F.col("n_bigrams")).alias("_ppl"),
+        F.expr("nll_e6 DIV n_bigrams").alias("ppl_mnat"),
+    )
+    parts = partitions or spark.sparkContext.defaultParallelism
+    d = (
+        sc.repartitionByRange(parts, "_ppl", id_col)
+        .withColumn("_p", F.spark_partition_id())
+        .persist()
+    )
+    counts = sorted(
+        (r["_p"], r["c"])
+        for r in d.groupBy("_p").agg(F.count("*").alias("c")).collect()
+    )
+    offsets, acc = [], 0
+    for p, c in counts:
+        offsets.append((p, acc))
+        acc += c
+    n_total = acc
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_p int, _off long")
+    w = Window.partitionBy("_p").orderBy("_ppl", id_col)
+    ranked = d.join(F.broadcast(off_df), "_p").withColumn(
+        "_r", F.col("_off") + F.row_number().over(w)
+    )
+    idx = F.expr(f"((_r - 1) * {int(n_buckets)}) DIV {max(int(n_total), 1)}")
+    if n_buckets == 3:
+        bucket = (
+            F.when(idx == 0, F.lit("head"))
+            .when(idx == 1, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+    else:
+        bucket = idx.cast("string")
+    return ranked.select(id_col, "ppl_mnat", bucket.alias("bucket"))
+
+
 def dup_ngram_fraction(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1375,6 +1445,7 @@ def bpe_learn_merges(
     text_col: str = "text",
     id_col: str = "doc_id",
     prefix_chars: int = 24,
+    return_state: bool = False,
 ) -> DataFrame:
     """Learn the first ``n_merges`` byte-pair-encoding merge rules from a
     corpus (Sennrich, Haddow & Birch 2016, "Neural Machine Translation of
@@ -1476,8 +1547,48 @@ def bpe_learn_merges(
         )
         cur = truncate_lineage(cur)
 
-    return spark.createDataFrame(
+    merges_df = spark.createDataFrame(
         merges, "round int, lhs string, rhs string, merged string, n_pairs long"
+    )
+    if return_state:
+        # (merges, final symbol state): ``cur`` IS the corpus tokenized
+        # under the learned merge sequence — the serving half of the
+        # tokenizer at zero extra rounds (the loop maintained it anyway).
+        return merges_df, cur
+    return merges_df
+
+
+def bpe_tokenize_stats(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_chars: int = 24,
+) -> DataFrame:
+    """Tokenizer APPLICATION: run the learned BPE merge sequence over the
+    corpus and report per-document compression — ``(doc_id, n_chars,
+    n_tokens)`` with n_chars the normalized-prefix character count and
+    n_tokens the surviving symbol count after all merges (n_chars -
+    n_tokens = merge operations that landed in the document). This is
+    the serving-side half of bpe_learn_merges, which already maintains
+    the merged symbol state per round — application costs zero extra
+    iteration rounds, just one per-doc count aggregate. Documents whose
+    normalized prefix is empty are absent (they carry no symbols).
+
+    Scale shape: inherits the training loop's doc-partitioned windows
+    (uniform shuffle key, fixed exchanges per round) plus ONE map-side-
+    combining count aggregate at the end."""
+    _, cur = bpe_learn_merges(
+        docs, n_merges, text_col, id_col, prefix_chars, return_state=True
+    )
+    s = F.substring(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", ""), 1, prefix_chars
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.length(s).cast("long").alias("n_chars")
+    ).filter(F.col("n_chars") > 0)
+    return base.join(
+        cur.groupBy("doc_id").agg(F.count("*").alias("n_tokens")), "doc_id"
     )
 
 
