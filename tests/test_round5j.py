@@ -88,6 +88,26 @@ def test_bpe_tokenize_stats_compresses(spark):
     assert sum(r["n_tokens"] for r in rows) < sum(r["n_chars"] for r in rows)
 
 
+def test_late_events_drops_and_never_duplicates(spark):
+    """The append-mode watermark drain: (a) holds back still-open tail
+    windows vs the batch answer, (b) emits every finalized (window,
+    type) key exactly once — duplicates would mean late wave-2 rows
+    re-created evicted state, i.e. the late filter did NOT drop them."""
+    import pyspark.sql.functions as F
+
+    from webgraph.contract import q_s_late_events, load
+
+    res = q_s_late_events(spark, SF).cache()
+    keys = res.select("hour_epoch", "event_type")
+    assert keys.count() == keys.distinct().count()  # the drop certificate
+    batch = (
+        load(spark, SF, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .count()
+    )
+    assert res.count() < batch.count()  # tail windows withheld
+
+
 def test_import_rank_plan_is_jvm_only(spark):
     """The composition inherits the engine's hot-path rules: no per-row
     Python, no cartesian product in the physical plan."""

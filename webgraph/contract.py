@@ -8570,6 +8570,117 @@ QUERIES.update(
 )
 
 
+# ------------------------------------- watermark late-data accounting --
+
+# Complete-mode drains (s_stream_hourly) make watermarks inert by
+# design — this row is the one that actually exercises Spark's
+# late-data semantics. The events table is split into 3 deterministic
+# waves (event_id % 3, with the global-max-ts event(s) pinned to wave
+# 0 — see below), each coalesced to ONE file with a controlled mtime so
+# the file source replays them in wave order; every wave spans the full
+# time range, so waves 1-2 are massively late against the watermark
+# wave 0 advanced. Append mode through the native file sink means the
+# sink holds exactly the finalized windows.
+#
+# Replayed semantics, verified against the checkpoint offset log (the
+# Spark >= 3.4 SPLIT watermark): within batch i the LATE FILTER uses
+# the PREVIOUS watermark W_{i-1} while EVICTION/emission uses the
+# CURRENT W_i, where W_i = max(event time of batches < i) - delay
+# (watermark stats collect upstream of the filter, so even dropped rows
+# advance it). Batch 0 filters with W_-1 = epoch-0 (keeps all), batch 1
+# likewise filters with W_0 = 0 — so the observable result is waves
+# 0-1 restricted to the finalized windows (end <= W_last), and wave 2's
+# old rows are DROPPED by the filter. The drop itself is what the
+# no-duplicate contract certifies: had wave-2's late rows been merged,
+# they would re-create evicted window state and batch-2 eviction would
+# append DUPLICATE (window, type) rows to the sink. Pinning the
+# max-ts event to wave 0 makes W_1 = W_2 = global_max - delay at every
+# SF, which closes the only path to re-emission (a batch-2 row needs
+# window end > W_1 to survive the filter, and eviction never passes
+# W_2 = W_1 again).
+LATE_WAVES = 3
+LATE_DELAY_MS = 90 * 60 * 1000
+
+
+def q_s_late_events(spark, sf_dir):
+    """Watermark-governed hourly counts under a 3-wave out-of-order
+    replay: tumbling 1h windows, 90-minute watermark, append-mode drain
+    through the native file sink (streaming.py:windowed_event_counts +
+    run_to_append_sink). The result differs from the batch answer
+    exactly by the late-dropped rows and the still-open tail windows —
+    both replayed by the SQL oracle."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from webgraph.streaming import run_to_append_sink, windowed_event_counts
+
+    _STREAM_SINK_N[0] += 1
+    base = tempfile.mkdtemp(prefix=f"late_events_{_STREAM_SINK_N[0]}_")
+    ev = load(spark, sf_dir, "events")
+    os.makedirs(f"{base}/in")
+    # pin the global-max-ts event(s) to wave 0 so the watermark reaches
+    # its final value after the first batch (see block comment)
+    mx_ts = ev.agg(F.max("ts")).collect()[0][0]
+    wave = F.when(F.col("ts") == F.lit(mx_ts), F.lit(0)).otherwise(
+        F.col("event_id") % LATE_WAVES
+    )
+    for w in range(LATE_WAVES):
+        ev.filter(wave == w).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/w{w}")
+        part = glob.glob(f"{base}/w{w}/part-*.parquet")[0]
+        dst = f"{base}/in/wave{w}.parquet"
+        shutil.copyfile(part, dst)
+        # file-source replay order = (mtime, path) ascending
+        os.utime(dst, (1_000_000 + w, 1_000_000 + w))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/in")
+    )
+    counts = windowed_event_counts(
+        stream, "1 hour", f"{LATE_DELAY_MS // 60000} minutes"
+    )
+    run_to_append_sink(counts, f"{base}/result", f"{base}/ck")
+    return spark.read.parquet(f"{base}/result").select(
+        F.unix_timestamp("window_start").alias("hour_epoch"),
+        "event_type",
+        "n",
+        F.round(F.col("total_value") * 1e4).cast("long").alias("total_value_e4"),
+    )
+
+
+def o_s_late_events():
+    # waves 0-1 pass their (lagged) late filters unconditionally; the
+    # final watermark is global_max - delay (wave 0 holds the max by
+    # construction); emitted = finalized windows only. See block comment
+    # for the derivation from Spark's split filter/eviction watermarks.
+    return f"""
+WITH ev AS (SELECT
+    CASE WHEN ts = (SELECT MAX(ts) FROM events) THEN 0
+         ELSE event_id % {LATE_WAVES} END AS b,
+    event_type, value,
+    ((epoch_ms(ts) // 3600000) + 1) * 3600000 AS wend_ms,
+    (epoch_ms(ts) // 3600000) * 3600000 AS wstart_ms
+  FROM events),
+fin AS (SELECT MAX(epoch_ms(ts)) - {LATE_DELAY_MS} AS wmf FROM events)
+SELECT wstart_ms // 1000 AS hour_epoch, event_type,
+  COUNT(*) AS n,
+  CAST(ROUND(SUM(value) * 1e4) AS BIGINT) AS total_value_e4
+FROM ev
+WHERE b <= 1 AND wend_ms <= (SELECT wmf FROM fin)
+GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"s_late_events": (q_s_late_events, o_s_late_events)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry
