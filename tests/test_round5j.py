@@ -108,6 +108,44 @@ def test_late_events_drops_and_never_duplicates(spark):
     assert res.count() < batch.count()  # tail windows withheld
 
 
+def test_audio_energy_injectable_pcm_seam(spark):
+    """A 'real' decoder (bytes -> per-byte amplitudes) slots into the
+    pcm_fn seam unchanged, and the integer features follow from it."""
+    from webgraph.multimodal import audio_energy, synthetic_assets
+
+    assets = synthetic_assets(spark, n=12)
+
+    def byte_pcm(data):
+        return [int(b) for b in data[:8]]
+
+    rows = audio_energy(assets, silence_threshold=128, pcm_fn=byte_pcm).collect()
+    assert rows  # audio/wav assets exist in the cycle
+    for r in rows:
+        assert r["n_frames"] == 8
+        assert 0 <= r["peak_amp"] <= 255
+        assert r["energy"] >= r["peak_amp"] * r["peak_amp"] // 8
+        assert 0 <= r["n_silent"] <= 8
+
+
+def test_audio_energy_stub_matches_python_replay(spark):
+    import hashlib
+
+    from webgraph.multimodal import audio_energy, synthetic_assets
+
+    assets = synthetic_assets(spark, n=8)
+    rows = {r["asset_id"]: r for r in audio_energy(assets).collect()}
+    raw = {r["asset_id"]: (bytes(r["media"]), r["mime"]) for r in assets.collect()}
+    for aid, (payload, mime) in raw.items():
+        if not mime.startswith("audio/"):
+            assert aid not in rows
+            continue
+        h = hashlib.sha256(payload).hexdigest()
+        amps = [int(h[4 * i : 4 * i + 4], 16) for i in range(16)]
+        r = rows[aid]
+        assert r["peak_amp"] == max(amps)
+        assert r["energy"] == sum(a * a for a in amps)
+
+
 def test_import_rank_plan_is_jvm_only(spark):
     """The composition inherits the engine's hot-path rules: no per-row
     Python, no cartesian product in the physical plan."""

@@ -8681,6 +8681,53 @@ GROUP BY 1, 2
 QUERIES.update({"s_late_events": (q_s_late_events, o_s_late_events)})
 
 
+# --------------------------------------------- audio multimodal row --
+
+
+def q_m_audio_energy(spark, sf_dir):
+    """Audio triage features (multimodal.py:audio_energy): per-asset
+    peak / sum / integer energy / silent-frame counts through the Arrow
+    PCM seam (stub = sha256-derived 16-bit frame amplitudes, so the
+    oracle replays the decode with the hex-nibble trick). Payload bytes
+    never leave the Arrow batch — the audio analog of m_image_ahash."""
+    from webgraph.multimodal import audio_energy
+
+    docs = load(spark, sf_dir, "documents")
+    mime = F.element_at(
+        F.array(
+            F.lit("image/png"), F.lit("image/jpeg"),
+            F.lit("video/mp4"), F.lit("audio/wav"),
+        ),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        mime.alias("mime"),
+        F.col("text").cast("binary").alias("media"),
+    )
+    return audio_energy(assets)
+
+
+def o_m_audio_energy():
+    return """
+WITH a AS (SELECT doc_id AS asset_id, sha256(text) AS h
+  FROM documents WHERE doc_id % 4 = 3),
+fr AS (SELECT asset_id, h, unnest(generate_series(0, 15)) AS i FROM a),
+amp AS (SELECT asset_id,
+  CAST(('0x' || substr(h, CAST(4 * i + 1 AS INT), 4)) AS INTEGER) AS v
+  FROM fr)
+SELECT asset_id, CAST(16 AS INT) AS n_frames,
+  CAST(MAX(v) AS BIGINT) AS peak_amp,
+  CAST(SUM(v) AS BIGINT) AS sum_amp,
+  CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS energy,
+  CAST(SUM(CASE WHEN v < 8192 THEN 1 ELSE 0 END) AS INT) AS n_silent
+FROM amp GROUP BY 1
+"""
+
+
+QUERIES.update({"m_audio_energy": (q_m_audio_energy, o_m_audio_energy)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry

@@ -194,6 +194,68 @@ def media_stats(assets: DataFrame) -> DataFrame:
     )
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("peak_amp", T.LongType()),
+        T.StructField("sum_amp", T.LongType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("n_silent", T.IntegerType()),
+    ]
+)
+
+
+def _fake_pcm(data: bytes, n_frames: int = 16) -> list[int]:
+    """Stub PCM frame amplitudes: sixteen 16-bit values cut from the
+    sha256 hex digest (4 hex chars each) — deterministic and
+    SQL-replayable, the audio twin of _fake_thumbnail. A REAL decoder
+    (ffmpeg/soundfile -> per-frame max |sample|) has this exact
+    signature — bytes in, frame-amplitude ints out — and slots into
+    audio_energy via the ``pcm_fn=`` seam."""
+    h = hashlib.sha256(data or b"").hexdigest()
+    return [int(h[4 * i : 4 * i + 4], 16) for i in range(n_frames)]
+
+
+def audio_energy(
+    assets: DataFrame, silence_threshold: int = 8192, pcm_fn=None
+) -> DataFrame:
+    """Per-asset audio frame-energy features — the triage pass a speech/
+    audio corpus pipeline runs before transcription fan-out (silence
+    share decides whether an asset is worth decoding at all). Integer
+    arithmetic only: peak / sum / sum-of-squares energy / silent-frame
+    count over the frame amplitudes, so the features are engine-exact.
+
+    ``pcm_fn(data) -> [amplitudes]`` is the codec seam (stub =
+    sha256-derived 16-bit frames). Arrow mapInPandas; the payload is
+    dropped inside the batch function — downstream shuffles five
+    integers per asset, never audio bytes."""
+    pcm = pcm_fn or _fake_pcm
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["media"]):
+                amps = pcm(bytes(payload) if payload is not None else b"")
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "n_frames": len(amps),
+                        "peak_amp": max(amps) if amps else 0,
+                        "sum_amp": sum(amps),
+                        "energy": sum(a * a for a in amps),
+                        "n_silent": sum(
+                            1 for a in amps if a < silence_threshold
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return assets.filter(F.col("mime").startswith("audio/")).select(
+        "asset_id", "media"
+    ).mapInPandas(batch_fn, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def synthetic_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake asset table for tests/bench: binary payloads from
     sha256(seed, id), mimes cycling image/audio/video."""
