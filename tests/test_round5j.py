@@ -146,6 +146,35 @@ def test_audio_energy_stub_matches_python_replay(spark):
         assert r["energy"] == sum(a * a for a in amps)
 
 
+def test_mips_augment_reduces_to_cosine(spark):
+    """Neyshabur-Srebro reduction: top-k by raw inner product equals
+    top-k by cosine over the augmented corpus (query gets a 0 tail) —
+    the certificate that the cosine ANN infrastructure can serve MIPS."""
+    import pyspark.sql.functions as F
+
+    from webgraph.similarity import brute_force_topk, mips_augment, mips_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 3).select(
+        F.lit(0).alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = mips_topk(emb.filter(F.col("vec_id") != 3), q, k=10).collect()
+
+    aug, big_m = mips_augment(emb.filter(F.col("vec_id") != 3))
+    assert big_m > 0
+    qa = q.select(
+        "q_id",
+        F.concat(
+            F.transform(F.col("q_vec"), lambda x: x.cast("double")),
+            F.array(F.lit(0.0)),
+        ).alias("q_vec"),
+    )
+    via_cos = brute_force_topk(
+        aug, qa, k=10, vec_col="aug"
+    ).collect()
+    assert [r["vec_id"] for r in exact] == [r["vec_id"] for r in via_cos]
+
+
 def test_import_rank_plan_is_jvm_only(spark):
     """The composition inherits the engine's hot-path rules: no per-row
     Python, no cartesian product in the physical plan."""

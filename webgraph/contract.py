@@ -8728,6 +8728,49 @@ FROM amp GROUP BY 1
 QUERIES.update({"m_audio_energy": (q_m_audio_energy, o_m_audio_energy)})
 
 
+# ----------------------------------------------- MIPS top-k (r05j) --
+
+MIPS_QID = 7
+MIPS_K = 20
+
+
+def q_e_mips_topk(spark, sf_dir):
+    """Exact maximum-inner-product top-k (similarity.py:mips_topk): the
+    recsys affinity scorer where the vector norm is signal, ranked by
+    raw dot product. Broadcast 1-row query, codegen fold dot, window
+    rank; mips_augment (pytest-pinned equivalent) is the bucketed
+    cosine-reduction scale path."""
+    from webgraph.similarity import mips_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") == MIPS_QID)
+        .select(F.lit(0).alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    return (
+        mips_topk(emb.filter(F.col("vec_id") != MIPS_QID), q, k=MIPS_K)
+        .select(
+            "vec_id",
+            F.round(F.col("ip") * 1e6).cast("long").alias("ip_e6"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def o_e_mips_topk():
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = {MIPS_QID})
+SELECT vec_id,
+  CAST(ROUND(1000000e0 * list_dot_product(embedding::DOUBLE[], (SELECT qe FROM q))) AS BIGINT) AS ip_e6,
+  CAST(ROW_NUMBER() OVER (ORDER BY list_dot_product(embedding::DOUBLE[], (SELECT qe FROM q)) DESC, vec_id ASC) AS BIGINT) AS rank
+FROM embeddings WHERE vec_id <> {MIPS_QID}
+ORDER BY rank LIMIT {MIPS_K}
+"""
+
+
+QUERIES.update({"e_mips_topk": (q_e_mips_topk, o_e_mips_topk)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry

@@ -64,6 +64,82 @@ def brute_force_topk(
     )
 
 
+def mips_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact maximum-inner-product top-k for every query row — the
+    recsys scoring primitive (user x item affinity), where the vector
+    NORM carries signal (popularity/importance) and must NOT be
+    normalized away, so cosine search is the wrong tool. Same
+    broadcast-queries + per-query window shape as brute_force_topk,
+    ranked by the raw dot product. Returns (q_id, vec_id, ip, rank).
+
+    Scale path: mips_augment reduces MIPS to cosine NN, after which the
+    IVF / hyperplane-LSH cosine infrastructure serves inner-product
+    queries unchanged; this exact scorer is its oracle twin."""
+    c = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    q = queries.select(F.col(q_id_col), _as_double(F.col(q_vec_col)).alias("_qv"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        q_id_col, id_col, dot(F.col("_v"), F.col("_qv")).alias("ip")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("ip"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(q_id_col, "rank")
+    )
+
+
+def mips_augment(
+    df: DataFrame,
+    big_m: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, float]:
+    """Asymmetric MIPS -> cosine reduction (Neyshabur & Srebro 2015,
+    simple-LSH): scale every corpus vector by the corpus max norm M and
+    append sqrt(1 - ||x/M||^2); a query appends 0. Then for unit-scaled
+    queries, argmax <q, x> == argmax cosine over the augmented vectors,
+    so every cosine ANN structure in this module (hyperplane LSH
+    buckets, IVF) serves inner-product queries with NO new index code.
+    Returns (augmented frame with ``aug`` column, M).
+
+    Scale shape: M is one max aggregate (a driver scalar broadcast back
+    as a literal); the transform itself is per-row codegen — no shuffle,
+    no UDF."""
+    d = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    if big_m is None:
+        big_m = float(
+            d.select(F.max(l2_norm(F.col("_v"))).alias("m")).collect()[0]["m"]
+        )
+    if big_m <= 0:
+        raise ValueError(f"mips_augment: corpus max norm must be > 0, got {big_m}")
+    scaled = F.transform(F.col("_v"), lambda x: x / F.lit(big_m))
+    tail = F.sqrt(
+        F.greatest(
+            F.lit(0.0),
+            F.lit(1.0)
+            - F.aggregate(
+                F.transform(scaled, lambda x: x * x),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            ),
+        )
+    )
+    out = d.select(
+        id_col, F.concat(scaled, F.array(tail)).alias("aug")
+    )
+    return out, big_m
+
+
 def centroid_frame(spark, centroids: list[list[float]]) -> DataFrame:
     """(bucket, cvec) — the broadcast side of centroid assignment. The
     driver holds only the k x dim list; it ships to executors once as a
