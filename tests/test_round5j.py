@@ -175,6 +175,41 @@ def test_mips_augment_reduces_to_cosine(spark):
     assert [r["vec_id"] for r in exact] == [r["vec_id"] for r in via_cos]
 
 
+def test_snapshot_diff_statuses(spark):
+    from webgraph.pipeline import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_zipf_fit_positive_alpha(spark):
+    from webgraph.text import zipf_fit
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    r = zipf_fit(docs, top_n=200).collect()[0]
+    # top_n is a cap: the sf0.001 vocabulary is smaller than 200
+    assert 0 < r["n_points"] <= 200
+    assert r["alpha_e6"] > 0  # frequency falls with rank
+    assert 0 < r["r2_e6"] <= 1_000_000
+
+
+def test_attack_shrinks_lcc(spark):
+    from webgraph.contract import q_g_attack_lcc
+
+    rows = {r["phase"]: r for r in q_g_attack_lcc(spark, SF).collect()}
+    b, a = rows["before"], rows["after"]
+    assert a["n_vertices"] < b["n_vertices"]
+    assert a["n_edges"] < b["n_edges"]
+    assert a["lcc_size"] < b["lcc_size"]
+    assert a["lcc_size"] <= a["n_vertices"]
+
+
 def test_import_rank_plan_is_jvm_only(spark):
     """The composition inherits the engine's hot-path rules: no per-row
     Python, no cartesian product in the physical plan."""

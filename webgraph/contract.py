@@ -8771,6 +8771,187 @@ ORDER BY rank LIMIT {MIPS_K}
 QUERIES.update({"e_mips_topk": (q_e_mips_topk, o_e_mips_topk)})
 
 
+# --------------------------------------------- crawl-delta snapshot diff --
+
+
+def q_d_snapshot_diff(spark, sf_dir):
+    """Incremental-recrawl delta (pipeline.py:snapshot_diff): snapshot B
+    is derived deterministically from the documents table (1/17 of docs
+    removed, 1/17 edited, 1/17 spawning a new id), then diffed against
+    snapshot A by full outer join on id + sha256 content equality — the
+    input_hint per-row content invariant doing real work. Contents
+    collapse to digests at the scan; the join shuffles (id, digest)."""
+    from webgraph.pipeline import snapshot_diff
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    mod = F.when(
+        F.col("doc_id") % 17 == 1, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    newer = docs.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id", mod.alias("text")
+    )
+    added = docs.filter(F.col("doc_id") % 17 == 2).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("new "), F.col("text")).alias("text"),
+    )
+    return snapshot_diff(docs, newer.unionByName(added))
+
+
+def o_d_snapshot_diff():
+    return """
+WITH oldd AS (SELECT doc_id, sha256(text) AS h FROM documents),
+newd AS (
+  SELECT doc_id,
+    sha256(CASE WHEN doc_id % 17 = 1 THEN text || ' v2' ELSE text END) AS h
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, sha256('new ' || text)
+  FROM documents WHERE doc_id % 17 = 2
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.doc_id IS NULL THEN 'added'
+       WHEN n.doc_id IS NULL THEN 'removed'
+       WHEN o.h = n.h THEN 'unchanged' ELSE 'changed' END AS status
+FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id
+"""
+
+
+QUERIES.update({"d_snapshot_diff": (q_d_snapshot_diff, o_d_snapshot_diff)})
+
+
+# --------------------------------------------------------- Zipf fit --
+
+ZIPF_TOP_N = 500
+
+
+def q_t_zipf_fit(spark, sf_dir):
+    """Zipf-exponent estimate (text.py:zipf_fit): ln-ln least squares
+    over the top-500 token frequencies — the skew readout that
+    calibrates CMS widths and salting thresholds. Counts collapse
+    map-side; everything after the TakeOrdered is constant-size."""
+    from webgraph.text import zipf_fit
+
+    return zipf_fit(load(spark, sf_dir, "documents"), top_n=ZIPF_TOP_N)
+
+
+def o_t_zipf_fit():
+    return rf"""
+WITH cnt AS (
+  SELECT token, COUNT(*) AS c FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+  GROUP BY token ORDER BY c DESC, token ASC LIMIT {ZIPF_TOP_N}
+),
+rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token ASC) AS r FROM cnt)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+  CAST(ROUND(-regr_slope(ln(c), ln(r)) * 1e6) AS BIGINT) AS alpha_e6,
+  CAST(ROUND(regr_r2(ln(c), ln(r)) * 1e6) AS BIGINT) AS r2_e6
+FROM rk
+"""
+
+
+QUERIES.update({"t_zipf_fit": (q_t_zipf_fit, o_t_zipf_fit)})
+
+
+# --------------------------------------- targeted-attack resilience --
+
+ATTACK_TOP_H = 20
+
+
+def q_g_attack_lcc(spark, sf_dir):
+    """Hub-attack resilience (Albert, Jeong & Barabasi 2000: scale-free
+    graphs shatter under targeted hub removal): delete the top-20
+    in-degree vertices and compare largest-connected-component size
+    before vs after. Composition of existing machinery — degree
+    TakeOrdered for the hub set (broadcast anti-join removes it without
+    re-shuffling the edge table), the min-label CC loop on both graphs.
+    Output is two phase rows (n_vertices, n_edges, lcc_size)."""
+    from webgraph.algos.components import connected_components
+
+    e = derived_edges(spark, sf_dir)
+    hubs = (
+        e.groupBy("dst")
+        .agg(F.count("*").alias("d"))
+        .orderBy(F.desc("d"), F.asc("dst"))
+        .limit(ATTACK_TOP_H)
+        .select(F.col("dst").alias("hub"))
+    )
+    e2 = e.join(
+        F.broadcast(hubs), e.src == F.col("hub"), "left_anti"
+    ).join(F.broadcast(hubs), e.dst == F.col("hub"), "left_anti")
+    rows = []
+    for phase, edges in (("before", e), ("after", e2)):
+        g = from_int_edges(edges)
+        labels, _ = connected_components(
+            g, max_iter=CC_ITERS, collect_skew=False
+        )
+        lcc = (
+            labels.groupBy("component")
+            .agg(F.count("*").alias("c"))
+            .agg(F.max("c").alias("m"))
+            .collect()[0]["m"]
+        )
+        rows.append(
+            (phase, int(g.num_vertices), int(edges.count()), int(lcc))
+        )
+    return spark.createDataFrame(
+        rows, "phase string, n_vertices long, n_edges long, lcc_size long"
+    )
+
+
+def o_g_attack_lcc():
+    def cc_chain(parts, sym_name, verts_name, prefix):
+        parts.append(
+            f"{prefix}l0 AS (SELECT vid, vid AS component FROM {verts_name}),"
+        )
+        for i in range(1, CC_ITERS + 1):
+            p = i - 1
+            parts += [
+                f"{prefix}m{i} AS (SELECT s.dst AS vid, MIN(l.component) AS nm "
+                f"FROM {sym_name} s JOIN {prefix}l{p} l ON s.src = l.vid "
+                f"GROUP BY s.dst),",
+                f"{prefix}l{i} AS (SELECT l.vid, LEAST(l.component, "
+                f"COALESCE(m.nm, l.component)) AS component "
+                f"FROM {prefix}l{p} l LEFT JOIN {prefix}m{i} m USING (vid)),",
+            ]
+
+    parts = [
+        f"WITH e AS ({EDGES_SQL}),",
+        f"sym AS ({SYM_SQL}),",
+        f"v AS ({VERTS_SQL}),",
+        f"""hub AS (SELECT dst AS h FROM (
+  SELECT dst, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, dst ASC) AS rn
+  FROM e GROUP BY dst) WHERE rn <= {ATTACK_TOP_H}),""",
+        "e2 AS (SELECT src, dst FROM e WHERE src NOT IN (SELECT h FROM hub) "
+        "AND dst NOT IN (SELECT h FROM hub)),",
+        "sym2 AS (SELECT src, dst FROM e2 WHERE src <> dst "
+        "UNION SELECT dst, src FROM e2 WHERE src <> dst),",
+        "v2 AS (SELECT src AS vid FROM e2 UNION SELECT dst AS vid FROM e2),",
+    ]
+    cc_chain(parts, "sym", "v", "b")
+    cc_chain(parts, "sym2", "v2", "a")
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"""
+SELECT 'before' AS phase,
+  CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_vertices,
+  CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+  CAST((SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM bl{CC_ITERS}
+        GROUP BY component)) AS BIGINT) AS lcc_size
+UNION ALL
+SELECT 'after',
+  CAST((SELECT COUNT(*) FROM v2) AS BIGINT),
+  CAST((SELECT COUNT(*) FROM e2) AS BIGINT),
+  CAST((SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM al{CC_ITERS}
+        GROUP BY component)) AS BIGINT)"""
+    )
+    return _unrolled(parts)
+
+
+QUERIES.update({"g_attack_lcc": (q_g_attack_lcc, o_g_attack_lcc)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry

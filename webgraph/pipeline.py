@@ -116,3 +116,36 @@ def clean_corpus(
         F.col("sample_rank").cast("long").alias("sample_rank"),
         "n_tokens", "cum_tokens", "seq_id",
     ), manifest
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Crawl-delta table between two corpus snapshots — the incremental-
+    recrawl primitive (what changed since the last crawl decides what
+    re-enters the cleaning pipeline). Returns ``(id, status)`` with
+    status in {'added', 'removed', 'changed', 'unchanged'}: presence is
+    the full outer join on the id, change detection is sha256 content
+    equality (the reference's content invariant, input_hint's per-row
+    sha256 contract).
+
+    Scale shape: contents collapse to 32-byte digests at the scan
+    projection — the join shuffles (id, digest) pairs, never document
+    bodies; one id-keyed sort-merge/hash join, no window, no UDF."""
+    o = old.select(
+        F.col(id_col).alias("_id"), F.sha2(F.col(text_col), 256).alias("_ho")
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"), F.sha2(F.col(text_col), 256).alias("_hn")
+    )
+    return o.join(n, "_id", "full_outer").select(
+        F.col("_id").alias(id_col),
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") == F.col("_hn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )

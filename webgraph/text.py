@@ -1629,3 +1629,39 @@ def corpus_datasheet(
         .cast("long")
         .alias("tokens_share_e6"),
     )
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text", top_n: int = 500) -> DataFrame:
+    """Zipf-exponent fit over the corpus vocabulary: least-squares slope
+    of ln(frequency) against ln(rank) for the top-``top_n`` tokens —
+    alpha = -slope, with the regression R^2 as the fit quality. The
+    corpus-statistics readout that calibrates CMS widths, heavy-hitter
+    thresholds and salting cutoffs (a steeper alpha = hotter hot keys).
+    Returns one row ``(n_points, alpha_e6, r2_e6)``.
+
+    Scale shape: token counts collapse map-side (one hash aggregate);
+    only the top-N CONSTANT-size frame leaves it (TakeOrderedAndProject),
+    so the rank window and the regression aggregate run over N rows
+    regardless of corpus size — N is a constant, not a data fraction."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("t")
+    ).filter(F.col("t") != "")
+    top = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("t"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("t"))
+    ranked = top.withColumn("r", F.row_number().over(w))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.round(-F.expr("regr_slope(ln(c), ln(r))") * 1e6)
+        .cast("long")
+        .alias("alpha_e6"),
+        F.round(F.expr("regr_r2(ln(c), ln(r))") * 1e6)
+        .cast("long")
+        .alias("r2_e6"),
+    )
