@@ -210,6 +210,28 @@ def test_attack_shrinks_lcc(spark):
     assert a["lcc_size"] <= a["n_vertices"]
 
 
+def test_top_pc_maximizes_variance(spark):
+    """The power-iterated direction is unit-norm and captures at least
+    as much variance as any coordinate axis (the dominant-eigenvector
+    property, checked without any linear-algebra library)."""
+    import pyspark.sql.functions as F
+
+    from webgraph.similarity import top_principal_component
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    proj, pc = top_principal_component(emb, iters=12)
+    assert abs(sum(w * w for w in pc) - 1.0) < 1e-9
+    pc_var = proj.agg(F.var_pop("proj").alias("v")).collect()[0]["v"]
+    axis_vars = (
+        emb.select(F.posexplode(F.col("embedding")).alias("i", "v"))
+        .groupBy("i")
+        .agg(F.var_pop(F.col("v").cast("double")).alias("v"))
+        .agg(F.max("v").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert pc_var >= axis_vars * (1 - 1e-6)
+
+
 def test_import_rank_plan_is_jvm_only(spark):
     """The composition inherits the engine's hot-path rules: no per-row
     Python, no cartesian product in the physical plan."""

@@ -8952,6 +8952,64 @@ SELECT 'after',
 QUERIES.update({"g_attack_lcc": (q_g_attack_lcc, o_g_attack_lcc)})
 
 
+# ----------------------------------------- leading principal component --
+
+PC_ITERS = 6
+
+
+def q_e_top_pc(spark, sf_dir):
+    """1-D PCA (similarity.py:top_principal_component): power iteration
+    on the covariance matrix (one Arrow partial-Gram pass; the dim x dim
+    matrix is driver-sized), then every embedding's centered projection
+    onto the leading PC via a codegen broadcast-literal dot. The oracle
+    replays the ENTIRE procedure — covariance, 6 normalized power
+    rounds from the e_0 start, projection — in SQL, so the iteration
+    itself is certified, not just the readout."""
+    from webgraph.similarity import top_principal_component
+
+    emb = load(spark, sf_dir, "embeddings")
+    proj, _pc = top_principal_component(emb, iters=PC_ITERS)
+    return proj.select(
+        "vec_id", F.round(F.col("proj") * 1e6).cast("long").alias("proj_e6")
+    )
+
+
+def o_e_top_pc():
+    parts = [
+        """WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings),""",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),",
+        "m AS (SELECT i, AVG(v) AS mu FROM x GROUP BY i),",
+        """p AS (SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS sxy
+  FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2),""",
+        """c AS (SELECT p.i, p.j, p.sxy / (SELECT n FROM nn) - m1.mu * m2.mu AS cv
+  FROM p JOIN m m1 ON m1.i = p.i JOIN m m2 ON m2.i = p.j),""",
+        "v0 AS (SELECT i, CASE WHEN i = 0 THEN 1e0 ELSE 0e0 END AS w FROM m),",
+    ]
+    for r in range(1, PC_ITERS + 1):
+        q = r - 1
+        parts += [
+            f"u{r} AS (SELECT c.i, SUM(c.cv * v.w) AS w "
+            f"FROM c JOIN v{q} v ON c.j = v.i GROUP BY c.i),",
+            f"n{r} AS (SELECT SQRT(SUM(w * w)) AS s FROM u{r}),",
+            f"v{r} AS (SELECT i, w / (SELECT s FROM n{r}) AS w FROM u{r}),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"""
+SELECT x.vec_id,
+  CAST(ROUND(SUM((x.v - m.mu) * v.w) * 1e6) AS BIGINT) AS proj_e6
+FROM x JOIN m USING (i) JOIN v{PC_ITERS} v ON v.i = x.i
+GROUP BY x.vec_id"""
+    )
+    return _unrolled(parts)
+
+
+QUERIES.update({"e_top_pc": (q_e_top_pc, o_e_top_pc)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry

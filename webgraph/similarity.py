@@ -754,3 +754,60 @@ def ivf_recall(
             .alias("recall_e6"),
         )
     )
+
+
+def mean_vector(df: DataFrame, vec_col: str = "embedding") -> list[float]:
+    """Per-dimension mean of an embedding column as a driver list (dim
+    scalars — corpus-size-independent). Positional explode + avg here;
+    at 10^12 rows the partial-sum pass inside embedding_covariance
+    already carries the same sums and would be reused instead."""
+    rows = (
+        df.select(F.posexplode(_as_double(F.col(vec_col))).alias("i", "v"))
+        .groupBy("i")
+        .agg(F.avg("v").alias("mu"))
+        .orderBy("i")
+        .collect()
+    )
+    return [float(r["mu"]) for r in rows]
+
+
+def top_principal_component(
+    df: DataFrame,
+    iters: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[float]]:
+    """Leading principal component by power iteration, plus every
+    vector's centered projection onto it — the 1-D PCA readout
+    (dominant direction of variation; the first step of whitening and
+    of SemDeDup-style embedding hygiene).
+
+    Scale split: the DISTRIBUTED work is one Arrow partial-Gram pass
+    (embedding_covariance — partitions ship (d^2+d+1) doubles each) and
+    one codegen projection scan; the power iteration itself runs on the
+    DRIVER over the dim x dim matrix (dim^2 scalars, corpus-size-
+    independent — driver-side math on a constant-size object is not a
+    scale-out concern). Deterministic start (e_0 basis vector), L2
+    normalization per round: the identical procedure is SQL-replayable,
+    so the contract oracle certifies the whole pipeline including the
+    iteration. Returns ((id, proj) DataFrame, pc list)."""
+    if iters < 1:
+        raise ValueError(f"top_principal_component: iters must be >= 1, got {iters}")
+    cov_rows = embedding_covariance(df, vec_col).collect()
+    dim = max(r["j"] for r in cov_rows) + 1
+    c = [[0.0] * dim for _ in range(dim)]
+    for r in cov_rows:
+        c[r["i"]][r["j"]] = float(r["cov"])
+        c[r["j"]][r["i"]] = float(r["cov"])
+    v = [1.0] + [0.0] * (dim - 1)
+    for _ in range(iters):
+        u = [sum(c[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        s = sum(x * x for x in u) ** 0.5
+        if s == 0.0:
+            raise ValueError("top_principal_component: zero covariance matrix")
+        v = [x / s for x in u]
+    mu = mean_vector(df, vec_col)
+    mu_dot = sum(mu[i] * v[i] for i in range(dim))
+    pc_lit = F.array(*[F.lit(float(w)) for w in v])
+    proj = dot(_as_double(F.col(vec_col)), pc_lit) - F.lit(float(mu_dot))
+    return df.select(F.col(id_col), proj.alias("proj")), v
