@@ -24,6 +24,9 @@ PLAN_QUERIES = [
     "c_code_stats",       # pure codegen, zero Exchange
     "m_phash_dup_pairs",  # Arrow seam + 16-bit band equi-join
     "r_cube",             # one Expand for all grouping sets
+    "e_mips_topk",        # broadcast 1-row query, codegen fold dot
+    "t_ccnet_buckets",    # distributed exact rank, no single-task window
+    "d_snapshot_diff",    # digest-only full outer join
 ]
 
 
