@@ -9010,6 +9010,60 @@ GROUP BY x.vec_id"""
 QUERIES.update({"e_top_pc": (q_e_top_pc, o_e_top_pc)})
 
 
+# ----------------------------------------- stream-static enrichment --
+
+
+def q_s_stream_enrich(spark, sf_dir):
+    """Stream-static broadcast dimension join (streaming.py:
+    stream_static_enrich): the events stream enriched against the
+    static nation table (user_id % 25 -> nation key) and rolled up to
+    per-nation totals, drained complete-mode. No state store, no
+    watermark — the static side broadcasts per micro-batch. Per-row
+    micro-rounding before the sum keeps the total integer-exact."""
+    import tempfile
+
+    from webgraph.streaming import (
+        run_to_parquet_sink,
+        stream_static_enrich,
+    )
+
+    _STREAM_SINK_N[0] += 1
+    out = tempfile.mkdtemp(prefix=f"stream_enrich_{_STREAM_SINK_N[0]}_")
+    dim = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("nk"), "n_name"
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(sf_dir)
+    ).withColumn("nk", (F.col("user_id") % 25).cast("long"))
+    enriched = stream_static_enrich(stream, dim, "nk")
+    agg = enriched.groupBy("n_name").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 1e4).cast("long")).alias("total_value_e4"),
+    )
+    run_to_parquet_sink(agg, f"{out}/result", f"{out}/ck")
+    return spark.read.parquet(f"{out}/result").select(
+        "n_name", "n", "total_value_e4"
+    )
+
+
+def o_s_stream_enrich():
+    return """
+SELECT n_name, COUNT(*) AS n,
+  CAST(SUM(CAST(ROUND(value * 1e4) AS BIGINT)) AS BIGINT) AS total_value_e4
+FROM events JOIN nation ON n_nationkey = user_id % 25
+GROUP BY 1
+"""
+
+
+QUERIES.update({"s_stream_enrich": (q_s_stream_enrich, o_s_stream_enrich)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry

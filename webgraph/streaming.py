@@ -608,3 +608,18 @@ def minhash_pairs_from_state(
     cands = pairs_from_buckets(bucketed, max_bucket, strict)
     sh = shingles(docs, id_col, text_col, n).persist()
     return verify_jaccard_pairs(cands, sh, threshold)
+
+
+def stream_static_enrich(stream: DataFrame, dim: DataFrame, key: str) -> DataFrame:
+    """Stream-static broadcast enrichment — the dimension-join shape of
+    Structured Streaming: the static side needs NO watermark and NO
+    state store (it is re-resolved and broadcast against every
+    micro-batch, which is also how a slowly-changing dimension table is
+    picked up between batches). Contrast stream_stream_join, where both
+    sides are unbounded and state must be watermark-evicted.
+
+    At scale the static side must stay broadcast-sized (dimension
+    tables: nations, sources, license classes); a large static side
+    becomes a shuffled join per micro-batch and belongs in
+    incremental_edge_merge-style state instead."""
+    return stream.join(F.broadcast(dim), key)
