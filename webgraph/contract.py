@@ -9064,6 +9064,41 @@ GROUP BY 1
 QUERIES.update({"s_stream_enrich": (q_s_stream_enrich, o_s_stream_enrich)})
 
 
+# ------------------------------------------------ lexical complexity --
+
+
+def q_c_complexity(spark, sf_dir):
+    """Per-file approximate cyclomatic complexity (code.py:
+    complexity_stats — lexical McCabe: 1 + branch keywords and
+    short-circuit operators) with per-line branch density. Pure codegen
+    over the scanned content, zero Exchange."""
+    from webgraph.code import complexity_stats
+
+    return complexity_stats(
+        load(spark, sf_dir, "documents"), content_col="text"
+    )
+
+
+def o_c_complexity():
+    return r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+       '(?i)\b(if|for|while|case|catch|elif|switch)\b|&&|\|\|')) AS BIGINT)
+    AS branches,
+  CAST(len(regexp_extract_all(text,
+       '(?i)\b(if|for|while|case|catch|elif|switch)\b|&&|\|\|')) + 1 AS BIGINT)
+    AS complexity,
+  CAST(ROUND(len(regexp_extract_all(text,
+       '(?i)\b(if|for|while|case|catch|elif|switch)\b|&&|\|\|')) * 1e6
+       / GREATEST(len(string_split(text, chr(10))), 1)) AS BIGINT)
+    AS branch_density_e6
+FROM documents
+"""
+
+
+QUERIES.update({"c_complexity": (q_c_complexity, o_c_complexity)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry
