@@ -232,6 +232,51 @@ def test_top_pc_maximizes_variance(spark):
     assert pc_var >= axis_vars * (1 - 1e-6)
 
 
+def test_edge_state_time_travel(spark, tmp_path):
+    """as_of_batch reads over the append-only manifest: each snapshot is
+    exactly the prefix union of committed deltas — the Iceberg
+    snapshot-read analog on plain parquet, at zero extra storage."""
+    import pyspark.sql.functions as F
+
+    from webgraph.streaming import incremental_edge_merge, read_edge_state
+
+    base = str(tmp_path)
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_partkey").cast("long").alias("l_partkey"),
+    )
+    li.repartition(3).write.parquet(f"{base}/in")
+    stream = (
+        spark.readStream.schema("l_orderkey long, l_partkey long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/in")
+    )
+
+    def extract(batch):
+        return batch.select(
+            (F.col("l_orderkey") % 100).alias("src"),
+            (F.col("l_partkey") % 100).alias("dst"),
+        ).distinct()
+
+    q = incremental_edge_merge(
+        spark, stream, f"{base}/state", [], f"{base}/ck", extract_fn=extract
+    )
+    q.awaitTermination()
+    latest = read_edge_state(spark, f"{base}/state")
+    full = {(r["src"], r["dst"]) for r in latest.collect()}
+    prev = set()
+    for b in range(3):
+        snap = read_edge_state(spark, f"{base}/state", as_of_batch=b)
+        got = {(r["src"], r["dst"]) for r in snap.collect()}
+        assert prev <= got <= full  # snapshots grow monotonically
+        prev = got
+    assert prev == full  # as-of the last batch == latest
+    # a snapshot strictly before the end is a strict subset (3 batches
+    # of distinct lineitem rows always add edges at this scale)
+    snap0 = read_edge_state(spark, f"{base}/state", as_of_batch=0)
+    assert len({(r["src"], r["dst"]) for r in snap0.collect()}) < len(full)
+
+
 def test_import_rank_plan_is_jvm_only(spark):
     """The composition inherits the engine's hot-path rules: no per-row
     Python, no cartesian product in the physical plan."""

@@ -91,11 +91,23 @@ def _edge_manifest_entries(state_dir: str) -> list[dict]:
         return [json.loads(ln) for ln in f if ln.strip()]
 
 
-def read_edge_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+def read_edge_state(
+    spark: SparkSession, state_dir: str, as_of_batch: int | None = None
+) -> DataFrame | None:
     """The committed persistent edge table: the union of the manifest's
     batch directories. The manifest line is the commit point, so readers
-    never observe a half-written batch; None when no batch committed yet."""
-    paths = [e["path"] for e in _edge_manifest_entries(state_dir)]
+    never observe a half-written batch; None when no batch committed yet.
+
+    ``as_of_batch`` is TIME TRAVEL over the append-only commit log (the
+    Iceberg snapshot-read analog on plain parquet): restrict the union
+    to batches with batch_id <= as_of_batch — because committed batch
+    directories are immutable and the manifest is append-only, the
+    result is exactly the table a reader saw right after that commit,
+    at zero storage cost beyond the deltas themselves."""
+    entries = _edge_manifest_entries(state_dir)
+    if as_of_batch is not None:
+        entries = [e for e in entries if e["batch_id"] <= as_of_batch]
+    paths = [e["path"] for e in entries]
     return spark.read.parquet(*paths) if paths else None
 
 
