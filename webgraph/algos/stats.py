@@ -167,3 +167,59 @@ def knn_curve(g: EncodedGraph) -> DataFrame:
             .alias("knn_e6"),
         )
     )
+
+
+def graph_profile(edges: DataFrame) -> DataFrame:
+    """One-row graph dashboard — the profile a link-graph operator reads
+    before choosing algorithm constants: vertex/edge counts, self-loops,
+    reciprocity, density, degree extremes, dangling count. Complements
+    the dedicated rows (assortativity, power-law alpha, rich club) with
+    the cheap one-pass scalars.
+
+    Scale shape: every number is a scalar aggregate over the edge table
+    (count/max/anti-join count); the driver holds nine integers. The
+    reciprocity numerator is an edge-keyed self-join on the reversed
+    pair — an equi-join, not a cartesian."""
+    F_ = F
+    e = edges.select("src", "dst").distinct().persist()
+    nl = e.filter(F_.col("src") != F_.col("dst"))
+    n_edges = e.count()
+    n_loops = e.count() - nl.count()
+    verts = (
+        e.select(F_.col("src").alias("vid"))
+        .unionByName(e.select(F_.col("dst").alias("vid")))
+        .distinct()
+        .persist()
+    )
+    n_verts = verts.count()
+    rev = nl.select(F_.col("dst").alias("src"), F_.col("src").alias("dst"))
+    n_recip = nl.join(rev, ["src", "dst"], "left_semi").count()
+    n_nl = n_edges - n_loops
+    max_out = e.groupBy("src").count().agg(F_.max("count")).collect()[0][0]
+    max_in = e.groupBy("dst").count().agg(F_.max("count")).collect()[0][0]
+    dangling = verts.join(
+        e.select("src").distinct().withColumnRenamed("src", "vid"),
+        "vid",
+        "left_anti",
+    ).count()
+    e.unpersist()
+    verts.unpersist()
+    row = (
+        int(n_verts),
+        int(n_edges),
+        int(n_loops),
+        int(n_recip),
+        int(round(n_recip * 1e6 / n_nl)) if n_nl else None,
+        int(round(n_edges * 1e6 / (n_verts * (n_verts - 1))))
+        if n_verts > 1
+        else None,
+        int(max_out),
+        int(max_in),
+        int(dangling),
+    )
+    return edges.sparkSession.createDataFrame(
+        [row],
+        "n_vertices long, n_edges long, self_loops long, "
+        "reciprocal_edges long, reciprocity_e6 long, density_e6 long, "
+        "max_out_degree long, max_in_degree long, dangling long",
+    )

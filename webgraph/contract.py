@@ -9099,6 +9099,49 @@ FROM documents
 QUERIES.update({"c_complexity": (q_c_complexity, o_c_complexity)})
 
 
+# ------------------------------------------------- graph profile row --
+
+
+def q_g_profile(spark, sf_dir):
+    """One-call graph dashboard (algos/stats.py:graph_profile): the
+    cheap one-pass scalars — counts, self-loops, reciprocity, density,
+    degree extremes, dangling — every number a scalar aggregate; the
+    reciprocity numerator is an edge-keyed semi-join on the reversed
+    pair."""
+    from webgraph.algos.stats import graph_profile
+
+    return graph_profile(derived_edges(spark, sf_dir))
+
+
+def o_g_profile():
+    return f"""
+WITH e AS ({EDGES_SQL}),
+v AS ({VERTS_SQL}),
+nl AS (SELECT src, dst FROM e WHERE src <> dst),
+rec AS (SELECT COUNT(*) AS r FROM nl a WHERE EXISTS
+        (SELECT 1 FROM nl b WHERE b.src = a.dst AND b.dst = a.src))
+SELECT
+  CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_vertices,
+  CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+  CAST((SELECT COUNT(*) FROM e WHERE src = dst) AS BIGINT) AS self_loops,
+  CAST((SELECT r FROM rec) AS BIGINT) AS reciprocal_edges,
+  CAST(ROUND((SELECT r FROM rec) * 1e6
+       / (SELECT COUNT(*) FROM nl)) AS BIGINT) AS reciprocity_e6,
+  CAST(ROUND((SELECT COUNT(*) FROM e) * 1e6
+       / ((SELECT COUNT(*) FROM v) * ((SELECT COUNT(*) FROM v) - 1)))
+       AS BIGINT) AS density_e6,
+  CAST((SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM e GROUP BY src))
+       AS BIGINT) AS max_out_degree,
+  CAST((SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM e GROUP BY dst))
+       AS BIGINT) AS max_in_degree,
+  CAST((SELECT COUNT(*) FROM v WHERE vid NOT IN (SELECT src FROM e))
+       AS BIGINT) AS dangling
+"""
+
+
+QUERIES.update({"g_profile": (q_g_profile, o_g_profile)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry
