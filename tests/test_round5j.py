@@ -277,6 +277,28 @@ def test_edge_state_time_travel(spark, tmp_path):
     assert len({(r["src"], r["dst"]) for r in snap0.collect()}) < len(full)
 
 
+def test_topological_levels_semantics(spark):
+    from webgraph.algos.dag import topological_levels
+
+    # diamond + a long chain: levels are longest paths
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (5, 1)],
+        "src long, dst long",
+    )
+    got = {r["vid"]: r["level"] for r in topological_levels(e).collect()}
+    assert got == {0: 0, 5: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+
+
+def test_topological_levels_cycle_raises(spark):
+    import pytest
+
+    from webgraph.algos.dag import topological_levels
+
+    cyc = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="cycle"):
+        topological_levels(cyc, max_iter=8)
+
+
 def test_import_rank_plan_is_jvm_only(spark):
     """The composition inherits the engine's hot-path rules: no per-row
     Python, no cartesian product in the physical plan."""

@@ -9142,6 +9142,77 @@ SELECT
 QUERIES.update({"g_profile": (q_g_profile, o_g_profile)})
 
 
+# -------------------------------------- condensation build levels --
+
+
+def q_g_condensation_levels(spark, sf_dir):
+    """Build-order scheduling over a cyclic dependency graph: SCC
+    condensation (algos/scc.py) followed by topological levels
+    (algos/dag.py — max-plus longest-path fixpoint with zero-change
+    stop; the cap doubles as the cycle guard). Runs on the SCC-rich
+    bowtie-block graph g_scc uses; every vertex reports its SCC and the
+    SCC's level. The oracle replays reachability closure, condensation
+    and level enumeration recursively."""
+    from webgraph.algos import strongly_connected_components
+    from webgraph.algos.dag import topological_levels
+
+    g = from_int_edges(derived_scc_edges(spark, sf_dir))
+    labels, _ = strongly_connected_components(g, max_rounds=50)
+    ls = labels.select(F.col("vid").alias("src"), F.col("scc").alias("cs"))
+    ld = labels.select(F.col("vid").alias("dst"), F.col("scc").alias("cd"))
+    ce = (
+        g.edges.join(ls, "src")
+        .join(ld, "dst")
+        .filter(F.col("cs") != F.col("cd"))
+        .select(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+        .distinct()
+    )
+    lvl = topological_levels(ce)
+    return (
+        labels.join(lvl.withColumnRenamed("vid", "scc"), "scc", "left")
+        .select(
+            "vid",
+            "scc",
+            F.coalesce(F.col("level"), F.lit(0)).cast("long").alias("level"),
+        )
+    )
+
+
+def o_g_condensation_levels():
+    return f"""
+WITH RECURSIVE e AS ({SCC_EDGES_SQL}),
+v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+r (a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.a, e.dst FROM r JOIN e ON r.b = e.src
+),
+m AS (
+  SELECT r1.a AS vid, r1.b AS u
+  FROM r r1 JOIN r r2 ON r1.a = r2.b AND r1.b = r2.a
+  UNION SELECT vid, vid FROM v
+),
+lab AS (SELECT vid, MIN(u) AS scc FROM m GROUP BY vid),
+ce AS (SELECT DISTINCT ls.scc AS s, ld.scc AS d
+       FROM e JOIN lab ls ON ls.vid = e.src JOIN lab ld ON ld.vid = e.dst
+       WHERE ls.scc <> ld.scc),
+cn AS (SELECT scc AS c FROM lab GROUP BY scc),
+lv (c, l) AS (
+  SELECT c, 0 FROM cn
+  UNION
+  SELECT ce.d, lv.l + 1 FROM lv JOIN ce ON ce.s = lv.c
+),
+lev AS (SELECT c, MAX(l) AS level FROM lv GROUP BY c)
+SELECT lab.vid, lab.scc, CAST(lev.level AS BIGINT) AS level
+FROM lab JOIN lev ON lev.c = lab.scc
+"""
+
+
+QUERIES.update(
+    {"g_condensation_levels": (q_g_condensation_levels, o_g_condensation_levels)}
+)
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry
