@@ -57,6 +57,13 @@ HEAVY = [
     "g_label_spread",
     "t_bpe_merges",
     "g_gap_stats",
+    # round-5j additions with iterative/streamed/windowed plans
+    "g_condensation_levels",
+    "g_attack_lcc",
+    "c_import_rank",
+    "t_ccnet_buckets",
+    "s_late_events",
+    "e_top_pc",
 ]
 
 
