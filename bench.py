@@ -199,6 +199,14 @@ def run_bench(
     # number (r03's spread-only guard resampled once inside the same
     # poisoned window and published 2.4x low).
     max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "5"))
+    # Early-exit bar tightened r05: a 4.4% steal window (under the 5%
+    # accept threshold) measured 2x slower than the 0.05% samples on
+    # record — sub-threshold steal still poisons the number. So only a
+    # PRISTINE window (< 1% by default) stops the sampling early; any
+    # dirtier sample keeps resampling until attempts run out, and the
+    # min over ALL attempts' steady walls remains the estimator (steal
+    # is additive, so min = least contended).
+    pristine_thresh = float(os.environ.get("SPARK_GRAFT_STEAL_PCT_PRISTINE", "1"))
     attempts: list[dict] = []
     steady_walls: list[float] = []
     big_metrics = None
@@ -214,10 +222,13 @@ def run_bench(
             {"steal_pct": steal_pct, "iter_sec": walls, "sum_sec": round(sum(walls), 3)}
         )
         steady_walls += steady
-        if steal_pct < steal_thresh and max(steady) / min(steady) <= 2.0:
+        if steal_pct < pristine_thresh and max(steady) / min(steady) <= 2.0:
             break
     big_walls = attempts[0]["iter_sec"]
     big_steady = min(steady_walls)
+    # the attempt that produced the headline min — its steal is the
+    # number's cleanliness certificate
+    best_attempt = min(attempts, key=lambda a: min(a["iter_sec"][1:]))
     contended = not any(
         a["steal_pct"] < steal_thresh
         and max(a["iter_sec"][1:]) / min(a["iter_sec"][1:]) <= 2.0
@@ -247,7 +258,7 @@ def run_bench(
         "pipeline_iter_sec": iter_secs,
         "cpus": cpus,
         "steady_stat": "min",
-        "steal_pct": attempts[-1]["steal_pct"],
+        "steal_pct": best_attempt["steal_pct"],
         "steal_attempts": attempts,
         "contended": contended,
         "build_steal_pct": best_build["steal_pct"],
