@@ -299,6 +299,28 @@ def test_topological_levels_cycle_raises(spark):
         topological_levels(cyc, max_iter=8)
 
 
+def test_percolation_sampling_and_monotonicity(spark):
+    """The seeded-hash edge sampling hits its keep fraction and the LCC
+    degrades monotonically as edges drop. (The dense TPC-H-derived
+    graph is far above the percolation threshold, so — unlike a
+    scale-free web graph — its giant component survives both levels;
+    the AJB random-vs-targeted CONTRAST is a property of the input, not
+    of the operator, and is not asserted here.)"""
+    from webgraph.contract import q_g_percolation
+
+    base = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        (F.col("l_orderkey") % 500).alias("src"),
+        (F.col("l_partkey") % 500).alias("dst"),
+    ).distinct().count()
+    perc = {r["keep_pct"]: r for r in q_g_percolation(spark, SF).collect()}
+    for keep in (60, 30):
+        frac = perc[keep]["n_edges"] / base
+        assert abs(frac - keep / 100) < 0.05  # hash split is unbiased
+    assert perc[30]["n_edges"] < perc[60]["n_edges"]
+    assert perc[30]["lcc_size"] <= perc[60]["lcc_size"]
+    assert perc[30]["n_vertices"] <= perc[60]["n_vertices"]
+
+
 def test_import_rank_plan_is_jvm_only(spark):
     """The composition inherits the engine's hot-path rules: no per-row
     Python, no cartesian product in the physical plan."""

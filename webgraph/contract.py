@@ -8900,22 +8900,28 @@ def q_g_attack_lcc(spark, sf_dir):
     )
 
 
-def o_g_attack_lcc():
-    def cc_chain(parts, sym_name, verts_name, prefix):
-        parts.append(
-            f"{prefix}l0 AS (SELECT vid, vid AS component FROM {verts_name}),"
-        )
-        for i in range(1, CC_ITERS + 1):
-            p = i - 1
-            parts += [
-                f"{prefix}m{i} AS (SELECT s.dst AS vid, MIN(l.component) AS nm "
-                f"FROM {sym_name} s JOIN {prefix}l{p} l ON s.src = l.vid "
-                f"GROUP BY s.dst),",
-                f"{prefix}l{i} AS (SELECT l.vid, LEAST(l.component, "
-                f"COALESCE(m.nm, l.component)) AS component "
-                f"FROM {prefix}l{p} l LEFT JOIN {prefix}m{i} m USING (vid)),",
-            ]
+def _cc_chain(parts, sym_name, verts_name, prefix):
+    """Append a CC_ITERS-round min-label CC oracle chain reading edges
+    from ``sym_name`` / vertices from ``verts_name``, CTEs prefixed so
+    several chains coexist in one statement (attack / percolation
+    phases). Final labels land in {prefix}l{CC_ITERS}."""
+    parts.append(
+        f"{prefix}l0 AS (SELECT vid, vid AS component FROM {verts_name}),"
+    )
+    for i in range(1, CC_ITERS + 1):
+        p = i - 1
+        parts += [
+            f"{prefix}m{i} AS (SELECT s.dst AS vid, MIN(l.component) AS nm "
+            f"FROM {sym_name} s JOIN {prefix}l{p} l ON s.src = l.vid "
+            f"GROUP BY s.dst),",
+            f"{prefix}l{i} AS (SELECT l.vid, LEAST(l.component, "
+            f"COALESCE(m.nm, l.component)) AS component "
+            f"FROM {prefix}l{p} l LEFT JOIN {prefix}m{i} m USING (vid)),",
+        ]
 
+
+def o_g_attack_lcc():
+    cc_chain = _cc_chain
     parts = [
         f"WITH e AS ({EDGES_SQL}),",
         f"sym AS ({SYM_SQL}),",
@@ -9211,6 +9217,88 @@ FROM lab JOIN lev ON lev.c = lab.scc
 QUERIES.update(
     {"g_condensation_levels": (q_g_condensation_levels, o_g_condensation_levels)}
 )
+
+
+# ------------------------------------------- random edge percolation --
+
+# The random-failure twin of g_attack_lcc (Albert-Jeong-Barabasi:
+# scale-free graphs survive random edge loss but shatter under targeted
+# hub removal — the pair of rows demonstrates the contrast). Edge
+# survival is the portable seeded hash (the t_split_assign arithmetic
+# over the packed pair), so both engines keep the identical subset.
+PERC_KEEP_PCTS = (60, 30)
+PERC_SEED = 7
+
+
+def _perc_bucket_expr(src, dst):
+    from webgraph.dedup import _MIX_BASE, POLY_MOD
+
+    k = (src * 1000003 + dst) % POLY_MOD
+    return (k * _MIX_BASE + PERC_SEED) % POLY_MOD % 100
+
+
+def q_g_percolation(spark, sf_dir):
+    """Random edge-failure resilience: keep a seeded-hash fraction of
+    edges (60%, then 30%) and report the largest connected component at
+    each level — contrast with g_attack_lcc's targeted removal. One
+    derived bucket column, two filtered min-label CC runs; the edge
+    table is scanned once per level with a codegen predicate, never
+    re-shuffled for the sampling itself."""
+    from webgraph.algos.components import connected_components
+
+    e = derived_edges(spark, sf_dir)
+    bucket = _perc_bucket_expr(F.col("src"), F.col("dst"))
+    rows = []
+    for keep in PERC_KEEP_PCTS:
+        kept = e.filter(bucket < keep)
+        g = from_int_edges(kept)
+        labels, _ = connected_components(
+            g, max_iter=CC_ITERS, collect_skew=False
+        )
+        lcc = (
+            labels.groupBy("component")
+            .agg(F.count("*").alias("c"))
+            .agg(F.max("c").alias("m"))
+            .collect()[0]["m"]
+        )
+        rows.append((keep, int(g.num_vertices), int(kept.count()), int(lcc)))
+    return spark.createDataFrame(
+        rows, "keep_pct long, n_vertices long, n_edges long, lcc_size long"
+    )
+
+
+def o_g_percolation():
+    from webgraph.dedup import _MIX_BASE, POLY_MOD
+
+    bucket = (
+        f"(((src * 1000003 + dst) % {POLY_MOD}) * {_MIX_BASE} "
+        f"+ {PERC_SEED}) % {POLY_MOD} % 100"
+    )
+    parts = [f"WITH e AS ({EDGES_SQL}),"]
+    selects = []
+    for keep in PERC_KEEP_PCTS:
+        pfx = f"k{keep}"
+        parts += [
+            f"{pfx}e AS (SELECT src, dst FROM e WHERE {bucket} < {keep}),",
+            f"{pfx}sym AS (SELECT src, dst FROM {pfx}e WHERE src <> dst "
+            f"UNION SELECT dst, src FROM {pfx}e WHERE src <> dst),",
+            f"{pfx}v AS (SELECT src AS vid FROM {pfx}e "
+            f"UNION SELECT dst AS vid FROM {pfx}e),",
+        ]
+        _cc_chain(parts, f"{pfx}sym", f"{pfx}v", pfx)
+        selects.append(
+            f"SELECT CAST({keep} AS BIGINT) AS keep_pct, "
+            f"CAST((SELECT COUNT(*) FROM {pfx}v) AS BIGINT) AS n_vertices, "
+            f"CAST((SELECT COUNT(*) FROM {pfx}e) AS BIGINT) AS n_edges, "
+            f"CAST((SELECT MAX(c) FROM (SELECT COUNT(*) AS c "
+            f"FROM {pfx}l{CC_ITERS} GROUP BY component)) AS BIGINT) AS lcc_size"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append("\nUNION ALL\n".join(selects))
+    return _unrolled(parts)
+
+
+QUERIES.update({"g_percolation": (q_g_percolation, o_g_percolation)})
 
 
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
