@@ -321,6 +321,18 @@ def test_percolation_sampling_and_monotonicity(spark):
     assert perc[30]["n_vertices"] <= perc[60]["n_vertices"]
 
 
+def test_landmark_estimate_is_an_upper_bound(spark):
+    """Triangle inequality: the landmark estimate can never undershoot
+    the exact BFS distance, and is exact at distance 0 (the source)."""
+    from webgraph.contract import LM_EVAL_SRC, q_g_landmark_error
+
+    rows = q_g_landmark_error(spark, SF).collect()
+    assert rows
+    assert all(r["abs_err"] >= 0 for r in rows)
+    src = [r for r in rows if r["v"] == LM_EVAL_SRC]
+    assert src and src[0]["exact_dist"] == 0
+
+
 def test_import_rank_plan_is_jvm_only(spark):
     """The composition inherits the engine's hot-path rules: no per-row
     Python, no cartesian product in the physical plan."""

@@ -9301,6 +9301,91 @@ def o_g_percolation():
 QUERIES.update({"g_percolation": (q_g_percolation, o_g_percolation)})
 
 
+# --------------------------------------- landmark-estimate error eval --
+
+LM_EVAL_SRC = 1
+
+
+def q_g_landmark_error(spark, sf_dir):
+    """Approximation-error evaluation for the landmark distance index
+    (the e_ivf_recall pattern applied to graph distances): for every
+    vertex BFS-reachable from a fixed source, compare the exact
+    undirected distance against the landmark triangle-inequality upper
+    bound (algos/landmarks.py:estimate_distances). Returns (v, exact,
+    estimate, abs_err) — the table that says whether LANDMARK_N/DEPTH
+    are adequate before anyone trusts the index."""
+    from webgraph.algos.bfs import bfs_depths
+    from webgraph.algos.landmarks import (
+        estimate_distances,
+        landmark_distances,
+        pick_landmarks,
+    )
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    lms = pick_landmarks(g, LANDMARK_N, seed=42)
+    dists = landmark_distances(g, lms, max_depth=LANDMARK_DEPTH)
+    exact, _ = bfs_depths(
+        g, [LM_EVAL_SRC], max_depth=LANDMARK_DEPTH, directed=False
+    )
+    pairs = exact.select(
+        F.lit(LM_EVAL_SRC).cast("long").alias("u"), F.col("vid").alias("v")
+    )
+    est = estimate_distances(dists, pairs)
+    return (
+        exact.withColumnRenamed("vid", "v")
+        .join(est, "v")
+        .select(
+            "v",
+            F.col("depth").cast("long").alias("exact_dist"),
+            F.col("dist_ub").cast("long").alias("est_dist"),
+            (F.col("dist_ub") - F.col("depth")).cast("long").alias("abs_err"),
+        )
+    )
+
+
+def o_g_landmark_error():
+    from webgraph.dedup import _MIX_BASE, POLY_MOD
+
+    parts = [
+        f"WITH e AS ({EDGES_SQL}),",
+        f"s AS ({SYM_SQL}),",
+        f"v AS ({VERTS_SQL}),",
+        f"u AS (SELECT vid, ((vid % {POLY_MOD}) * {_MIX_BASE} + 42)"
+        f" % {POLY_MOD} AS p FROM v),",
+        f"lm AS (SELECT vid FROM u ORDER BY p, vid LIMIT {LANDMARK_N}),",
+        "d0 AS (SELECT vid AS landmark, vid, 0 AS dist FROM lm),",
+        f"x0 AS (SELECT {LM_EVAL_SRC} AS vid, 0 AS dist),",
+    ]
+    for i in range(1, LANDMARK_DEPTH + 1):
+        p = i - 1
+        parts += [
+            f"n{i} AS (SELECT d.landmark, s.dst AS vid, MIN(d.dist) + 1 AS dist "
+            f"FROM s JOIN d{p} d ON s.src = d.vid GROUP BY 1, 2),",
+            f"d{i} AS (SELECT landmark, vid, MIN(dist) AS dist FROM "
+            f"(SELECT * FROM d{p} UNION ALL SELECT * FROM n{i}) GROUP BY 1, 2),",
+            f"y{i} AS (SELECT s.dst AS vid, MIN(x.dist) + 1 AS dist "
+            f"FROM s JOIN x{p} x ON s.src = x.vid GROUP BY 1),",
+            f"x{i} AS (SELECT vid, MIN(dist) AS dist FROM "
+            f"(SELECT * FROM x{p} UNION ALL SELECT * FROM y{i}) GROUP BY 1),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"""
+, du AS (SELECT landmark, dist AS dl FROM d{LANDMARK_DEPTH}
+         WHERE vid = {LM_EVAL_SRC}),
+est AS (SELECT d.vid AS v, MIN(du.dl + d.dist) AS est_dist
+        FROM d{LANDMARK_DEPTH} d JOIN du USING (landmark) GROUP BY 1)
+SELECT x.vid AS v, CAST(x.dist AS BIGINT) AS exact_dist,
+  CAST(est.est_dist AS BIGINT) AS est_dist,
+  CAST(est.est_dist - x.dist AS BIGINT) AS abs_err
+FROM x{LANDMARK_DEPTH} x JOIN est ON est.v = x.vid"""
+    )
+    return _unrolled(parts)
+
+
+QUERIES.update({"g_landmark_error": (q_g_landmark_error, o_g_landmark_error)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry
