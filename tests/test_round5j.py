@@ -333,6 +333,28 @@ def test_landmark_estimate_is_an_upper_bound(spark):
     assert src and src[0]["exact_dist"] == 0
 
 
+def test_shot_boundaries_segments_runs(spark):
+    """Hand-built frame table: hash runs AAB BBC -> shots with the right
+    starts and lengths; shots never span assets."""
+    from webgraph.multimodal import shot_boundaries
+
+    frames = spark.createDataFrame(
+        [
+            (1, 0, 0, "A"), (1, 1, 1000, "A"), (1, 2, 2000, "B"),
+            (1, 3, 3000, "B"), (1, 4, 4000, "C"),
+            (2, 0, 0, "A"),
+        ],
+        "asset_id long, frame_idx int, ts_ms long, frame_sha256 string",
+    )
+    got = {
+        (r["asset_id"], r["shot_id"]): (r["start_idx"], r["n_frames"])
+        for r in shot_boundaries(frames).collect()
+    }
+    assert got == {
+        (1, 0): (0, 2), (1, 1): (2, 2), (1, 2): (4, 1), (2, 0): (0, 1),
+    }
+
+
 def test_import_rank_plan_is_jvm_only(spark):
     """The composition inherits the engine's hot-path rules: no per-row
     Python, no cartesian product in the physical plan."""

@@ -9386,6 +9386,86 @@ FROM x{LANDMARK_DEPTH} x JOIN est ON est.v = x.vid"""
 QUERIES.update({"g_landmark_error": (q_g_landmark_error, o_g_landmark_error)})
 
 
+# ---------------------------------------------- video shot boundaries --
+
+SHOT_RUN = 4
+
+
+def q_m_shot_boundaries(spark, sf_dir):
+    """Shot segmentation (multimodal.py:shot_boundaries): cuts where the
+    per-frame fingerprint changes, gaps-and-islands into shots. The
+    injected sampler produces run-structured fingerprints
+    (sha256(payload || '-shot' || idx DIV 4), i.e. 4-frame shots) so
+    the cut structure is real AND SQL-replayable — a real ffmpeg
+    histogram scorer slots into the same sampler seam. Windows are
+    asset-partitioned and bounded by max_frames."""
+    import hashlib as _hl
+
+    from webgraph.multimodal import sample_video_frames, shot_boundaries
+
+    docs = load(spark, sf_dir, "documents")
+    mime = F.element_at(
+        F.array(
+            F.lit("image/png"), F.lit("image/jpeg"),
+            F.lit("video/mp4"), F.lit("audio/wav"),
+        ),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        mime.alias("mime"),
+        F.col("text").cast("binary").alias("media"),
+    )
+
+    def run_sampler(data: bytes, every_ms: int, max_frames: int):
+        n = min(max_frames, max(1, len(data) // 64))
+        return [
+            (
+                i,
+                i * every_ms,
+                _hl.sha256(
+                    data + f"-shot{i // SHOT_RUN}".encode()
+                ).hexdigest(),
+            )
+            for i in range(n)
+        ]
+
+    frames = sample_video_frames(assets, every_ms=1000, sampler=run_sampler)
+    return shot_boundaries(frames)
+
+
+def o_m_shot_boundaries():
+    return f"""
+WITH a AS (SELECT doc_id AS asset_id, text FROM documents WHERE doc_id % 4 = 2),
+fr AS (SELECT asset_id, text,
+  unnest(generate_series(0,
+    LEAST(16, GREATEST(1, octet_length(encode(text)) // 64)) - 1)) AS i
+  FROM a),
+h AS (SELECT asset_id, i,
+  sha256(text || '-shot' || CAST(i // {SHOT_RUN} AS VARCHAR)) AS fh
+  FROM fr),
+c AS (SELECT asset_id, i,
+  CASE WHEN LAG(fh) OVER (PARTITION BY asset_id ORDER BY i) IS NULL
+         OR fh <> LAG(fh) OVER (PARTITION BY asset_id ORDER BY i)
+       THEN 1 ELSE 0 END AS cut
+  FROM h),
+s AS (SELECT asset_id, i,
+  SUM(cut) OVER (PARTITION BY asset_id ORDER BY i
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS shot_id
+  FROM c)
+SELECT asset_id, CAST(shot_id AS BIGINT) AS shot_id,
+  CAST(MIN(i) AS BIGINT) AS start_idx,
+  CAST(MIN(i) * 1000 AS BIGINT) AS start_ts_ms,
+  COUNT(*) AS n_frames
+FROM s GROUP BY 1, 2
+"""
+
+
+QUERIES.update(
+    {"m_shot_boundaries": (q_m_shot_boundaries, o_m_shot_boundaries)}
+)
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry

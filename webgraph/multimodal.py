@@ -404,3 +404,37 @@ def frame_dedup_groups(frames: DataFrame, min_copies: int = 2) -> DataFrame:
             "first_asset",
         )
     )
+
+
+def shot_boundaries(frames: DataFrame) -> DataFrame:
+    """Shot segmentation over a sampled-frame table: a cut wherever the
+    frame fingerprint changes from the previous frame of the same asset
+    (the hash-equality stub of histogram/SSIM cut detection — a real
+    scorer slots into the frame hash upstream via sample_video_frames'
+    ``sampler=`` seam). Returns one row per shot: (asset_id, shot_id,
+    start_idx, start_ts_ms, n_frames).
+
+    Scale shape: both windows partition by asset_id with at most
+    max_frames rows per partition (bounded, uniform key) — gaps-and-
+    islands by cumulative cut count, then one hash aggregate. Frame
+    payloads never appear here; only hashes and indices shuffle."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    cut = (
+        F.lag("frame_sha256").over(w).isNull()
+        | (F.col("frame_sha256") != F.lag("frame_sha256").over(w))
+    ).cast("long")
+    wc = Window.partitionBy("asset_id").orderBy("frame_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        frames.withColumn("_cut", cut)
+        .withColumn("shot_id", F.sum("_cut").over(wc) - 1)
+        .groupBy("asset_id", "shot_id")
+        .agg(
+            F.min("frame_idx").cast("long").alias("start_idx"),
+            F.min("ts_ms").cast("long").alias("start_ts_ms"),
+            F.count("*").alias("n_frames"),
+        )
+    )
