@@ -9466,6 +9466,96 @@ QUERIES.update(
 )
 
 
+# --------------------------------------------- community conductance --
+
+
+def q_g_conductance(spark, sf_dir):
+    """Per-community conductance over the Louvain level-1 partition:
+    phi(C) = cut(C) / min(vol(C), vol_total - vol(C)) on the symmetrized
+    loop-free graph (cut and vol in directed-sym-edge units, so both
+    engines count identically). The community-quality metric that
+    complements g_modularity's global score — a community with high
+    conductance is a bad cluster no matter what modularity says. Two
+    label joins + two hash aggregates; the oracle nests the exact
+    g_louvain replay."""
+    from webgraph.algos.louvain import louvain
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    mapping, _ = louvain(g, max_levels=1, max_rounds=1)
+    sym = (
+        g.edges.filter(F.col("src") != F.col("dst"))
+        .unionByName(
+            g.edges.filter(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    ls = mapping.select(F.col("vid").alias("src"), F.col("gid").alias("gs"))
+    ld = mapping.select(F.col("vid").alias("dst"), F.col("gid").alias("gd"))
+    lab_edges = sym.join(ls, "src").join(ld, "dst").persist()
+    vol = lab_edges.groupBy(F.col("gs").alias("gid")).agg(
+        F.count("*").alias("vol")
+    )
+    cut = (
+        lab_edges.filter(F.col("gs") != F.col("gd"))
+        .groupBy(F.col("gs").alias("gid"))
+        .agg(F.count("*").alias("cut"))
+    )
+    members = mapping.groupBy("gid").agg(F.count("*").alias("n_members"))
+    total = lab_edges.count()
+    out = (
+        members.join(vol, "gid", "left")
+        .join(cut, "gid", "left")
+        .select(
+            "gid",
+            "n_members",
+            F.coalesce(F.col("vol"), F.lit(0)).alias("vol"),
+            F.coalesce(F.col("cut"), F.lit(0)).alias("cut"),
+        )
+    )
+    denom = F.least(F.col("vol"), F.lit(int(total)) - F.col("vol"))
+    phi = F.when(
+        denom > 0, F.round(F.col("cut") * 1e6 / denom).cast("long")
+    )
+    res = out.select(
+        "gid", "n_members", "vol", "cut", phi.alias("conductance_e6")
+    )
+    lab_edges.unpersist()
+    return res
+
+
+def o_g_conductance():
+    inner = o_g_louvain().strip()
+    return f"""
+WITH lab AS (
+{inner}
+), e2 AS ({EDGES_SQL}),
+nl AS (SELECT src, dst FROM e2 WHERE src <> dst),
+sym AS (SELECT src, dst FROM nl UNION SELECT dst, src FROM nl),
+le AS (SELECT ls.gid AS gs, ld.gid AS gd
+       FROM sym JOIN lab ls ON ls.vid = sym.src
+                JOIN lab ld ON ld.vid = sym.dst),
+tot AS (SELECT COUNT(*) AS t FROM le),
+vol AS (SELECT gs AS gid, COUNT(*) AS vol FROM le GROUP BY 1),
+cut AS (SELECT gs AS gid, COUNT(*) AS cut FROM le WHERE gs <> gd GROUP BY 1),
+mem AS (SELECT gid, COUNT(*) AS n_members FROM lab GROUP BY 1)
+SELECT mem.gid, mem.n_members,
+  COALESCE(vol.vol, 0) AS vol,
+  COALESCE(cut.cut, 0) AS cut,
+  CASE WHEN LEAST(COALESCE(vol.vol, 0),
+                  (SELECT t FROM tot) - COALESCE(vol.vol, 0)) > 0
+       THEN CAST(ROUND(COALESCE(cut.cut, 0) * 1e6
+            / LEAST(COALESCE(vol.vol, 0),
+                    (SELECT t FROM tot) - COALESCE(vol.vol, 0))) AS BIGINT)
+       END AS conductance_e6
+FROM mem LEFT JOIN vol USING (gid) LEFT JOIN cut USING (gid)
+"""
+
+
+QUERIES.update({"g_conductance": (q_g_conductance, o_g_conductance)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry
