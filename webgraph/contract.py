@@ -9556,6 +9556,61 @@ FROM mem LEFT JOIN vol USING (gid) LEFT JOIN cut USING (gid)
 QUERIES.update({"g_conductance": (q_g_conductance, o_g_conductance)})
 
 
+# ----------------------------------------------- HLL estimator error --
+
+
+def q_t_hll_error(spark, sf_dir):
+    """Sketch-accuracy evaluation for the HLL distinct counter — the
+    third leg of the evaluate-your-approximations trio (e_ivf_recall,
+    g_landmark_error): build the registers, run the standard estimator
+    with its small-range correction (sketches.py:hll_count), and report
+    estimate vs exact distinct with the relative error. The oracle
+    replays registers AND the estimator arithmetic, so the published
+    error figure is itself certified."""
+    from webgraph.sketches import hll_build, hll_count
+    from webgraph.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    ).filter(F.col("token") != "")
+    regs = hll_build(toks, "token", m=HLL_M)
+    est = hll_count(regs, m=HLL_M)
+    true = toks.select("token").distinct().count()
+    est_rounded = int(est + 0.5)  # half-up, matching SQL ROUND
+    err_e4 = int(abs(est_rounded - true) * 1e4 / true + 0.5) if true else None
+    return spark.createDataFrame(
+        [(int(true), est_rounded, err_e4)],
+        "true_distinct long, est_distinct long, rel_err_e4 long",
+    )
+
+
+def o_t_hll_error():
+    inner = o_t_hll_distinct().strip()
+    alpha = 0.697  # the m=32 constant hll_count uses
+    return f"""
+WITH hr AS (
+{inner}
+),
+td AS (SELECT COUNT(DISTINCT tok) AS t FROM (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents) WHERE tok <> ''),
+st AS (SELECT SUM(POWER(2e0, -reg)) AS z,
+              SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS v0 FROM hr),
+est AS (SELECT CASE WHEN {alpha} * {HLL_M} * {HLL_M} / z <= 2.5 * {HLL_M}
+                     AND v0 > 0
+                THEN {HLL_M} * LN({HLL_M} / CAST(v0 AS DOUBLE))
+                ELSE {alpha} * {HLL_M} * {HLL_M} / z END AS e FROM st)
+SELECT CAST((SELECT t FROM td) AS BIGINT) AS true_distinct,
+  CAST(ROUND((SELECT e FROM est)) AS BIGINT) AS est_distinct,
+  CAST(ROUND(ABS(ROUND((SELECT e FROM est)) - (SELECT t FROM td)) * 1e4
+       / (SELECT t FROM td)) AS BIGINT) AS rel_err_e4
+"""
+
+
+QUERIES.update({"t_hll_error": (q_t_hll_error, o_t_hll_error)})
+
+
 # ------------------------------------- driver CORRECTNESS window (r05, refreshed r05b) --
 
 # The driver's correctness gate records only the FIRST 50 registry
