@@ -9628,30 +9628,33 @@ DRIVER_WINDOW = [
     # graph core + iteratives
     "g_top50_in_degree", "g_edge_count", "g_pagerank", "g_pagerank_warm",
     "g_components", "g_louvain", "g_triangles", "g_katz", "g_sssp",
-    "g_eff_diameter", "g_ktruss", "g_butterflies", "g_link_predict",
-    # code corpus family (license/secret/comment rows rotated out r05i —
-    # still sweep-checked — to driver-check the new modules below)
-    "c_code_stats", "c_stack_filter", "c_repo_dedup", "c_block_clones",
+    "g_eff_diameter", "g_ktruss", "g_condensation_levels",
+    # code corpus family (rotated-out rows stay sweep-checked; round-5j
+    # swaps trade near-duplicate coverage — butterflies/link-predict/
+    # bloom/covariance/pivot/block-clones — for the session's new
+    # modalities: watermark drops, import-rank, CCNet buckets, MIPS,
+    # audio, condensation levels)
+    "c_code_stats", "c_stack_filter", "c_repo_dedup", "c_import_rank",
     "c_clone_type2",
     # round-5i new modules/families
     "g_gap_stats", "t_bpe_merges", "g_node2vec_walks",
     # embedding similarity
-    "e_semdedup", "e_ivf_topk",
+    "e_semdedup", "e_ivf_topk", "e_mips_topk",
     # streaming
     "s_stream_cms", "s_pagerank_refresh", "s_incremental_merge",
-    "s_stateful_sessions", "g_msf",
+    "s_stateful_sessions", "s_late_events", "g_msf",
     # dedup modalities
     "d_line_dedup", "d_substring_dedup", "d_dedup_clusters",
     "d_minhash_dup_pairs", "d_clean_corpus", "g_mis",
     # text pipeline
     "t_main_content", "t_mix_sources", "t_dsir_sample", "t_lm_score",
-    "t_bloom_seen", "t_langid_counts", "t_perceptron",
-    "e_covariance",
+    "t_ccnet_buckets", "t_langid_counts", "t_perceptron",
     # relational windows/rollups
-    "r_running_revenue", "r_revenue_rollup", "r_priority_year_pivot",
+    "r_running_revenue", "r_revenue_rollup",
     "r_price_quantiles",
     # URL / filters / category index / multimodal
     "u_url_functions", "f_media_filter", "x_category_index", "m_media_stats",
+    "m_audio_energy",
 ]
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
