@@ -9664,3 +9664,55 @@ QUERIES = {
     **{n: QUERIES[n] for n in DRIVER_WINDOW},
     **{n: v for n, v in QUERIES.items() if n not in set(DRIVER_WINDOW)},
 }
+
+
+# ------------------------------------------------- round-5k additions --
+# Registered after the DRIVER_WINDOW reorder: dict update appends, so the
+# driver's 50-row window is unchanged and these rows are covered by the
+# full-board sweep (BENCH/contract_sweep_r05.log).
+
+
+def q_r_skew_join(spark, sf_dir):
+    """Skew-salted equi-join (joins.py:salted_join) under a manufactured
+    75%-hot key: 3 of 4 lineitem rows collapse onto k=0, the straggler
+    shape a hub page produces at 10^12 files. The salted plan spreads
+    k=0 over 8 (key, salt) reducers; the oracle is the PLAIN join — the
+    whole point is that salting changes the physical fan-out and nothing
+    else. Per-row cents rounding keeps the weighted total integer-exact."""
+    from webgraph.joins import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 4 < 3, F.lit(0))
+        .otherwise(F.col("l_partkey") % 10)
+        .cast("long")
+        .alias("k"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    dim = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * F.col("id") + 1).alias("w")
+    )
+    return (
+        salted_join(li, dim, "k", n_salts=8)
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("cents") * F.col("w")).alias("weighted_cents"),
+        )
+    )
+
+
+def o_r_skew_join():
+    return """
+WITH dim AS (SELECT i AS k, i * i + 1 AS w FROM range(10) t(i)),
+li AS (
+  SELECT CASE WHEN l_orderkey % 4 < 3 THEN 0 ELSE l_partkey % 10 END AS k,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem)
+SELECT li.k AS k, COUNT(*) AS n,
+       CAST(SUM(cents * w) AS BIGINT) AS weighted_cents
+FROM li JOIN dim ON li.k = dim.k
+GROUP BY li.k
+"""
+
+
+QUERIES.update({"r_skew_join": (q_r_skew_join, o_r_skew_join)})
