@@ -66,3 +66,107 @@ def test_salted_join_plan_joins_on_salt(spark, skew_tables):
     assert SALT_COL in plan and "xxhash64" in plan
     # n_salts replicas of the build side: explode over a 4-element array
     assert "explode" in plan
+
+
+# ------------------------------------------------------------ CDC merge --
+
+
+def _drain_cdc(spark, tmp, rows, name, n_buckets=4):
+    from webgraph.streaming import cdc_apply
+
+    base = str(tmp / name)
+    df = spark.createDataFrame(rows, "key long, seq long, op string, val long")
+    df.coalesce(1).write.parquet(f"{base}/in")
+    stream = (
+        spark.readStream.schema("key long, seq long, op string, val long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/in")
+    )
+    cdc_apply(
+        spark, stream, f"{base}/state", f"{base}/ck", n_buckets=n_buckets
+    ).awaitTermination()
+    return base
+
+
+def test_cdc_upsert_delete_tombstone(spark, tmp_path):
+    from webgraph.streaming import read_cdc_state
+
+    rows = [
+        (1, 10, "U", 100), (1, 20, "U", 101),        # key 1: final val 101
+        (2, 11, "U", 200), (2, 30, "D", 0),          # key 2: deleted
+        (3, 12, "U", 300),                           # key 3: untouched
+        (2, 25, "U", 250),                           # older than the delete
+    ]
+    base = _drain_cdc(spark, tmp_path, rows, "basic")
+    snap = _rows(read_cdc_state(spark, f"{base}/state"), "key", "seq", "val")
+    assert snap == [(1, 20, 101), (3, 12, 300)]
+    # the tombstone is IN state (so no lower-seq change can resurrect it)
+    with_t = _rows(
+        read_cdc_state(spark, f"{base}/state", include_tombstones=True), "key", "seq"
+    )
+    assert (2, 30) in with_t
+
+
+def test_cdc_split_invariance_and_time_travel(spark, tmp_path):
+    """The drained snapshot must not depend on the micro-batch split, and
+    every committed snapshot must stay readable as-of its batch id."""
+    from webgraph.streaming import cdc_apply, read_cdc_state
+
+    rows = [(k, s, "U", k * 1000 + s) for k in range(5) for s in (1, 2, 3)]
+    base = str(tmp_path / "split")
+    df = spark.createDataFrame(rows, "key long, seq long, op string, val long")
+    df.repartition(5).write.parquet(f"{base}/in")  # 5 arbitrary-split files
+    stream = (
+        spark.readStream.schema("key long, seq long, op string, val long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/in")
+    )
+    cdc_apply(spark, stream, f"{base}/state", f"{base}/ck").awaitTermination()
+    snap = _rows(read_cdc_state(spark, f"{base}/state"), "key", "seq", "val")
+    assert snap == [(k, 3, k * 1000 + 3) for k in range(5)]
+    # time travel: as-of the first commit the table held only batch 0's rows
+    early = read_cdc_state(spark, f"{base}/state", as_of=0)
+    assert 0 < early.count() <= 15
+
+
+def test_cdc_replay_skip_and_touched_buckets_only(spark, tmp_path):
+    """A replayed batch id is a no-op (exactly-once), and a commit rewrites
+    only the buckets its keys hash into — the copy-on-write cost model."""
+    import os
+
+    from webgraph.streaming import _cdc_snapshots, read_cdc_state
+
+    rows = [(1, 1, "U", 10), (2, 1, "U", 20), (3, 1, "U", 30), (4, 1, "U", 40)]
+    base = _drain_cdc(spark, tmp_path, rows, "replay", n_buckets=4)
+    snaps = _cdc_snapshots(f"{base}/state")
+    assert [s["snapshot"] for s in snaps] == [0]
+    # a second WRITER (fresh checkpoint, so its Spark batch ids restart at
+    # 0) must append a new snapshot, not collide with the first writer's
+    # batch 0; the new snapshot keeps every untouched bucket at version 0
+    df2 = spark.createDataFrame([(1, 2, "U", 11)], "key long, seq long, op string, val long")
+    df2.coalesce(1).write.parquet(f"{base}/in2")
+    stream2 = (
+        spark.readStream.schema("key long, seq long, op string, val long")
+        .parquet(f"{base}/in2")
+    )
+    from webgraph.streaming import cdc_apply
+
+    cdc_apply(spark, stream2, f"{base}/state", f"{base}/ck2").awaitTermination()
+    snaps = _cdc_snapshots(f"{base}/state")
+    assert len(snaps) == 2
+    versions = set(snaps[-1]["buckets"].values())
+    assert versions == {0, snaps[-1]["snapshot"]}  # untouched buckets kept
+    snap = dict(
+        (r[0], r[2]) for r in _rows(read_cdc_state(spark, f"{base}/state"), "key", "seq", "val")
+    )
+    assert snap[1] == 11 and snap[2] == 20
+    # replaying a committed batch id leaves the manifest unchanged
+    n_lines = len(snaps)
+    from webgraph.streaming import cdc_apply as _ca  # same checkpoint -> no new batch
+
+    stream3 = (
+        spark.readStream.schema("key long, seq long, op string, val long")
+        .parquet(f"{base}/in2")
+    )
+    _ca(spark, stream3, f"{base}/state", f"{base}/ck2").awaitTermination()
+    assert len(_cdc_snapshots(f"{base}/state")) == n_lines

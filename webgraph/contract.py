@@ -9716,3 +9716,55 @@ GROUP BY li.k
 
 
 QUERIES.update({"r_skew_join": (q_r_skew_join, o_r_skew_join)})
+
+
+def q_s_cdc_apply(spark, sf_dir):
+    """CDC merge (streaming.py:cdc_apply): an insert/update/delete change
+    log derived from orders — key = o_orderkey % 211, seq = o_orderkey
+    (a per-key total order), every 10th change a delete — drained as a
+    4-file stream into the bucketed copy-on-write snapshot. Because the
+    merge is argmax-by-seq over (state UNION batch), the drained snapshot
+    is independent of the batch split and equals the one-shot latest-
+    per-key derivation, which IS the oracle. Deletes are tombstones:
+    retained in state, filtered by the read path."""
+    import tempfile
+
+    from webgraph.streaming import cdc_apply, read_cdc_state
+
+    _STREAM_SINK_N[0] += 1
+    base = tempfile.mkdtemp(prefix=f"cdc_apply_{_STREAM_SINK_N[0]}_")
+    log = load(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 211).cast("long").alias("key"),
+        F.col("o_orderkey").cast("long").alias("seq"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    log.repartition(4).write.parquet(f"{base}/in")
+    stream = (
+        spark.readStream.schema("key long, seq long, op string, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/in")
+    )
+    q = cdc_apply(spark, stream, f"{base}/state", f"{base}/ck")
+    q.awaitTermination()
+    snap = read_cdc_state(spark, f"{base}/state")
+    return snap.select("key", "seq", "op", "cents")
+
+
+def o_s_cdc_apply():
+    return """
+WITH log AS (
+  SELECT o_orderkey % 211 AS key, o_orderkey AS seq,
+         CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+latest AS (SELECT key, MAX(seq) AS seq FROM log GROUP BY key)
+SELECT l.key AS key, l.seq AS seq, l.op AS op, l.cents AS cents
+FROM log l JOIN latest USING (key, seq)
+WHERE l.op <> 'D'
+"""
+
+
+QUERIES.update({"s_cdc_apply": (q_s_cdc_apply, o_s_cdc_apply)})

@@ -635,3 +635,171 @@ def stream_static_enrich(stream: DataFrame, dim: DataFrame, key: str) -> DataFra
     becomes a shuffled join per micro-batch and belongs in
     incremental_edge_merge-style state instead."""
     return stream.join(F.broadcast(dim), key)
+
+
+# ----------------------------------------------------------- CDC merge --
+
+_CDC_MANIFEST = "cdc_manifest.jsonl"
+
+
+def _cdc_snapshots(state_dir: str) -> list[dict]:
+    import json
+    import os
+
+    path = os.path.join(state_dir, _CDC_MANIFEST)
+    if not os.path.isfile(path):
+        return []
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def cdc_apply(
+    spark: SparkSession,
+    change_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "key",
+    seq_col: str = "seq",
+    op_col: str = "op",
+    n_buckets: int = 16,
+):
+    """Change-data-capture merge: drain an insert/update/delete log into a
+    keyed snapshot table — the MERGE INTO half of the table-format story
+    that incremental_edge_merge (append-only) doesn't cover. Returns the
+    StreamingQuery.
+
+    The log rows carry (key, seq, op, payload...): ``seq`` totally orders
+    changes per key (a commit LSN), ``op`` is 'D' for delete, anything
+    else upserts. Deletes are retained as TOMBSTONES in state — a
+    late-arriving change with a lower seq can never resurrect a deleted
+    key — and filtered only at read time (read_cdc_state), i.e.
+    merge-on-read semantics with a merge-on-write layout.
+
+    Layout (the Iceberg copy-on-write miniature, bucket = file group):
+
+        <state_dir>/snap=<n>/_b=<bucket>/   bucket contents written by
+                                            snapshot n
+        <state_dir>/cdc_manifest.jsonl      one line per commit:
+            {"snapshot": n, "writer": <checkpoint_dir>, "batch_id": id,
+             "buckets": {bucket: snapshot-that-last-wrote-it}}
+
+    Snapshot ids are MONOTONIC ACROSS WRITERS (next = count of committed
+    lines), decoupled from Spark's per-checkpoint batch ids — a second
+    streaming query with a fresh checkpoint appends snapshots instead of
+    colliding with the first writer's batch 0. Replay detection is
+    per-writer: a (writer, batch_id) pair already in the manifest is a
+    replayed micro-batch and is skipped (exactly-once); and because the
+    merge itself — argmax-by-seq per key over (old bucket contents UNION
+    batch) — is associative, commutative, and idempotent, even a replay
+    that slipped the check would commit a content-identical snapshot,
+    never a corruption. The same associativity makes the final state
+    independent of how changes split into micro-batches, which is what
+    makes the drained-stream == one-shot-batch oracle exact.
+
+    Only buckets containing batch keys are rewritten (the others keep
+    their previous version in the new snapshot line), so the per-batch
+    write cost is O(touched buckets), not O(|table|) — at cluster scale
+    n_buckets grows with the table and the touched set is the working
+    set.
+
+    Crash protocol is write-then-log, same as incremental_edge_merge:
+    the manifest line is the commit point; a crash mid-write leaves an
+    unreferenced snap=<n> partial that the replayed batch overwrites
+    (the replay recomputes the same next-snapshot id because the crashed
+    attempt never appended its line). Old bucket versions are retained —
+    snapshots are time-travelable via read_cdc_state(as_of=); expiry
+    would prune versions no live snapshot references (not needed at
+    contract scale)."""
+    import json
+    import os
+
+    def bucket_of(col):
+        return F.pmod(F.xxhash64(col), F.lit(n_buckets))
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        snaps = _cdc_snapshots(state_dir)
+        if any(
+            s["batch_id"] == batch_id and s["writer"] == checkpoint_dir
+            for s in snaps
+        ):
+            return  # replayed batch already committed: exactly-once
+        snapshot = len(snaps)
+        buckets = dict(snaps[-1]["buckets"]) if snaps else {}
+        cols = [c for c in batch_df.columns if c != key_col]
+        latest = (
+            batch_df.groupBy(key_col)
+            .agg(F.max_by(F.struct(*cols), F.col(seq_col)).alias("_v"))
+            .select(key_col, "_v.*")
+            .withColumn("_b", bucket_of(F.col(key_col)))
+            .persist()
+        )
+        touched = sorted(r["_b"] for r in latest.select("_b").distinct().collect())
+        if touched:
+            old_paths = [
+                f"{state_dir}/snap={buckets[str(b)]}/_b={b}"
+                for b in touched
+                if str(b) in buckets
+            ]
+            merged = latest
+            if old_paths:
+                old = spark.read.parquet(*old_paths).withColumn(
+                    "_b", bucket_of(F.col(key_col))
+                )
+                merged = (
+                    old.unionByName(latest)
+                    .groupBy(key_col)
+                    .agg(F.max_by(F.struct("_b", *cols), F.col(seq_col)).alias("_v"))
+                    .select(key_col, "_v.*")
+                )
+            merged.write.partitionBy("_b").mode("overwrite").parquet(
+                f"{state_dir}/snap={snapshot}"
+            )
+            for b in touched:
+                buckets[str(b)] = snapshot
+        latest.unpersist()
+        os.makedirs(state_dir, exist_ok=True)
+        with open(os.path.join(state_dir, _CDC_MANIFEST), "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "snapshot": snapshot,
+                        "writer": checkpoint_dir,
+                        "batch_id": batch_id,
+                        "buckets": buckets,
+                    }
+                )
+                + "\n"
+            )
+
+    return (
+        change_stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cdc_state(
+    spark: SparkSession,
+    state_dir: str,
+    op_col: str = "op",
+    as_of: int | None = None,
+    include_tombstones: bool = False,
+) -> DataFrame | None:
+    """The committed CDC snapshot: latest row per key, deletes filtered
+    (unless ``include_tombstones``). ``as_of`` reads the table as of that
+    snapshot id — every manifest line references only immutable bucket
+    versions, so history stays readable at zero copy cost."""
+    snaps = _cdc_snapshots(state_dir)
+    if as_of is not None:
+        snaps = [s for s in snaps if s["snapshot"] <= as_of]
+    if not snaps:
+        return None
+    buckets = snaps[-1]["buckets"]
+    paths = [f"{state_dir}/snap={v}/_b={b}" for b, v in buckets.items()]
+    if not paths:
+        return None
+    df = spark.read.parquet(*paths)
+    if not include_tombstones:
+        df = df.filter(F.col(op_col) != "D")
+    return df
