@@ -170,3 +170,48 @@ def test_cdc_replay_skip_and_touched_buckets_only(spark, tmp_path):
     )
     _ca(spark, stream3, f"{base}/state", f"{base}/ck2").awaitTermination()
     assert len(_cdc_snapshots(f"{base}/state")) == n_lines
+
+
+# ----------------------------------------------------------- record peaks --
+
+
+def test_record_peaks_cross_batch_state(spark, tmp_path):
+    """A later batch's smaller value must NOT be a record (state carries
+    the max across batches); a new high must."""
+    import os
+
+    from webgraph.streaming import record_peaks, run_to_append_sink
+
+    base = str(tmp_path / "peaks")
+    os.makedirs(f"{base}/in")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    w0 = [(1, "2024-01-01 00:00:01", 7, "x", 5.0, ""),
+          (2, "2024-01-01 00:00:02", 7, "x", 9.0, "")]
+    w1 = [(3, "2024-01-01 00:00:03", 7, "x", 8.0, ""),   # below the max: no
+          (4, "2024-01-01 00:00:04", 7, "x", 9.0, ""),   # tie: strict, no
+          (5, "2024-01-01 00:00:05", 7, "x", 9.5, "")]   # new record
+    for i, rows in enumerate([w0, w1]):
+        df = spark.createDataFrame(
+            [(e, __import__("datetime").datetime.fromisoformat(t), u, et, v, p)
+             for e, t, u, et, v, p in rows],
+            schema,
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{base}/w{i}")
+        import glob, shutil
+        part = glob.glob(f"{base}/w{i}/part-*.parquet")[0]
+        dst = f"{base}/in/wave{i}.parquet"
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/in")
+    )
+    run_to_append_sink(record_peaks(stream), f"{base}/out", f"{base}/ck")
+    got = sorted(
+        (r["event_id"], r["value"]) for r in spark.read.parquet(f"{base}/out").collect()
+    )
+    assert got == [(1, 5.0), (2, 9.0), (5, 9.5)]

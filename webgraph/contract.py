@@ -9768,3 +9768,71 @@ WHERE l.op <> 'D'
 
 
 QUERIES.update({"s_cdc_apply": (q_s_cdc_apply, o_s_cdc_apply)})
+
+
+def q_s_peak_detect(spark, sf_dir):
+    """Streaming record/peak detection (streaming.py:record_peaks): the
+    events table replayed as 4 time-ordered waves (codegen ts-range
+    quartiles, mtime-pinned file order like s_late_events), per-user
+    running-max state across batches. Emitted = every event strictly
+    above its user's prior maximum — the predicate compares stored
+    doubles with zero arithmetic, so the SQL twin (value > MAX OVER
+    preceding) is exact."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from webgraph.streaming import record_peaks, run_to_append_sink
+
+    _STREAM_SINK_N[0] += 1
+    base = tempfile.mkdtemp(prefix=f"peak_detect_{_STREAM_SINK_N[0]}_")
+    ev = load(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = max(1, int(hi.timestamp()) - int(lo.timestamp()) + 1)
+    wave = F.least(
+        F.lit(3),
+        ((F.unix_timestamp("ts") - F.lit(int(lo.timestamp()))) * 4 / span).cast("int"),
+    )
+    os.makedirs(f"{base}/in")
+    for w in range(4):
+        ev.filter(wave == w).coalesce(1).write.mode("overwrite").parquet(
+            f"{base}/w{w}"
+        )
+        part = glob.glob(f"{base}/w{w}/part-*.parquet")[0]
+        dst = f"{base}/in/wave{w}.parquet"
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000 + w, 1_000_000 + w))  # replay order = (mtime, path)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/in")
+    )
+    peaks = record_peaks(stream)
+    run_to_append_sink(peaks, f"{base}/result", f"{base}/ck")
+    return spark.read.parquet(f"{base}/result").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.round(F.col("value") * 1e6).cast("long").alias("value_e6"),
+    )
+
+
+def o_s_peak_detect():
+    return """
+SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_epoch,
+       CAST(ROUND(value * 1e6) AS BIGINT) AS value_e6
+FROM (
+  SELECT user_id, event_id, ts, value,
+         MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM events)
+WHERE prev_max IS NULL OR value > prev_max
+"""
+
+
+QUERIES.update({"s_peak_detect": (q_s_peak_detect, o_s_peak_detect)})

@@ -803,3 +803,58 @@ def read_cdc_state(
     if not include_tombstones:
         df = df.filter(F.col(op_col) != "D")
     return df
+
+
+# ------------------------------------------------------- record peaks --
+
+PEAKS_OUT_SCHEMA = "user_id long, event_id long, ts timestamp, value double"
+
+
+def record_peaks(events: DataFrame) -> DataFrame:
+    """Streaming record/peak detection: emit every event whose value
+    strictly exceeds everything its user emitted before it (in event-time
+    order) — the running-max anomaly family (new-record alerting, spike
+    triage). A per-user scalar of state via applyInPandasWithState:
+    O(active users) state forever, each record emitted exactly once, at
+    the batch it arrives.
+
+    Unlike the z-score family, the predicate compares STORED doubles with
+    no arithmetic, so the emitted set is bit-deterministic and exactly
+    SQL-replayable (value > MAX(value) OVER preceding) — an anomaly
+    operator with an exact oracle. In-order arrival is the operator's
+    contract (same as any run-length state machine); the caller feeds
+    time-ordered micro-batches and each batch is sorted on
+    (ts, event_id) before the fold."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        uid = key[0]
+        rows = pd.concat(
+            [p[["event_id", "ts", "value"]] for p in pdfs], ignore_index=True
+        ).sort_values(["ts", "event_id"])
+        cur = state.get[0] if state.exists else None
+        recs = []
+        for eid, ts, v in zip(rows["event_id"], rows["ts"], rows["value"]):
+            v = float(v)
+            if cur is None or v > cur:
+                recs.append((int(eid), ts, v))
+                cur = v
+        state.update((cur,))
+        if recs:
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid] * len(recs),
+                    "event_id": [r[0] for r in recs],
+                    "ts": pd.Series([r[1] for r in recs]).dt.as_unit("us"),
+                    "value": [r[2] for r in recs],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        PEAKS_OUT_SCHEMA,
+        "cur_max double",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
