@@ -215,3 +215,39 @@ def test_record_peaks_cross_batch_state(spark, tmp_path):
         (r["event_id"], r["value"]) for r in spark.read.parquet(f"{base}/out").collect()
     )
     assert got == [(1, 5.0), (2, 9.0), (5, 9.5)]
+
+
+# ---------------------------------------------------- configuration model --
+
+
+def test_configuration_model_preserves_degrees(spark):
+    from webgraph.generators import configuration_model
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(12) for b in range(12) if (a * 7 + b) % 5 == 0 and a != b],
+        "src long, dst long",
+    )
+    rw = configuration_model(edges)
+    assert rw.count() == edges.count()
+
+    def degs(df, col):
+        return dict((r[0], r[1]) for r in df.groupBy(col).count().collect())
+
+    assert degs(rw, "src") == degs(edges, "src")
+    assert degs(rw, "dst") == degs(edges, "dst")
+    # a 29-edge graph rewired under independent permutations must move
+    # SOME edge (probability of identity wiring is astronomically small)
+    orig = set((r[0], r[1]) for r in edges.collect())
+    got = [(r[0], r[1]) for r in rw.collect()]
+    assert any(p not in orig for p in got)
+
+
+def test_configuration_model_partition_invariant(spark):
+    from webgraph.generators import configuration_model
+
+    edges = spark.createDataFrame(
+        [(i % 9, (i * i + 3) % 9) for i in range(40)], "src long, dst long"
+    ).distinct()
+    a = sorted(map(tuple, configuration_model(edges.coalesce(1)).collect()))
+    b = sorted(map(tuple, configuration_model(edges.repartition(8)).collect()))
+    assert a == b

@@ -9836,3 +9836,74 @@ WHERE prev_max IS NULL OR value > prev_max
 
 
 QUERIES.update({"s_peak_detect": (q_s_peak_detect, o_s_peak_detect)})
+
+
+def q_g_config_model(spark, sf_dir):
+    """Configuration-model null graph (generators.py:configuration_model)
+    over the derived link graph, summarized by the quantities a motif-
+    significance test consumes: edge/self-loop/multi-edge counts, overlap
+    with the original wiring, and the L1 distance of the out-/in-degree
+    sequences — which the model guarantees to be ZERO, so degree
+    preservation is itself part of the checked contract."""
+    from webgraph.generators import configuration_model
+
+    e = derived_edges(spark, sf_dir).persist()
+    rw = configuration_model(e).persist()
+    dist = rw.distinct().persist()
+    zero = F.lit(0).cast("long")
+    n = rw.agg(
+        F.count("*").alias("n_edges"),
+        F.sum((F.col("src") == F.col("dst")).cast("long")).alias("n_self_loops"),
+    )
+    nd = dist.agg(F.count("*").alias("n_distinct"))
+    nc = dist.join(e, ["src", "dst"], "left_semi").agg(
+        F.count("*").alias("n_common")
+    )
+
+    def deg_l1(col, alias):
+        a = e.groupBy(col).agg(F.count("*").alias("c1"))
+        b = rw.groupBy(col).agg(F.count("*").alias("c2"))
+        return a.join(b, col, "full").agg(
+            F.coalesce(
+                F.sum(F.abs(F.coalesce("c1", zero) - F.coalesce("c2", zero))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(alias)
+        )
+
+    return (
+        n.crossJoin(nd)
+        .crossJoin(nc)
+        .crossJoin(deg_l1("src", "out_deg_l1"))
+        .crossJoin(deg_l1("dst", "in_deg_l1"))
+    )
+
+
+def o_g_config_model():
+    from webgraph.generators import stub_priority_sql
+
+    parts = [
+        f"WITH e AS ({EDGES_SQL}),",
+        f"o AS (SELECT src, ROW_NUMBER() OVER (ORDER BY {stub_priority_sql('out', 42)}, src, dst) AS rank FROM e),",
+        f"i AS (SELECT dst, ROW_NUMBER() OVER (ORDER BY {stub_priority_sql('in', 43)}, src, dst) AS rank FROM e),",
+        "rw AS (SELECT o.src AS src, i.dst AS dst FROM o JOIN i USING (rank)),",
+        "d AS (SELECT DISTINCT src, dst FROM rw)",
+    ]
+    body = """
+SELECT
+  (SELECT COUNT(*) FROM rw) AS n_edges,
+  (SELECT CAST(COALESCE(SUM(CASE WHEN src = dst THEN 1 ELSE 0 END), 0) AS BIGINT) FROM rw) AS n_self_loops,
+  (SELECT COUNT(*) FROM d) AS n_distinct,
+  (SELECT COUNT(*) FROM (SELECT src, dst FROM d INTERSECT SELECT src, dst FROM e)) AS n_common,
+  (SELECT CAST(COALESCE(SUM(ABS(COALESCE(c1, 0) - COALESCE(c2, 0))), 0) AS BIGINT)
+   FROM (SELECT src, COUNT(*) AS c1 FROM e GROUP BY src) a
+   FULL JOIN (SELECT src, COUNT(*) AS c2 FROM rw GROUP BY src) b USING (src)) AS out_deg_l1,
+  (SELECT CAST(COALESCE(SUM(ABS(COALESCE(c1, 0) - COALESCE(c2, 0))), 0) AS BIGINT)
+   FROM (SELECT dst, COUNT(*) AS c1 FROM e GROUP BY dst) a
+   FULL JOIN (SELECT dst, COUNT(*) AS c2 FROM rw GROUP BY dst) b USING (dst)) AS in_deg_l1
+"""
+    return _unrolled(parts) + body
+
+
+QUERIES.update({"g_config_model": (q_g_config_model, o_g_config_model)})

@@ -87,3 +87,88 @@ def rmat_edges(
         bit_sum(src_bit).alias("src"),
         bit_sum(dst_bit).alias("dst"),
     )
+
+
+# --------------------------------------------------- configuration model --
+
+# Stub-permutation priorities: one multiplier pair per side, the R-MAT
+# distinct-multiplier lesson applied (shared multipliers would correlate
+# the out- and in-permutations and bias the rewiring toward the original
+# wiring). Residues are reduced mod CM_MOD before multiplying so every
+# intermediate stays < 2^62 for arbitrary vids.
+CM_MOD = 1_000_000_007
+_CM_OUT_A, _CM_OUT_B = 2_654_435_761, 40_503
+_CM_IN_A, _CM_IN_B = 1_315_423_911, 2_246_822_519
+
+
+def _stub_priority(src, dst, mult_a: int, mult_b: int, seed: int):
+    return (
+        ((src % CM_MOD) * mult_a) % CM_MOD
+        + ((dst % CM_MOD) * mult_b) % CM_MOD
+        + seed
+    ) % CM_MOD
+
+
+def stub_priority_sql(side: str, seed: int = 42) -> str:
+    """The identical priority arithmetic as SQL (oracle parity)."""
+    a, b = (_CM_OUT_A, _CM_OUT_B) if side == "out" else (_CM_IN_A, _CM_IN_B)
+    return (
+        f"(((src % {CM_MOD}) * {a}) % {CM_MOD}"
+        f" + ((dst % {CM_MOD}) * {b}) % {CM_MOD} + {seed}) % {CM_MOD}"
+    )
+
+
+def _global_rank(edges: DataFrame, pri, out_col: str) -> DataFrame:
+    """(out_col, rank): 1-based global rank of each edge's stub under the
+    strict order (priority, src, dst) — the token_prefix_sums protocol
+    (range partition -> per-partition counts -> broadcast offsets ->
+    within-partition row_number), NO single-task global window."""
+    from pyspark.sql.window import Window
+
+    spark = edges.sparkSession
+    parts = spark.sparkContext.defaultParallelism
+    d = (
+        edges.select("src", "dst", pri.alias("_pri"))
+        .repartitionByRange(parts, "_pri", "src", "dst")
+        .withColumn("_p", F.spark_partition_id())
+        .persist()
+    )
+    counts = sorted(
+        (r["_p"], r["c"]) for r in d.groupBy("_p").agg(F.count("*").alias("c")).collect()
+    )
+    offsets, acc = [], 0
+    for p, c in counts:
+        offsets.append((p, acc))
+        acc += c
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_p int, _off long")
+    w = Window.partitionBy("_p").orderBy("_pri", "src", "dst")
+    ranked = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_p")
+        .select(out_col, (F.col("_rn") + F.col("_off")).alias("rank"))
+    )
+    return ranked
+
+
+def configuration_model(edges: DataFrame, seed: int = 42) -> DataFrame:
+    """Degree-preserving null graph (the configuration model, Newman
+    SIAM Rev. 2003 §4; Milo et al. 2002 use it as the motif-significance
+    baseline): every edge contributes one out-stub at src and one
+    in-stub at dst; pairing out-stub rank k with in-stub rank k under
+    two independent seeded permutations rewires the graph while
+    preserving EVERY vertex's exact out- and in-degree. Observed motif
+    counts (triangles, butterflies, triads) are only meaningful against
+    this baseline — a degree sequence alone forces many motifs.
+
+    Deterministic: permutations are portable-hash priorities (strict
+    order (pri, src, dst)), so the identical rewiring replays in plain
+    SQL. Distributed: two global ranks via the range-partition +
+    broadcast-offset protocol and one rank-keyed equi-join — O(E log E)
+    sort shuffles, no single-task window, no driver data. Self-loops and
+    multi-edges arise as in the standard model; callers filter if their
+    statistic requires simple graphs."""
+    out_pri = _stub_priority(F.col("src"), F.col("dst"), _CM_OUT_A, _CM_OUT_B, seed)
+    in_pri = _stub_priority(F.col("src"), F.col("dst"), _CM_IN_A, _CM_IN_B, seed + 1)
+    out_stubs = _global_rank(edges, out_pri, "src")
+    in_stubs = _global_rank(edges, in_pri, "dst")
+    return out_stubs.join(in_stubs, "rank").select("src", "dst")
