@@ -251,3 +251,26 @@ def test_configuration_model_partition_invariant(spark):
     a = sorted(map(tuple, configuration_model(edges.coalesce(1)).collect()))
     b = sorted(map(tuple, configuration_model(edges.repartition(8)).collect()))
     assert a == b
+
+
+# --------------------------------------------------------------- readability --
+
+
+def test_readability_known_values(spark):
+    from webgraph.text import readability_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran."),   # 6 words, 2 sentences, 6 syllable-runs
+            (2, ""),                              # empty -> NULL score, 'empty'
+            (3, "a"),                             # 1 word, floor 1 sentence
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in readability_stats(docs).collect()}
+    assert got[1]["n_words"] == 6 and got[1]["n_sentences"] == 2
+    assert got[1]["n_syllables"] == 6
+    # 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert got[1]["flesch_e4"] == 1191900 and got[1]["band"] == "very_easy"
+    assert got[2]["flesch_e4"] is None and got[2]["band"] == "empty"
+    assert got[3]["n_sentences"] == 1 and got[3]["band"] == "very_easy"

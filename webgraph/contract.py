@@ -9907,3 +9907,44 @@ SELECT
 
 
 QUERIES.update({"g_config_model": (q_g_config_model, o_g_config_model)})
+
+
+def q_t_readability(spark, sf_dir):
+    """Flesch reading-ease (text.py:readability_stats) over documents —
+    the readability leg of the quality family. Pure codegen: three
+    regexp counts + one arithmetic projection, zero Exchange; the band
+    is derived from the rounded integer score so its edges are exact."""
+    from webgraph.text import readability_stats
+
+    return readability_stats(load(spark, sf_dir, "documents"))
+
+
+def o_t_readability():
+    return r"""
+WITH m AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+    CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+      AS n_sentences,
+    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+      AS n_syllables
+  FROM documents),
+s AS (
+  SELECT doc_id, n_words, n_sentences, n_syllables,
+    CASE WHEN n_words > 0 THEN CAST(ROUND((206.835
+      - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+      - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+      * 1e4) AS BIGINT) ELSE NULL END AS flesch_e4
+  FROM m)
+SELECT doc_id, n_words, n_sentences, n_syllables, flesch_e4,
+  CASE WHEN flesch_e4 IS NULL THEN 'empty'
+       WHEN flesch_e4 >= 900000 THEN 'very_easy'
+       WHEN flesch_e4 >= 700000 THEN 'easy'
+       WHEN flesch_e4 >= 500000 THEN 'medium'
+       WHEN flesch_e4 >= 300000 THEN 'hard'
+       ELSE 'very_hard' END AS band
+FROM s
+"""
+
+
+QUERIES.update({"t_readability": (q_t_readability, o_t_readability)})

@@ -1665,3 +1665,46 @@ def zipf_fit(df: DataFrame, text_col: str = "text", top_n: int = 500) -> DataFra
         .cast("long")
         .alias("r2_e6"),
     )
+
+
+def readability_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading-ease per document (Flesch 1948; the readability
+    prior web-corpus quality pipelines stack next to stopword/length
+    heuristics — e.g. the C4/Gopher family's "easy English" filters).
+
+    Syllables use the standard vowel-group heuristic (count of maximal
+    [aeiouy]+ runs — exact syllabification needs a dictionary; the
+    heuristic is monotone with it and is what makes the score a pure
+    codegen projection: three regexp counts + one arithmetic expression,
+    zero Exchange at any scale). Sentences = [.!?]+ runs, floored at 1.
+    Scores are emitted in 1e-4 units and the band is derived from the
+    ROUNDED integer, so band edges are engine-exact."""
+    words = F.regexp_count(F.col(text_col), F.lit(r"\S+"))
+    sents = F.greatest(F.lit(1), F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")))
+    sylls = F.regexp_count(F.lower(F.col(text_col)), F.lit("[aeiouy]+"))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sents.cast("double"))
+        - F.lit(84.6) * (sylls.cast("double") / words.cast("double"))
+    )
+    flesch_e4 = F.when(words > 0, F.round(flesch * 1e4).cast("long")).otherwise(
+        F.lit(None).cast("long")
+    )
+    band = (
+        F.when(flesch_e4.isNull(), F.lit("empty"))
+        .when(flesch_e4 >= 900000, F.lit("very_easy"))
+        .when(flesch_e4 >= 700000, F.lit("easy"))
+        .when(flesch_e4 >= 500000, F.lit("medium"))
+        .when(flesch_e4 >= 300000, F.lit("hard"))
+        .otherwise(F.lit("very_hard"))
+    )
+    return df.select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        sylls.cast("long").alias("n_syllables"),
+        flesch_e4.alias("flesch_e4"),
+        band.alias("band"),
+    )
