@@ -274,3 +274,26 @@ def test_readability_known_values(spark):
     assert got[1]["flesch_e4"] == 1191900 and got[1]["band"] == "very_easy"
     assert got[2]["flesch_e4"] is None and got[2]["band"] == "empty"
     assert got[3]["n_sentences"] == 1 and got[3]["band"] == "very_easy"
+
+
+# --------------------------------------------------------------- API surface --
+
+
+def test_api_surface_counts_and_sharing(spark):
+    from webgraph.code import api_surface
+
+    files = spark.createDataFrame(
+        [
+            ("r1", "def alpha(x):\n  pass\ndef beta():\n  pass\nclass Gamma:\n  pass"),
+            ("r1", "def alpha(y):\n  return y"),          # alpha again: distinct once
+            ("r2", "def alpha():\n  pass"),                # shares alpha with r1
+            ("r3", "x = 1  # no decls; 'def inline' not at line start"),
+        ],
+        "repo string, content string",
+    )
+    got = {r["repo"]: r.asDict() for r in api_surface(files).collect()}
+    assert got["r1"]["n_defs"] == 3 and got["r1"]["n_classes"] == 1
+    assert got["r1"]["n_symbols"] == 3          # alpha, beta, Gamma
+    assert got["r1"]["n_shared"] == 1           # alpha only
+    assert got["r2"]["n_shared"] == 1 and got["r2"]["n_symbols"] == 1
+    assert "r3" not in got                      # no declarations at all

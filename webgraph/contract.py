@@ -9948,3 +9948,61 @@ FROM s
 
 
 QUERIES.update({"t_readability": (q_t_readability, o_t_readability)})
+
+
+def q_c_api_surface(spark, sf_dir):
+    """Per-repo API surface (code.py:api_surface) over a seeded corpus:
+    every file declares fn_<doc_id%37>, every 4th also class
+    C<doc_id%11> — small symbol spaces, so cross-repo sharing is dense
+    and the n_shared leg does real work."""
+    from webgraph.code import api_surface
+
+    d = F.col("doc_id")
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("source").alias("repo"),
+        F.concat(
+            F.lit("def fn_"), (d % 37).cast("string"), F.lit("(x):\n"),
+            F.when(
+                d % 4 == 0,
+                F.concat(F.lit("class C"), (d % 11).cast("string"), F.lit(":\n")),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+        ).alias("content"),
+    )
+    return api_surface(docs)
+
+
+def o_c_api_surface():
+    return r"""
+WITH seeded AS (
+  SELECT source AS repo,
+    'def fn_' || (doc_id % 37) || '(x):' || chr(10) ||
+    CASE WHEN doc_id % 4 = 0 THEN 'class C' || (doc_id % 11) || ':' || chr(10)
+         ELSE '' END || text AS content
+  FROM documents),
+decls AS (
+  SELECT repo,
+    unnest(regexp_extract_all(content,
+      '(?m)^(def|class)\s+([A-Za-z_][A-Za-z0-9_]*)', 0)) AS decl
+  FROM seeded),
+parsed AS (
+  SELECT repo, regexp_extract(decl, '^(def|class)', 1) AS kind,
+         regexp_extract(decl, '([A-Za-z_][A-Za-z0-9_]*)$', 1) AS sym
+  FROM decls),
+per AS (
+  SELECT repo,
+    CAST(SUM(CASE WHEN kind = 'def' THEN 1 ELSE 0 END) AS BIGINT) AS n_defs,
+    CAST(SUM(CASE WHEN kind = 'class' THEN 1 ELSE 0 END) AS BIGINT) AS n_classes,
+    CAST(COUNT(DISTINCT sym) AS BIGINT) AS n_symbols
+  FROM parsed GROUP BY repo),
+rs AS (SELECT DISTINCT repo, sym FROM parsed),
+sh AS (SELECT sym FROM rs GROUP BY sym HAVING COUNT(*) >= 2),
+ps AS (SELECT repo, COUNT(*) AS n_shared FROM rs
+       WHERE sym IN (SELECT sym FROM sh) GROUP BY repo)
+SELECT per.repo AS repo, n_defs, n_classes, n_symbols,
+       CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared
+FROM per LEFT JOIN ps ON per.repo = ps.repo
+"""
+
+
+QUERIES.update({"c_api_surface": (q_c_api_surface, o_c_api_surface)})
