@@ -297,3 +297,25 @@ def test_api_surface_counts_and_sharing(spark):
     assert got["r1"]["n_shared"] == 1           # alpha only
     assert got["r2"]["n_shared"] == 1 and got["r2"]["n_symbols"] == 1
     assert "r3" not in got                      # no declarations at all
+
+
+# ------------------------------------------------------------- int8 SQ --
+
+
+def test_sq_quantize_codes_and_recall_bounds(spark):
+    from webgraph.similarity import sq_quantize, sq_recall
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 10.0 - i, 5.0]) for i in range(11)],
+        "vec_id long, embedding array<double>",
+    )
+    quant, params = sq_quantize(emb)
+    assert params == [(0.0, 10.0), (0.0, 10.0), (5.0, 5.0)]
+    codes = {r["vec_id"]: r["qvec"] for r in quant.collect()}
+    assert codes[0] == [0, 255, 0]          # min -> 0, max -> 255, const dim -> 0
+    assert codes[10] == [255, 0, 0]
+    assert codes[4] == [102, 153, 0]        # round(4*25.5) = 102
+    rec = sq_recall(emb, n_queries=2, k=3).collect()
+    assert len(rec) == 2
+    for r in rec:
+        assert 0 <= r["n_hits"] <= 3 and r["recall_e6"] == round(r["n_hits"] * 1e6 / 3)

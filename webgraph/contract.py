@@ -10006,3 +10006,58 @@ FROM per LEFT JOIN ps ON per.repo = ps.repo
 
 
 QUERIES.update({"c_api_surface": (q_c_api_surface, o_c_api_surface)})
+
+
+SQR_NQ = 8
+SQR_K = 10
+
+
+def q_e_sq_recall(spark, sf_dir):
+    """Recall@k of int8 scalar quantization (similarity.py:sq_recall)
+    against the exact fixed-point scan over 8 query vectors. Both
+    rankings are INTEGER dot products (SQ codes vs 1e-6 fixed-point
+    components), so scores, tie-breaks, and the recall are engine-exact
+    — the fourth evaluate-your-approximations row after IVF/HLL/
+    landmarks."""
+    from webgraph.similarity import sq_recall
+
+    emb = load(spark, sf_dir, "embeddings")
+    return sq_recall(emb, n_queries=SQR_NQ, k=SQR_K)
+
+
+def o_e_sq_recall():
+    parts = [
+        "WITH be AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
+        """pt AS (SELECT vec_id, pos, v[CAST(pos AS INT)] AS val FROM
+  (SELECT vec_id, v, unnest(generate_series(1, len(v))) AS pos FROM be)),""",
+        "pr AS (SELECT pos, MIN(val) AS lo, MAX(val) AS hi FROM pt GROUP BY pos),",
+        """q8 AS (SELECT vec_id, pos, CASE WHEN hi = lo THEN 0
+  ELSE CAST(ROUND((val - lo) * 255 / (hi - lo)) AS BIGINT) END AS q
+  FROM pt JOIN pr USING (pos)),""",
+        """e6 AS (SELECT vec_id, pos, CAST(ROUND(val * 1e6) AS BIGINT) AS e
+  FROM pt),""",
+        f"""sx AS (SELECT a.vec_id AS qid, b.vec_id, SUM(a.e * b.e) AS s
+  FROM e6 a JOIN e6 b USING (pos)
+  WHERE a.vec_id < {SQR_NQ} AND b.vec_id <> a.vec_id GROUP BY 1, 2),""",
+        f"""sq AS (SELECT a.vec_id AS qid, b.vec_id, SUM(a.q * b.q) AS s
+  FROM q8 a JOIN q8 b USING (pos)
+  WHERE a.vec_id < {SQR_NQ} AND b.vec_id <> a.vec_id GROUP BY 1, 2),""",
+        f"""tx AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn FROM sx)
+  WHERE rn <= {SQR_K}),""",
+        f"""tq AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn FROM sq)
+  WHERE rn <= {SQR_K}),""",
+        """h AS (SELECT qid, COUNT(*) AS n_hits FROM tx JOIN tq
+  USING (qid, vec_id) GROUP BY qid)""",
+    ]
+    body = f"""
+SELECT q.qid AS qid, CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(ROUND(COALESCE(n_hits, 0) * 1e6 / {SQR_K}) AS BIGINT) AS recall_e6
+FROM (SELECT vec_id AS qid FROM be WHERE vec_id < {SQR_NQ}) q
+LEFT JOIN h ON q.qid = h.qid
+"""
+    return _unrolled(parts) + body
+
+
+QUERIES.update({"e_sq_recall": (q_e_sq_recall, o_e_sq_recall)})

@@ -811,3 +811,116 @@ def top_principal_component(
     pc_lit = F.array(*[F.lit(float(w)) for w in v])
     proj = dot(_as_double(F.col(vec_col)), pc_lit) - F.lit(float(mu_dot))
     return df.select(F.col(id_col), proj.alias("proj")), v
+
+
+def sq_quantize(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> tuple[DataFrame, list[tuple[float, float]]]:
+    """Per-dimension min/max scalar quantization to 8-bit codes (the
+    int8-SQ memory mode every production vector store ships — 4x smaller
+    than float32, scan-speed dot products): code = round((x - lo_d) *
+    255 / (hi_d - lo_d)) in 0..255, constant dims collapsing to 0.
+
+    Params are one (lo, hi) per dimension — a single posexplode
+    min/max aggregate whose result is dim-sized (corpus-independent),
+    collected and re-broadcast as literal arrays, the centroid_frame
+    pattern. Quantization itself is a codegen transform over the array
+    column; codes are INTEGERS, so downstream dot products are
+    integer-exact and the whole regime is SQL-replayable bit-for-bit.
+
+    Returns ((id, qvec array<long>) DataFrame, [(lo, hi)] params)."""
+    pt = df.select(F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val"))
+    params = sorted(
+        (r["pos"], float(r["lo"]), float(r["hi"]))
+        for r in pt.groupBy("pos")
+        .agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+        .collect()
+    )
+    lo = F.array(*[F.lit(l) for _, l, _ in params])
+    span = F.array(*[F.lit(h - l) for _, l, h in params])
+    qvec = F.transform(
+        _as_double(F.col(vec_col)),
+        lambda x, i: F.when(F.element_at(span, i + 1) == 0.0, F.lit(0)).otherwise(
+            F.round(
+                (x - F.element_at(lo, i + 1)) * 255 / F.element_at(span, i + 1)
+            ).cast("long")
+        ),
+    )
+    return df.select(F.col(id_col), qvec.alias("qvec")), [
+        (l, h) for _, l, h in params
+    ]
+
+
+def sq_recall(
+    df: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the int8-SQ regime against the exact fixed-point scan
+    — the evaluate-your-approximations row for scalar quantization
+    (alongside ivf_recall / pq / hll_error / landmark_error): does 8-bit
+    precision change the top-k, and by how much?
+
+    Both rankings are integer dot products — SQ codes on one side,
+    1e-6 fixed-point components on the "exact" side — so every score,
+    tie-break (score desc, id asc), and therefore the recall itself is
+    engine-exact, not merely allclose. Queries are the first n_queries
+    vectors, broadcast against the corpus (the single-query
+    brute_force_topk pattern widened to a query TABLE); per-query
+    ranking is a qid-partitioned window — parallel across queries, and
+    at corpus scale the refinement is the standard two-phase top-k
+    (per-partition partial top-k, then merge), same plan shape the IVF
+    path already uses for probe pruning."""
+    from pyspark.sql.window import Window
+
+    quant, _ = sq_quantize(df, id_col, vec_col)
+    e6 = F.transform(
+        _as_double(F.col(vec_col)), lambda x: F.round(x * 1e6).cast("long")
+    )
+    base = df.select(F.col(id_col), e6.alias("evec")).join(quant, id_col)
+    qdf = (
+        base.filter(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("qid"),
+            F.col("evec").alias("q_evec"),
+            F.col("qvec").alias("q_qvec"),
+        )
+    )
+    idot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        base.crossJoin(F.broadcast(qdf))
+        .filter(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            F.col(id_col),
+            idot(F.col("evec"), F.col("q_evec")).alias("s_exact"),
+            idot(F.col("qvec"), F.col("q_qvec")).alias("s_sq"),
+        )
+    )
+
+    def topk(score):
+        w = Window.partitionBy("qid").orderBy(F.desc(score), F.asc(id_col))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("qid", id_col)
+        )
+
+    hits = topk("s_exact").join(topk("s_sq"), ["qid", id_col])
+    return (
+        qdf.select("qid")
+        .join(hits.groupBy("qid").agg(F.count("*").alias("n_hits")), "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) * 1e6 / k)
+            .cast("long")
+            .alias("recall_e6"),
+        )
+    )
