@@ -319,3 +319,32 @@ def test_sq_quantize_codes_and_recall_bounds(spark):
     assert len(rec) == 2
     for r in rec:
         assert 0 <= r["n_hits"] <= 3 and r["recall_e6"] == round(r["n_hits"] * 1e6 / 3)
+
+
+# ---------------------------------------------------- portable MinHash --
+
+
+def test_portable_minhash_identical_docs_collide_everywhere(spark):
+    from webgraph.dedup import (
+        minhash_band_keys_portable,
+        minhash_signatures_portable,
+        pairs_from_buckets,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),   # identical
+            (3, "completely different words appear in this text here"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = shingles(docs)
+    sigs = minhash_signatures_portable(sh, num_hashes=8)
+    by_id = {r["id"]: r["sig"] for r in sigs.collect()}
+    assert by_id[1] == by_id[2] != by_id[3]
+    assert all(0 <= h < 1_000_000_007 for h in by_id[1])
+    bk = minhash_band_keys_portable(sigs, bands=2, rows_per_band=4)
+    pairs = sorted(map(tuple, pairs_from_buckets(bk).collect()))
+    assert (1, 2) in pairs and (1, 3) not in pairs

@@ -10061,3 +10061,145 @@ LEFT JOIN h ON q.qid = h.qid
 
 
 QUERIES.update({"e_sq_recall": (q_e_sq_recall, o_e_sq_recall)})
+
+
+MHR_SHIFT = 1_000_000
+MHR_HASHES = 24
+MHR_BANDS = 6
+MHR_ROWS = 4
+
+
+def _mutated_docs(spark, sf_dir):
+    """documents UNION mutants: mutant of doc d drops 1/3/5/7 of every 10
+    tokens (class = d % 4) — seeded near-duplicates whose exact Jaccard
+    spans the deciles, so banding recall has a real curve to measure."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    drop = 1 + 2 * (F.col("doc_id") % 4)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    kept = F.filter(toks, lambda x, i: (i % 10) >= drop)
+    mut = docs.select(
+        (F.col("doc_id") + MHR_SHIFT).alias("doc_id"),
+        F.array_join(kept, " ").alias("text"),
+    )
+    return docs.unionByName(mut)
+
+
+def q_d_minhash_recall(spark, sf_dir):
+    """Banding-level MinHash-LSH recall certification (the fifth
+    evaluate-your-approximations row): portable-hash signatures
+    (dedup.py:minhash_signatures_portable — SQL-replayable, unlike the
+    xxhash64 production family) banded 6x4 over the seeded-mutation
+    corpus; recall@decile = detected fraction of the 500 ground-truth
+    (doc, mutant) pairs grouped by their exact Jaccard decile. With
+    b=6, r=4 theory says ~0.99 at j=0.9, ~0.77 at j=0.7, ~0.32 at
+    j=0.5 — the row publishes the measured curve, engine-exact."""
+    from webgraph.dedup import (
+        minhash_band_keys_portable,
+        minhash_signatures_portable,
+        pairs_from_buckets,
+        shingles,
+        verify_jaccard_pairs,
+    )
+
+    base = _mutated_docs(spark, sf_dir)
+    sh = shingles(base).persist()
+    sigs = minhash_signatures_portable(sh, num_hashes=MHR_HASHES)
+    cand = pairs_from_buckets(
+        minhash_band_keys_portable(sigs, MHR_BANDS, MHR_ROWS),
+        max_bucket=2000,
+        strict=True,
+    )
+    truth = base.filter(F.col("doc_id") < MHR_SHIFT).select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + MHR_SHIFT).alias("b")
+    )
+    jac = verify_jaccard_pairs(truth, sh, threshold=0.0)
+    scored = (
+        truth.join(jac, ["a", "b"], "left")
+        .join(cand.withColumn("_hit", F.lit(1)), ["a", "b"], "left")
+        .select(
+            F.least(
+                F.lit(9),
+                F.floor(F.coalesce(F.col("jaccard"), F.lit(0.0)) * 10).cast("long"),
+            ).alias("decile"),
+            F.coalesce("_hit", F.lit(0)).alias("hit"),
+        )
+    )
+    return scored.groupBy("decile").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("hit").cast("long").alias("n_detected"),
+        F.round(F.sum("hit") * 1e6 / F.count("*")).cast("long").alias("recall_e6"),
+    )
+
+
+def o_d_minhash_recall():
+    from webgraph.dedup import _MIX_BASE, _MIX_STEP, POLY_MOD
+
+    P, MIX, STEP = POLY_MOD, _MIX_BASE, _MIX_STEP
+    parts = [
+        f"""WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {MHR_SHIFT},
+    array_to_string(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+      (x, i) -> (i - 1) % 10 >= 1 + 2 * (doc_id % 4)), ' ')
+  FROM documents),""",
+        """toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tok
+  FROM base),""",
+        """idx AS (
+  SELECT doc_id, tok, unnest(range(1, GREATEST(len(tok) - 2, 1) + 1)) AS i
+  FROM toks),""",
+        """tris AS (
+  SELECT DISTINCT doc_id,
+    CASE WHEN len(tok) >= 3 THEN tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
+         ELSE array_to_string(tok, ' ') END AS tri
+  FROM idx),""",
+        f"""shh AS (
+  SELECT doc_id, list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, len(tri)+1),
+                     i -> CAST(ord(substr(tri, CAST(i AS INT), 1)) AS BIGINT))),
+    (h, c) -> (h*31 + c) % {P}) AS th
+  FROM tris),""",
+        f"""hs AS (
+  SELECT doc_id, k, MIN((({MIX} + k * {STEP}) * th + k*k + 1) % {P}) AS h
+  FROM shh CROSS JOIN (SELECT unnest(range(0, {MHR_HASHES})) AS k)
+  GROUP BY doc_id, k),""",
+        f"""bnd AS (
+  SELECT doc_id, k // {MHR_ROWS} AS band, list(h ORDER BY k) AS hl
+  FROM hs GROUP BY 1, 2),""",
+        f"""bk AS (
+  SELECT doc_id, band, list_reduce(list_prepend(CAST(0 AS BIGINT), hl),
+    (acc, x) -> (acc * {MIX} + x) % {P}) AS bsig
+  FROM bnd),""",
+        """cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bk x JOIN bk y ON x.band = y.band AND x.bsig = y.bsig
+                     AND x.doc_id < y.doc_id),""",
+        f"""truth AS (SELECT doc_id AS a, doc_id + {MHR_SHIFT} AS b FROM documents),""",
+        """sz AS (SELECT doc_id, COUNT(*) AS n FROM tris GROUP BY doc_id),""",
+        """common AS (
+  SELECT t.a, t.b, COUNT(*) AS c
+  FROM truth t JOIN tris x ON x.doc_id = t.a
+               JOIN tris y ON y.doc_id = t.b AND y.tri = x.tri
+  GROUP BY t.a, t.b),""",
+        """scored AS (
+  SELECT t.a, t.b,
+    COALESCE(c / CAST(sa.n + sb.n - c AS DOUBLE), 0.0) AS jac,
+    CASE WHEN EXISTS (SELECT 1 FROM cand WHERE cand.a = t.a AND cand.b = t.b)
+         THEN 1 ELSE 0 END AS hit
+  FROM truth t
+  LEFT JOIN common ON common.a = t.a AND common.b = t.b
+  JOIN sz sa ON sa.doc_id = t.a JOIN sz sb ON sb.doc_id = t.b)""",
+    ]
+    body = """
+SELECT LEAST(9, CAST(FLOOR(jac * 10) AS BIGINT)) AS decile,
+  COUNT(*) AS n_pairs,
+  CAST(SUM(hit) AS BIGINT) AS n_detected,
+  CAST(ROUND(SUM(hit) * 1e6 / COUNT(*)) AS BIGINT) AS recall_e6
+FROM scored GROUP BY 1
+"""
+    return _unrolled(parts) + body
+
+
+QUERIES.update({"d_minhash_recall": (q_d_minhash_recall, o_d_minhash_recall)})

@@ -865,3 +865,62 @@ def url_dedup(df, url_col: str = "url", id_col: str = "doc_id"):
             F.count("*").alias("n_dups"),
         )
     )
+
+
+# ------------------------------------------- portable MinHash (recall eval) --
+
+
+def minhash_signatures_portable(sh: DataFrame, num_hashes: int = 24) -> DataFrame:
+    """(id, sig: array<long>) MinHash signatures from the PORTABLE hash
+    family h_i(s) = ((MIX + i*STEP) * s + i*i + 1) % P over the
+    polynomial shingle hash s = token_hash(shingle).
+
+    The xxhash64 family (minhash_signatures) is the production path;
+    this variant exists so the LSH *retrieval step itself* — not just
+    the exact-Jaccard verify — can be replayed in plain integer SQL,
+    which is what lets d_minhash_recall certify banding recall on seeded
+    mutations where recall < 1 is the expected, meaningful answer.
+    Same plan shape: per-shingle hash array map-side, positional min
+    aggregate per doc (partial agg collapses shingles pre-shuffle).
+    Every intermediate stays < 2^62: (MIX + i*STEP) < 2.7e9 times
+    s < 1e9."""
+    s = token_hash(F.col("shingle"))
+    hs = sh.select(
+        "id",
+        *[
+            ((F.lit(_MIX_BASE + _MIX_STEP * i) * s + F.lit(i * i + 1)) % POLY_MOD).alias(
+                f"h{i}"
+            )
+            for i in range(num_hashes)
+        ],
+    )
+    mins = hs.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_band_keys_portable(
+    sigs: DataFrame, bands: int = 6, rows_per_band: int = 4
+) -> DataFrame:
+    """(id, band, bsig) with the band key folded portably:
+    bsig = fold(acc*MIX + h_k) % P over the band's rows in k order —
+    feeds pairs_from_buckets like the xxhash64 banding."""
+    return sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.aggregate(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: (acc * F.lit(_MIX_BASE) + x) % POLY_MOD,
+                    ).alias("bsig"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"))
