@@ -10203,3 +10203,64 @@ FROM scored GROUP BY 1
 
 
 QUERIES.update({"d_minhash_recall": (q_d_minhash_recall, o_d_minhash_recall)})
+
+
+# ------------------------------------------- round-5l: maximal matching --
+
+MATCHING_ROUNDS = 12  # measured: 4 rounds at sf0.001, 9 at sf0.01; extra
+# unrolled rounds are empty no-ops, so the margin is correctness-free
+
+
+def q_g_matching(spark, sf_dir):
+    """Deterministic distributed maximal matching (algos/matching.py):
+    fixed double-mixed edge priorities make the result the sequential
+    greedy matching in priority order — identical across engines, so the
+    oracle unrolls the same local-minima rounds. The engine RAISES past
+    MATCHING_ROUNDS instead of returning a non-maximal matching."""
+    from webgraph.algos.matching import maximal_matching
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    m, _ = maximal_matching(g, seed=42, max_iter=MATCHING_ROUNDS)
+    return m.select("u", "v", F.col("round").cast("int").alias("round"))
+
+
+def o_g_matching():
+    from webgraph.dedup import _MIX_BASE, POLY_MOD
+
+    P, MIX = POLY_MOD, _MIX_BASE
+    parts = [
+        f"WITH e AS ({EDGES_SQL}),",
+        f"""c0 AS (SELECT u, v,
+  (((u % {P}) * {MIX} % {P} + v % {P}) * {MIX} + 42) % {P} AS p
+  FROM (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        FROM e WHERE src <> dst)),""",
+    ]
+    for r in range(MATCHING_ROUNDS):
+        parts.append(
+            f"""vm{r} AS (SELECT vid, u, v FROM (
+  SELECT vid, u, v, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY p, u, v) AS rn
+  FROM (SELECT u AS vid, p, u, v FROM c{r}
+        UNION ALL SELECT v AS vid, p, u, v FROM c{r})) WHERE rn = 1),"""
+        )
+        parts.append(
+            f"w{r} AS (SELECT c.u, c.v, {r} AS round FROM c{r} c "
+            f"JOIN vm{r} a ON a.vid = c.u AND a.u = c.u AND a.v = c.v "
+            f"JOIN vm{r} b ON b.vid = c.v AND b.u = c.u AND b.v = c.v),"
+        )
+        parts.append(
+            f"mv{r} AS (SELECT u AS vid FROM w{r} "
+            f"UNION ALL SELECT v AS vid FROM w{r}),"
+        )
+        parts.append(
+            f"c{r + 1} AS (SELECT c.u, c.v, c.p FROM c{r} c "
+            f"WHERE c.u NOT IN (SELECT vid FROM mv{r}) "
+            f"AND c.v NOT IN (SELECT vid FROM mv{r})),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    union = " UNION ALL ".join(
+        f"SELECT u, v, round FROM w{r}" for r in range(MATCHING_ROUNDS)
+    )
+    return _unrolled([body]) + f"\n{union}"
+
+
+QUERIES.update({"g_matching": (q_g_matching, o_g_matching)})
