@@ -1,0 +1,69 @@
+"""Round-5m: single-source SimRank (Fogaras-Racz coupled fingerprint
+walks). House style: tiny fixtures where every walk has exactly one
+candidate per step, so meeting times — and therefore the integer decay
+sums — are exact by hand; plus partitioning-independence and the
+max_steps guard. The hash-argmin branch path is pinned by the g_simrank
+contract row (exact DuckDB replay of the seeded walks)."""
+
+from __future__ import annotations
+
+import pytest
+
+from webgraph.algos.common import from_int_edges
+from webgraph.algos.simrank import DECAY_MICRO, simrank_single_source
+
+
+def _graph(spark, edges):
+    return from_int_edges(spark.createDataFrame(edges, "src long, dst long"))
+
+
+def _rows(df):
+    return sorted(
+        (r["vid"], r["sim_micro"], r["meets"]) for r in df.collect()
+    )
+
+
+def test_simrank_star_meets_at_tau1(spark):
+    # 1, 2, 3 share the single in-neighbor 0: every sample's walk steps
+    # 1->0 and 2->0 deterministically, so 2 and 3 meet the query (1) at
+    # tau=1 in ALL samples; 0's walk dangles immediately and never meets.
+    g = _graph(spark, [(0, 1), (0, 2), (0, 3)])
+    out = simrank_single_source(g, 1, n_samples=6, max_steps=3)
+    assert _rows(out) == [
+        (1, 6 * DECAY_MICRO[0], 6),
+        (2, 6 * DECAY_MICRO[1], 6),
+        (3, 6 * DECAY_MICRO[1], 6),
+    ]
+
+
+def test_simrank_first_meeting_at_tau2(spark):
+    # q=2 walks 2->1->0; v=4 walks 4->3->0 (single candidate each step):
+    # first meeting at tau=2 in every sample. v=3 reaches 0 at tau=1 but
+    # its walk dies before q arrives at step 2 — coupled walks only meet
+    # at the SAME step, so 3 never scores (position, not trajectory).
+    g = _graph(spark, [(0, 1), (1, 2), (0, 3), (3, 4)])
+    out = simrank_single_source(g, 2, n_samples=6, max_steps=4)
+    assert _rows(out) == [
+        (2, 6 * DECAY_MICRO[0], 6),
+        (4, 6 * DECAY_MICRO[2], 6),
+    ]
+
+
+def test_simrank_disjoint_components_never_meet(spark):
+    g = _graph(spark, [(0, 1), (2, 3)])
+    out = simrank_single_source(g, 1, n_samples=4, max_steps=3)
+    assert _rows(out) == [(1, 4 * DECAY_MICRO[0], 4)]
+
+
+def test_simrank_partitioning_independent(spark):
+    edges = [(i, (i * 7 + 3) % 23) for i in range(23)]
+    base = spark.createDataFrame(edges, "src long, dst long")
+    a = simrank_single_source(from_int_edges(base), 3)
+    b = simrank_single_source(from_int_edges(base.repartition(7)), 3)
+    assert _rows(a) == _rows(b)
+
+
+def test_simrank_max_steps_guard(spark):
+    g = _graph(spark, [(0, 1)])
+    with pytest.raises(ValueError):
+        simrank_single_source(g, 1, max_steps=len(DECAY_MICRO))

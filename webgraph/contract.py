@@ -10264,3 +10264,81 @@ def o_g_matching():
 
 
 QUERIES.update({"g_matching": (q_g_matching, o_g_matching)})
+
+
+# ------------------------------------------------------ SimRank (r05l) --
+
+SIMRANK_QUERY_VID = 42
+SIMRANK_SAMPLES = 6
+SIMRANK_STEPS = 5
+
+
+def q_g_simrank(spark, sf_dir):
+    """Single-source SimRank via Fogaras-Racz coupled fingerprint walks
+    (algos/simrank.py): reverse walks from every vertex advance by the
+    same seeded hash-argmin rule as g_walks, so the oracle replays them
+    exactly; sim_micro is an integer decay sum (no floating pow). The
+    state is O(R*V) skinny rows -- the O(V^2) SimRank pair table is never
+    materialized (reference link-similarity analysis runs as Cypher over
+    the exported store, README.md:55-166; this is the scale path)."""
+    from webgraph.algos.simrank import simrank_single_source
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    return simrank_single_source(
+        g,
+        SIMRANK_QUERY_VID,
+        n_samples=SIMRANK_SAMPLES,
+        max_steps=SIMRANK_STEPS,
+        seed=WALK_SEED,
+    )
+
+
+def o_g_simrank():
+    from webgraph.algos.simrank import DECAY_MICRO
+    from webgraph.algos.walks import step_hash_sql
+
+    qv = SIMRANK_QUERY_VID
+    parts = [
+        f"WITH e AS ({EDGES_SQL}),",
+        f"v AS ({VERTS_SQL}),",
+        f"r AS (SELECT range AS r FROM range({SIMRANK_SAMPLES})),",
+        "er AS (SELECT dst AS src, src AS dst FROM e WHERE src <> dst),",
+        "w0 AS (SELECT r.r, v.vid, v.vid AS cur FROM v CROSS JOIN r),",
+    ]
+    for t in range(1, SIMRANK_STEPS + 1):
+        p = t - 1
+        h = step_hash_sql("w.cur", t, "er.dst", f"({WALK_SEED} + w.r)")
+        parts += [
+            f"s{t} AS (SELECT w.r, w.vid, er.dst, ROW_NUMBER() OVER "
+            f"(PARTITION BY w.r, w.vid ORDER BY {h}, er.dst) AS rn "
+            f"FROM w{p} w JOIN er ON er.src = w.cur),",
+            f"p{t} AS (SELECT r, vid, dst AS cur FROM s{t} WHERE rn = 1),",
+            f"q{t} AS (SELECT r, cur AS qcur FROM p{t} WHERE vid = {qv}),",
+            f"m{t} AS (SELECT p.r, p.vid, {t} AS tau FROM p{t} p "
+            f"JOIN q{t} q ON q.r = p.r AND p.cur = q.qcur "
+            f"WHERE p.vid <> {qv}),",
+            f"w{t} AS (SELECT p.r, p.vid, p.cur FROM p{t} p WHERE NOT EXISTS "
+            f"(SELECT 1 FROM m{t} m WHERE m.r = p.r AND m.vid = p.vid)),",
+        ]
+    taus = " UNION ALL ".join(
+        f"SELECT vid, tau FROM m{t}" for t in range(1, SIMRANK_STEPS + 1)
+    )
+    decay_case = " ".join(
+        f"WHEN {tau} THEN {DECAY_MICRO[tau]}"
+        for tau in range(1, SIMRANK_STEPS + 1)
+    )
+    parts += [
+        f"taus AS ({taus}),",
+        "agg AS (SELECT vid, SUM(decay) AS sim_micro, COUNT(*) AS meets "
+        f"FROM (SELECT vid, CASE tau {decay_case} END AS decay FROM taus) "
+        "GROUP BY vid)",
+        "SELECT CAST(vid AS BIGINT) AS vid, CAST(sim_micro AS BIGINT) AS "
+        "sim_micro, CAST(meets AS BIGINT) AS meets FROM agg "
+        f"UNION ALL SELECT CAST({qv} AS BIGINT), "
+        f"CAST({SIMRANK_SAMPLES * DECAY_MICRO[0]} AS BIGINT), "
+        f"CAST({SIMRANK_SAMPLES} AS BIGINT)",
+    ]
+    return _unrolled(parts)
+
+
+QUERIES.update({"g_simrank": (q_g_simrank, o_g_simrank)})
