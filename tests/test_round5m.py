@@ -67,3 +67,36 @@ def test_simrank_max_steps_guard(spark):
     g = _graph(spark, [(0, 1)])
     with pytest.raises(ValueError):
         simrank_single_source(g, 1, max_steps=len(DECAY_MICRO))
+
+
+def _cliques4(spark, edges, **kw):
+    from webgraph.algos.triangles import four_clique_count_per_vertex
+
+    out = four_clique_count_per_vertex(_graph(spark, edges), **kw)
+    return {r["vid"]: r["cliques4"] for r in out.collect()}
+
+
+def test_four_cliques_k4_and_pendant(spark):
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert _cliques4(spark, k4 + [(0, 4)]) == {0: 1, 1: 1, 2: 1, 3: 1, 4: 0}
+
+
+def test_four_cliques_k5_each_vertex_in_four(spark):
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    assert _cliques4(spark, k5) == {v: 4 for v in range(5)}
+
+
+def test_four_cliques_diamond_has_none(spark):
+    # K4 minus one edge: triangles exist, no 4-clique
+    assert _cliques4(spark, [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3)]) == {
+        v: 0 for v in range(4)
+    }
+
+
+def test_four_cliques_orientation_independent(spark):
+    edges = [(i, (i * 5 + 2) % 17) for i in range(17)] + [
+        (i, (i * 3 + 1) % 17) for i in range(17)
+    ]
+    a = _cliques4(spark, edges, degree_ordered=True)
+    b = _cliques4(spark, edges, degree_ordered=False)
+    assert a == b

@@ -10342,3 +10342,47 @@ def o_g_simrank():
 
 
 QUERIES.update({"g_simrank": (q_g_simrank, o_g_simrank)})
+
+
+# --------------------------------------------------- 4-cliques (r05l) --
+
+
+def q_g_four_cliques(spark, sf_dir):
+    """Per-vertex 4-clique counts (algos/triangles.py:
+    four_clique_count_per_vertex): Chiba-Nishizeki extension of the
+    oriented triangle plan — one more equi-join + two semi-joins, DAG
+    out-degree bounds the fan-out. The densest-motif row of the triad/
+    butterfly/truss family; oracle enumerates a<b<c<d directly (the
+    clique set is orientation-independent)."""
+    from webgraph.algos.triangles import four_clique_count_per_vertex
+
+    g = from_int_edges(derived_edges2(spark, sf_dir))
+    return four_clique_count_per_vertex(g)
+
+
+def o_g_four_cliques():
+    return f"""
+WITH e AS ({EDGES2_SQL}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM e),
+verts AS (SELECT u AS vid FROM und UNION SELECT v AS vid FROM und),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1 JOIN und e2 ON e2.u = e1.v
+  WHERE EXISTS (SELECT 1 FROM und x WHERE x.u = e1.u AND x.v = e2.v)),
+quad AS (
+  SELECT t.a, t.b, t.c, e3.v AS d
+  FROM tri t JOIN und e3 ON e3.u = t.a
+  WHERE EXISTS (SELECT 1 FROM und x WHERE x.u = t.b AND x.v = e3.v)
+    AND EXISTS (SELECT 1 FROM und x WHERE x.u = t.c AND x.v = e3.v)),
+corners AS (
+  SELECT a AS vid FROM quad UNION ALL SELECT b FROM quad
+  UNION ALL SELECT c FROM quad UNION ALL SELECT d FROM quad)
+SELECT v.vid,
+       CAST(COALESCE(cnt.n, 0) AS BIGINT) AS cliques4
+FROM verts v
+LEFT JOIN (SELECT vid, COUNT(*) AS n FROM corners GROUP BY vid) cnt
+  ON cnt.vid = v.vid
+"""
+
+
+QUERIES.update({"g_four_cliques": (q_g_four_cliques, o_g_four_cliques)})
