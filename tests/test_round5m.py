@@ -8,6 +8,7 @@ contract row (exact DuckDB replay of the seeded walks)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from webgraph.algos.common import from_int_edges
 from webgraph.algos.simrank import DECAY_MICRO, simrank_single_source
@@ -100,3 +101,40 @@ def test_four_cliques_orientation_independent(spark):
     a = _cliques4(spark, edges, degree_ordered=True)
     b = _cliques4(spark, edges, degree_ordered=False)
     assert a == b
+
+
+def test_normalize_text_hand_cases(spark):
+    from webgraph.text import normalize_text
+
+    cases = [
+        (0, "café"),                     # NFC composes to é
+        (1, "a b​c"),                # NBSP -> space, ZW dropped
+        (2, "x\x07y\x00z"),                    # control chars stripped
+        (3, "l1   \nl2\n\n\n\n\nl3"),          # trailing ws + blank collapse
+        (4, "  plain  "),                      # trim only
+        (5, None),                             # null passes through
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["norm_text"]
+        for r in normalize_text(df).collect()
+    }
+    assert out[0] == "café"
+    assert out[1] == "a bc"
+    assert out[2] == "xyz"
+    assert out[3] == "l1\nl2\n\nl3"
+    assert out[4] == "plain"
+    assert out[5] is None
+
+
+def test_normalize_text_idempotent(spark):
+    from webgraph.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(0, "café x y\n\n\n\nz\x07")], "doc_id long, text string"
+    )
+    once = normalize_text(df).select(
+        "doc_id", F.col("norm_text").alias("text")
+    )
+    twice = normalize_text(once).collect()[0]["norm_text"]
+    assert twice == normalize_text(df).collect()[0]["norm_text"]

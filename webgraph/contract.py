@@ -10386,3 +10386,66 @@ LEFT JOIN (SELECT vid, COUNT(*) AS n FROM corners GROUP BY vid) cnt
 
 
 QUERIES.update({"g_four_cliques": (q_g_four_cliques, o_g_four_cliques)})
+
+
+# ------------------------------------------- unicode normalize (r05l) --
+
+# Deterministic mutation seeded into the ASCII corpus so the normalize
+# chain has something to do (the d_minhash_recall pattern: the mutations
+# ARE the coverage): combining acute after every 'er' (NFC composition),
+# NBSP+zero-width before every ' f' (space fold + ZW strip), a BEL
+# control char inside every 'slow' (control strip). `{CHR}` is the one
+# engine-specific spelling (Spark char(7) / DuckDB chr(7)).
+_NORM_MUT = (
+    "replace(replace(replace(text, 'er', 'ér'),"
+    " ' f', ' ​f'), 'slow', concat('slo', {CHR}, 'w'))"
+)
+
+
+def q_t_normalize(spark, sf_dir):
+    """Unicode normalization (text.py:normalize_text) over seeded
+    mutations; both engines apply the same mutation then their own
+    normalize chain — outputs must be byte-identical (NFC via the Arrow
+    pandas seam on the Spark side, nfc_normalize in DuckDB)."""
+    from webgraph.text import normalize_text
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("mt", F.expr(_NORM_MUT.format(CHR="char(7)")))
+    )
+    out = normalize_text(docs, text_col="mt", out_col="norm_text")
+    return out.select(
+        "doc_id",
+        "norm_text",
+        (F.col("norm_text") != F.col("mt")).alias("changed"),
+        (F.length("mt") - F.length("norm_text")).cast("long").alias("delta"),
+    )
+
+
+def o_t_normalize():
+    from webgraph.text import (
+        NORM_CTRL_RE,
+        NORM_NL3_RE,
+        NORM_TRAIL_RE,
+        NORM_WS_RE,
+        NORM_ZW_RE,
+    )
+
+    norm = (
+        "trim(regexp_replace(regexp_replace(nfc_normalize("
+        f"regexp_replace(regexp_replace(regexp_replace(mt, '{NORM_CTRL_RE}',"
+        f" '', 'g'), '{NORM_WS_RE}', ' ', 'g'), '{NORM_ZW_RE}', '', 'g')),"
+        f" '{NORM_TRAIL_RE}', '\n', 'g'), '{NORM_NL3_RE}', '\n\n', 'g'))"
+    )
+    mut = _NORM_MUT.format(CHR="chr(7)")
+    return f"""
+WITH m AS (SELECT doc_id, {mut} AS mt FROM documents),
+n AS (SELECT doc_id, mt, {norm} AS norm_text FROM m)
+SELECT doc_id, norm_text, norm_text <> mt AS changed,
+       CAST(length(mt) - length(norm_text) AS BIGINT) AS delta
+FROM n
+"""
+
+
+QUERIES.update({"t_normalize": (q_t_normalize, o_t_normalize)})

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1708,3 +1709,49 @@ def readability_stats(
         flesch_e4.alias("flesch_e4"),
         band.alias("band"),
     )
+
+
+# --- unicode normalization (the CCNet/C4 pre-cleaning stage) -----------
+# Pattern notes: the control class uses \xNN escapes (raw control bytes
+# are illegal inside SQL string literals on either engine); the space/
+# zero-width classes embed the real characters (legal UTF-8 in both);
+# newline patterns and replacements use REAL newline characters — Java's
+# regexp_replace treats backslash sequences in the REPLACEMENT specially
+# (\n would become a literal "n"), RE2's rewrite rejects them, and a real
+# '\n' character sidesteps both dialects.
+NORM_CTRL_RE = r"[\x00-\x08\x0b-\x1f\x7f]"
+NORM_WS_RE = "[   -   　]"
+NORM_ZW_RE = "[​-‍﻿]"
+NORM_TRAIL_RE = "[ \t]+\n"
+NORM_NL3_RE = "\n{3,}"
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "norm_text"
+) -> DataFrame:
+    """Unicode cleanup every web/code corpus runs before any filter sees
+    the text: strip control characters (keep \\n and \\t), fold the
+    unicode space variants to ' ', drop zero-width characters, NFC
+    compose, strip trailing whitespace per line, collapse 3+ blank lines
+    to one, trim. Everything is whole-stage-codegen regexp except NFC,
+    which is an Arrow-batched pandas UDF over unicodedata (Spark has no
+    built-in normalizer; one vectorized column pass, no per-row Python).
+    DuckDB replays the exact chain via nfc_normalize + regexp_replace —
+    both implement the same Unicode NFC, so outputs are byte-identical."""
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: t if t is None else unicodedata.normalize("NFC", t)
+        )
+
+    c = F.col(text_col)
+    c = F.regexp_replace(c, NORM_CTRL_RE, "")
+    c = F.regexp_replace(c, NORM_WS_RE, " ")
+    c = F.regexp_replace(c, NORM_ZW_RE, "")
+    c = _nfc(c)
+    c = F.regexp_replace(c, NORM_TRAIL_RE, "\n")
+    c = F.regexp_replace(c, NORM_NL3_RE, "\n\n")
+    return df.withColumn(out_col, F.trim(c))
