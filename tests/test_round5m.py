@@ -138,3 +138,49 @@ def test_normalize_text_idempotent(spark):
     )
     twice = normalize_text(once).collect()[0]["norm_text"]
     assert twice == normalize_text(df).collect()[0]["norm_text"]
+
+
+def test_clone_type3_near_miss_pair(spark):
+    from webgraph.code import clone_type3_pairs
+    from webgraph.dedup import token_hash
+
+    # v1 = v0 with one inserted call statement: a type-3 pair. v2 is
+    # structurally unrelated. Type-2 copies of v0 (renamed) collapse to
+    # ONE unit first, so no rename pair is reported.
+    v0 = "x = 1\ny = x + 2\nz = y * 3\nreturn z"
+    v0r = "q = 7\nw = q + 9\ne = w * 4\nreturn e"  # rename of v0
+    v1 = "a = 9\nb = a + 77\nc = b * 5\nlog(c)\nreturn c"
+    v2 = "if alpha:\n    beta = alpha - 1\nelse:\n    beta = 0"
+    df = spark.createDataFrame(
+        [(v0,), (v0r,), (v1,), (v2,)], "content string"
+    )
+    rows = clone_type3_pairs(df, threshold_e6=300_000).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["a"] < r["b"]
+    assert 300_000 <= r["jaccard_e6"] < 1_000_000
+    # exact Jaccard: common / (na + nb - common), integer micro-units
+    assert r["jaccard_e6"] == (1_000_000 * r["common"]) // (
+        r["na"] + r["nb"] - r["common"]
+    )
+
+
+def test_clone_type3_min_shingles_drops_repetition_soup(spark):
+    from webgraph.code import clone_type3_pairs
+
+    # two all-ID units of different lengths share the single shingle
+    # "ID ID ID ID" -> jaccard 1.0, but both have < min_shingles distinct
+    # shingles and are dropped as boilerplate
+    df = spark.createDataFrame(
+        [("aa bb cc dd ee ff gg hh",), ("k1 k2 k3 k4 k5 k6 k7 k8 k9",)],
+        "content string",
+    )
+    assert clone_type3_pairs(df).count() == 0
+
+
+def test_clone_type3_guard(spark):
+    from webgraph.code import clone_type3_pairs
+
+    df = spark.createDataFrame([("x",)], "content string")
+    with pytest.raises(ValueError):
+        clone_type3_pairs(df, min_tokens=2, n=4)

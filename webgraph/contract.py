@@ -10449,3 +10449,99 @@ FROM n
 
 
 QUERIES.update({"t_normalize": (q_t_normalize, o_t_normalize)})
+
+
+# --------------------------------------------- type-3 clones (r05l) --
+
+# Seeded blocks: variants 0 and 1 normalize to the same statement spine
+# with one extra call statement in v1 — a genuine near-miss (type-3)
+# pair no exact or rename-normalized pass can group. 2 and 3 are
+# structurally unrelated controls.
+_T3_BLOCKS = [
+    "x = 1\ny = x + 2\nz = y * 3\nreturn z",
+    "a = 9\nb = a + 77\nc = b * 5\nlog(c)\nreturn c",
+    "if alpha:\n    beta = alpha - 1\nelse:\n    beta = 0",
+    "while n:\n    n = step(n, 2)\n    emit(n)",
+]
+
+
+def q_c_clone_type3(spark, sf_dir):
+    """Near-miss (type-3) clone pairs (code.py:clone_type3_pairs): exact
+    token-4-gram Jaccard between DISTINCT type-2-normalized forms, unit
+    ids via the portable polynomial fingerprint so the oracle reproduces
+    every pair, size, and integer micro-Jaccard bit-for-bit."""
+    from webgraph.code import clone_type3_pairs
+
+    d = F.col("doc_id")
+    blk = (
+        F.when(d % 4 == 0, F.lit(_T3_BLOCKS[0]))
+        .when(d % 4 == 1, F.lit(_T3_BLOCKS[1]))
+        .when(d % 4 == 2, F.lit(_T3_BLOCKS[2]))
+        .otherwise(F.lit(_T3_BLOCKS[3]))
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        F.concat(F.col("text"), F.lit("\n\n"), blk).alias("content")
+    )
+    return clone_type3_pairs(docs)
+
+
+def o_c_clone_type3():
+    from webgraph.code import TYPE2_KEYWORDS, TYPE2_TOKEN_RE
+    from webgraph.dedup import POLY_MOD
+
+    kw = ", ".join(f"'{k}'" for k in TYPE2_KEYWORDS)
+    cases = " ".join(
+        f"WHEN {i} THEN '{b}'".replace("\n", "' || chr(10) || '")
+        for i, b in enumerate(_T3_BLOCKS[:3])
+    )
+    last = _T3_BLOCKS[3].replace("\n", "' || chr(10) || '")
+    uid = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, len(norm)+1), "
+        "i -> CAST(ord(substr(norm, CAST(i AS INT), 1)) AS BIGINT))), "
+        f"(h, c) -> (h*31 + c) % {POLY_MOD})"
+    )
+    return f"""
+WITH seeded AS (
+  SELECT text || chr(10) || chr(10) ||
+    CASE doc_id % 4 {cases} ELSE '{last}' END AS content
+  FROM documents
+), blocks AS (
+  SELECT trim(unnest(string_split(content, chr(10) || chr(10)))) AS block
+  FROM seeded
+), normed AS (
+  SELECT DISTINCT array_to_string(list_transform(
+    regexp_extract_all(block, '{TYPE2_TOKEN_RE}'),
+    x -> CASE WHEN x IN ({kw}) THEN x
+              WHEN regexp_matches(x, '^[0-9]+$') THEN 'N'
+              WHEN regexp_matches(x, '^[A-Za-z_]') THEN 'ID'
+              ELSE x END), ' ') AS norm
+  FROM blocks
+  WHERE len(regexp_extract_all(block, '{TYPE2_TOKEN_RE}')) >= 8
+), units AS (
+  SELECT {uid} AS uid, string_split(norm, ' ') AS toks FROM normed
+), sh AS (
+  SELECT DISTINCT uid, shingle FROM (
+    SELECT uid, unnest(list_transform(range(1, len(toks) - 2),
+      i -> array_to_string(list_slice(toks, CAST(i AS INT),
+                                      CAST(i + 3 AS INT)), ' '))) AS shingle
+    FROM units)
+), sz AS (
+  SELECT uid, COUNT(*) AS nsh FROM sh GROUP BY uid HAVING COUNT(*) >= 5
+), shk AS (
+  SELECT sh.uid, sh.shingle FROM sh JOIN sz ON sz.uid = sh.uid
+), pairs AS (
+  SELECT x.uid AS a, y.uid AS b, COUNT(*) AS common
+  FROM shk x JOIN shk y ON x.shingle = y.shingle AND x.uid < y.uid
+  GROUP BY x.uid, y.uid
+)
+SELECT p.a, p.b, CAST(p.common AS BIGINT) AS common,
+       CAST(sa.nsh AS BIGINT) AS na, CAST(sb.nsh AS BIGINT) AS nb,
+       CAST((1000000 * p.common) // (sa.nsh + sb.nsh - p.common) AS BIGINT)
+         AS jaccard_e6
+FROM pairs p JOIN sz sa ON sa.uid = p.a JOIN sz sb ON sb.uid = p.b
+WHERE (1000000 * p.common) // (sa.nsh + sb.nsh - p.common) >= 400000
+"""
+
+
+QUERIES.update({"c_clone_type3": (q_c_clone_type3, o_c_clone_type3)})
