@@ -27,6 +27,8 @@ PLAN_QUERIES = [
     "e_mips_topk",        # broadcast 1-row query, codegen fold dot
     "t_ccnet_buckets",    # distributed exact rank, no single-task window
     "d_snapshot_diff",    # digest-only full outer join
+    "t_normalize",        # codegen regexp chain around ONE ArrowEvalPython
+    "c_clone_type3",      # distinct-unit shingle bucket join, no cartesian
 ]
 
 

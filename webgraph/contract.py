@@ -9617,59 +9617,12 @@ QUERIES.update({"t_hll_error": (q_t_hll_error, o_t_hll_error)})
 # entries, so registration order (historically: the order operators were
 # built) decided which families ever earned a driver row — code.py,
 # SemDeDup, Katz/SSSP and everything since round 2 never did. The
-# window below is a representative cross-family set: graph core +
-# iterative algorithms, the code family, similarity, streaming, every
-# dedup modality, text pipeline, relational windows/rollups, URL/filter/
-# category/multimodal. Everything NOT in the window keeps its relative
-# order after it and stays oracle-checked by the full-board sweep
-# (tools/check_contract.py -> BENCH/contract_sweep_r*.log, regenerated
-# each round).
-DRIVER_WINDOW = [
-    # graph core + iteratives
-    "g_top50_in_degree", "g_edge_count", "g_pagerank", "g_pagerank_warm",
-    "g_components", "g_louvain", "g_triangles", "g_katz", "g_sssp",
-    "g_eff_diameter", "g_ktruss", "g_condensation_levels",
-    # code corpus family (rotated-out rows stay sweep-checked; round-5j
-    # swaps trade near-duplicate coverage — butterflies/link-predict/
-    # bloom/covariance/pivot/block-clones — for the session's new
-    # modalities: watermark drops, import-rank, CCNet buckets, MIPS,
-    # audio, condensation levels)
-    "c_code_stats", "c_stack_filter", "c_repo_dedup", "c_import_rank",
-    "c_clone_type2",
-    # round-5i new modules/families
-    "g_gap_stats", "t_bpe_merges", "g_node2vec_walks",
-    # embedding similarity
-    "e_semdedup", "e_ivf_topk", "e_mips_topk",
-    # streaming
-    "s_stream_cms", "s_pagerank_refresh", "s_incremental_merge",
-    "s_stateful_sessions", "s_late_events", "g_msf",
-    # dedup modalities
-    "d_line_dedup", "d_substring_dedup", "d_dedup_clusters",
-    "d_minhash_dup_pairs", "d_clean_corpus", "g_mis",
-    # text pipeline
-    "t_main_content", "t_mix_sources", "t_dsir_sample", "t_lm_score",
-    "t_ccnet_buckets", "t_langid_counts", "t_perceptron",
-    # relational windows/rollups
-    "r_running_revenue", "r_revenue_rollup",
-    "r_price_quantiles",
-    # URL / filters / category index / multimodal
-    "u_url_functions", "f_media_filter", "x_category_index", "m_media_stats",
-    "m_audio_energy",
-]
-
-assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
-_missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
-assert not _missing, f"DRIVER_WINDOW names not in registry: {_missing}"
-QUERIES = {
-    **{n: QUERIES[n] for n in DRIVER_WINDOW},
-    **{n: v for n, v in QUERIES.items() if n not in set(DRIVER_WINDOW)},
-}
 
 
 # ------------------------------------------------- round-5k additions --
-# Registered after the DRIVER_WINDOW reorder: dict update appends, so the
-# driver's 50-row window is unchanged and these rows are covered by the
-# full-board sweep (BENCH/contract_sweep_r05.log).
+# (The DRIVER_WINDOW reorder now lives at the END of the module, so rows
+# registered here remain window-eligible; everything outside the window
+# is covered by the full-board sweep, BENCH/contract_sweep_r05.log.)
 
 
 def q_r_skew_join(spark, sf_dir):
@@ -10545,3 +10498,57 @@ WHERE (1000000 * p.common) // (sa.nsh + sb.nsh - p.common) >= 400000
 
 
 QUERIES.update({"c_clone_type3": (q_c_clone_type3, o_c_clone_type3)})
+
+
+# The DRIVER_WINDOW reorder lives at the very END of this module (the
+# driver snapshots the first 50 registry entries; keeping the reorder
+# last lets new queries register anywhere above and still be eligible
+# for the window).
+# window below is a representative cross-family set: graph core +
+# iterative algorithms, the code family, similarity, streaming, every
+# dedup modality, text pipeline, relational windows/rollups, URL/filter/
+# category/multimodal. Everything NOT in the window keeps its relative
+# order after it and stays oracle-checked by the full-board sweep
+# (tools/check_contract.py -> BENCH/contract_sweep_r*.log, regenerated
+# each round).
+DRIVER_WINDOW = [
+    # graph core + iteratives (r05l: g_simrank replaces g_ktruss — truss
+    # stays sweep-checked; the similarity-walk modality is new)
+    "g_top50_in_degree", "g_edge_count", "g_pagerank", "g_pagerank_warm",
+    "g_components", "g_louvain", "g_triangles", "g_katz", "g_sssp",
+    "g_eff_diameter", "g_simrank", "g_condensation_levels",
+    # code corpus family (rotated-out rows stay sweep-checked; round-5j
+    # swaps trade near-duplicate coverage — butterflies/link-predict/
+    # bloom/covariance/pivot/block-clones — for the session's new
+    # modalities: watermark drops, import-rank, CCNet buckets, MIPS,
+    # audio, condensation levels)
+    "c_code_stats", "c_stack_filter", "c_repo_dedup", "c_import_rank",
+    "c_clone_type3",
+    # round-5i new modules/families
+    "g_gap_stats", "t_bpe_merges", "g_node2vec_walks",
+    # embedding similarity
+    "e_semdedup", "e_ivf_topk", "e_mips_topk",
+    # streaming
+    "s_stream_cms", "s_pagerank_refresh", "s_incremental_merge",
+    "s_stateful_sessions", "s_late_events", "g_msf",
+    # dedup modalities
+    "d_line_dedup", "d_substring_dedup", "d_dedup_clusters",
+    "d_minhash_dup_pairs", "d_clean_corpus", "g_mis",
+    # text pipeline
+    "t_main_content", "t_mix_sources", "t_dsir_sample", "t_lm_score",
+    "t_ccnet_buckets", "t_normalize", "t_perceptron",
+    # relational windows/rollups
+    "r_running_revenue", "r_revenue_rollup",
+    "r_price_quantiles",
+    # URL / filters / category index / multimodal
+    "u_url_functions", "f_media_filter", "x_category_index", "m_media_stats",
+    "m_audio_energy",
+]
+
+assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
+_missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
+assert not _missing, f"DRIVER_WINDOW names not in registry: {_missing}"
+QUERIES = {
+    **{n: QUERIES[n] for n in DRIVER_WINDOW},
+    **{n: v for n, v in QUERIES.items() if n not in set(DRIVER_WINDOW)},
+}
