@@ -64,6 +64,12 @@ HEAVY = [
     "t_ccnet_buckets",
     "s_late_events",
     "e_top_pc",
+    # round-5l additions: iterative walks, 3-join motif, Arrow NFC seam,
+    # shingle bucket join
+    "g_simrank",
+    "g_four_cliques",
+    "t_normalize",
+    "c_clone_type3",
 ]
 
 
