@@ -3,7 +3,9 @@ contract queries at 10x the tuning scale and record walls, so the tuned
 constants (max_cluster, bands, df caps) have measured — not assumed —
 10x behavior.
 
-Usage: python tools/heavy_sweep.py [sf_dir] [out_json]
+Usage: python tools/heavy_sweep.py [sf_dir] [out_json] [name ...]
+With names given, only those queries run and their rows are merged into
+an existing out_json (incremental re-measure after a constants fix).
 Writes one JSON object per query: {name: {"sec": w, "rows": n}} plus a
 steal bracket over the whole sweep (same /proc/stat protocol as
 bench.py) so a contended run can't masquerade as a scaling problem.
@@ -76,6 +78,7 @@ HEAVY = [
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH/heavy_sweep_r05.json"
+    names = sys.argv[3:] or HEAVY
 
     from bench import _steal_window
     from webgraph.contract import QUERIES
@@ -84,9 +87,15 @@ def main():
     spark = get_spark(app_name="heavy-sweep", shuffle_partitions=32)
 
     results: dict[str, dict] = {}
+    if len(sys.argv) > 3:  # incremental: keep prior rows, re-measure names
+        try:
+            with open(out_path) as f:
+                results = json.load(f)["queries"]
+        except FileNotFoundError:
+            pass
 
     def run_all():
-        for name in HEAVY:
+        for name in names:
             fn = QUERIES[name][0]
             t0 = time.time()
             n = fn(spark, sf_dir).count()
@@ -97,6 +106,9 @@ def main():
     _, steal_pct = _steal_window(run_all)
     out = {"sf_dir": sf_dir, "steal_pct": steal_pct, "queries": results,
            "total_sec": round(sum(r["sec"] for r in results.values()), 2)}
+    if len(sys.argv) > 3:
+        # steal bracket covers only the re-measured names this run
+        out["steal_pct_window"] = names
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))

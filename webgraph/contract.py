@@ -10300,23 +10300,75 @@ QUERIES.update({"g_simrank": (q_g_simrank, o_g_simrank)})
 # --------------------------------------------------- 4-cliques (r05l) --
 
 
+# Mutual degree cap for the 4-clique derivation. The modulus graph
+# densifies super-linearly with sf (24% dense at sf0.1), which no web
+# graph does — and exact 4-clique counting on a dense graph has a
+# combinatorially exploding OUTPUT (C(n,4)·p^6 cliques) that no plan
+# avoids. Real link graphs stay degree-bounded as they grow, so the
+# contract input keeps, per vertex, only its CLIQUE4_DEGREE_CAP smallest
+# neighbors on BOTH endpoints (mutual cap => max degree <= 2·cap at any
+# sf). Measured: uncapped sf0.1 = 2127s for ~1.3e8 cliques; capped
+# derivation holds the 10x-scaling contract (BENCH/NOTES.md round-5l).
+# Ranks order by a portable pair hash (walks.py's modulus family), not
+# by vid — vid order would concentrate every survivor on the lowest
+# vids once the raw graph is dense, collapsing the vertex set.
+CLIQUE4_DEGREE_CAP = 24
+CLIQUE4_HASH_SQL = (
+    "((v % 1000000007) * 1315423911 + (u % 1000000007) * 97531) % 1000000007"
+)
+
+
 def q_g_four_cliques(spark, sf_dir):
     """Per-vertex 4-clique counts (algos/triangles.py:
     four_clique_count_per_vertex): Chiba-Nishizeki extension of the
     oriented triangle plan — one more equi-join + two semi-joins, DAG
     out-degree bounds the fan-out. The densest-motif row of the triad/
     butterfly/truss family; oracle enumerates a<b<c<d directly (the
-    clique set is orientation-independent)."""
+    clique set is orientation-independent). Input is the mutual
+    degree-capped canonical pair set (see CLIQUE4_DEGREE_CAP): per-key
+    neighbor-list ranking is two bounded window sorts, never a global
+    one."""
+    from pyspark.sql import Window
+
     from webgraph.algos.triangles import four_clique_count_per_vertex
 
-    g = from_int_edges(derived_edges2(spark, sf_dir))
+    e = derived_edges2(spark, sf_dir)
+    und = (
+        e.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .withColumn("h", F.expr(CLIQUE4_HASH_SQL))
+    )
+    cap = CLIQUE4_DEGREE_CAP
+    capped = (
+        und.withColumn(
+            "ru", F.row_number().over(Window.partitionBy("u").orderBy("h", "v"))
+        )
+        .withColumn(
+            "rv", F.row_number().over(Window.partitionBy("v").orderBy("h", "u"))
+        )
+        .filter((F.col("ru") <= cap) & (F.col("rv") <= cap))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    g = from_int_edges(capped)
     return four_clique_count_per_vertex(g)
 
 
 def o_g_four_cliques():
+    cap = CLIQUE4_DEGREE_CAP
     return f"""
 WITH e AS ({EDGES2_SQL}),
-und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM e),
+und0 AS (
+  SELECT u, v, {CLIQUE4_HASH_SQL} AS h FROM (
+    SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM e)),
+und AS (
+  SELECT u, v FROM (
+    SELECT u, v,
+      ROW_NUMBER() OVER (PARTITION BY u ORDER BY h, v) AS ru,
+      ROW_NUMBER() OVER (PARTITION BY v ORDER BY h, u) AS rv
+    FROM und0)
+  WHERE ru <= {cap} AND rv <= {cap}),
 verts AS (SELECT u AS vid FROM und UNION SELECT v AS vid FROM und),
 tri AS (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
