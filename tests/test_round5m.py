@@ -184,3 +184,42 @@ def test_clone_type3_guard(spark):
     df = spark.createDataFrame([("x",)], "content string")
     with pytest.raises(ValueError):
         clone_type3_pairs(df, min_tokens=2, n=4)
+
+
+def test_anf_error_certification_exact_on_saturated_registers(spark):
+    """On K3 (every 2-ball = the whole graph), the per-vertex estimate
+    is identical for all vertices — registers saturate to the same
+    state — so err_e4 must agree across vertices and match the hand
+    formula |est - ball| * 1e4 / ball rounded to integer basis points."""
+    from webgraph.algos.anf import (
+        hyperball_estimate,
+        hyperball_registers,
+        neighborhood_sizes_exact,
+    )
+
+    g = _graph(
+        spark, [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0)]
+    )
+    regs = hyperball_registers(g, radius=2, m=16, seed=42)
+    est = hyperball_estimate(regs, m=16)
+    exact = neighborhood_sizes_exact(g, radius=2)
+    rows = (
+        exact.join(est, "vid")
+        .select(
+            "vid",
+            "ball",
+            F.round(
+                F.abs(F.col("ball_est") - F.col("ball")) * 10000 / F.col("ball")
+            )
+            .cast("long")
+            .alias("err_e4"),
+        )
+        .collect()
+    )
+    assert len(rows) == 3
+    assert all(r["ball"] == 3 for r in rows)
+    errs = {r["err_e4"] for r in rows}
+    assert len(errs) == 1  # saturated registers -> identical estimate
+    est_val = {r["vid"]: r["ball_est"] for r in est.collect()}[0]
+    want = round(abs(est_val - 3) * 10000 / 3)
+    assert errs == {want}

@@ -10552,6 +10552,93 @@ WHERE (1000000 * p.common) // (sa.nsh + sb.nsh - p.common) >= 400000
 QUERIES.update({"c_clone_type3": (q_c_clone_type3, o_c_clone_type3)})
 
 
+# ------------------------------------------- HyperBall error (r05m) --
+
+
+def q_g_anf_error(spark, sf_dir):
+    """Estimator-error certification for HyperBall (Boldi & Vigna) —
+    the graph leg of the evaluate-your-approximations family
+    (t_hll_error, e_ivf_recall, e_sq_recall, d_minhash_recall,
+    g_landmark_error): build the r=2 registers (g_hyperball's exact
+    integer state), run the standard HLL estimator with small-range
+    correction (anf.py:hyperball_estimate), and publish per-vertex
+    estimate vs the exact ball size (g_ball2's pair expansion) with the
+    relative error in basis points. The oracle replays registers AND
+    the estimator arithmetic: z = sum(2^-reg) over m=16 dyadic terms is
+    exact in a double regardless of order, so the only float ops are
+    one division (IEEE-deterministic) and the linear-counting LN —
+    both rounded to integer units before comparison."""
+    from webgraph.algos.anf import (
+        hyperball_estimate,
+        hyperball_registers,
+        neighborhood_sizes_exact,
+    )
+
+    g = from_int_edges(derived_edges2(spark, sf_dir))
+    regs = hyperball_registers(g, radius=BALL_RADIUS, m=HB_M, seed=HB_SEED)
+    est = hyperball_estimate(regs, m=HB_M)
+    exact = neighborhood_sizes_exact(g, radius=BALL_RADIUS)
+    return exact.join(est, "vid").select(
+        "vid",
+        F.col("ball").cast("long").alias("ball"),
+        F.round(F.col("ball_est") * 100).cast("long").alias("est_e2"),
+        F.round(F.abs(F.col("ball_est") - F.col("ball")) * 10000 / F.col("ball"))
+        .cast("long")
+        .alias("err_e4"),
+    )
+
+
+def o_g_anf_error():
+    from webgraph.algos.anf import rho_sql, vertex_hash_sql
+
+    m = HB_M
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    # pre-compute float literals in Python and emit their exact
+    # round-trip repr, so both engines divide by the SAME double (an
+    # in-SQL alpha*m*m would associate differently)
+    amm, thresh, fm = repr(alpha * m * m), repr(2.5 * m), repr(float(m))
+    h = vertex_hash_sql("vid", HB_SEED)
+    parts = [
+        f"WITH e AS ({EDGES2_SQL}),",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),",
+        f"own AS (SELECT vid, CAST(({h}) % {m} AS INT) AS j, "
+        f"{rho_sql(f'({h}) // {m}')} AS reg FROM v),",
+        f"js AS (SELECT CAST(unnest(range({m})) AS INT) AS j),",
+        "r0 AS (SELECT v.vid, js.j, COALESCE(o.reg, 0) AS reg "
+        "FROM v CROSS JOIN js LEFT JOIN own o ON o.vid = v.vid AND o.j = js.j),",
+    ]
+    for i in range(1, BALL_RADIUS + 1):
+        p = i - 1
+        parts += [
+            f"n{i} AS (SELECT e.src AS vid, r.j, MAX(r.reg) AS nreg "
+            f"FROM e JOIN r{p} r ON r.vid = e.dst GROUP BY e.src, r.j),",
+            f"r{i} AS (SELECT r.vid, r.j, GREATEST(r.reg, COALESCE(n.nreg, 0)) AS reg "
+            f"FROM r{p} r LEFT JOIN n{i} n ON n.vid = r.vid AND n.j = r.j),",
+        ]
+    parts += [
+        "b0 AS (SELECT vid AS root, vid AS member FROM v),",
+        "b1 AS (SELECT root, member FROM b0 "
+        "UNION SELECT b.root, e.dst FROM b0 b JOIN e ON e.src = b.member),",
+        "b2 AS (SELECT root, member FROM b1 "
+        "UNION SELECT b.root, e.dst FROM b1 b JOIN e ON e.src = b.member),",
+        "ball AS (SELECT root AS vid, COUNT(*) AS ball FROM b2 GROUP BY root),",
+        f"st AS (SELECT vid, SUM(POWER(2e0, -reg)) AS z, "
+        f"SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS v0 "
+        f"FROM r{BALL_RADIUS} GROUP BY vid),",
+        f"est AS (SELECT vid, CASE WHEN {amm} / z <= {thresh} AND v0 > 0 "
+        f"THEN {fm} * LN({fm} / CAST(v0 AS DOUBLE)) "
+        f"ELSE {amm} / z END AS e FROM st)",
+        "SELECT b.vid, CAST(b.ball AS BIGINT) AS ball, "
+        "CAST(ROUND(est.e * 100) AS BIGINT) AS est_e2, "
+        "CAST(ROUND(ABS(est.e - b.ball) * 1e4 / b.ball) AS BIGINT) AS err_e4 "
+        "FROM ball b JOIN est USING (vid)",
+    ]
+    return _unrolled(parts)
+
+
+QUERIES.update({"g_anf_error": (q_g_anf_error, o_g_anf_error)})
+
+
 # The DRIVER_WINDOW reorder lives at the very END of this module (the
 # driver snapshots the first 50 registry entries; keeping the reorder
 # last lets new queries register anywhere above and still be eligible
