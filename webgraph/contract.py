@@ -10639,6 +10639,60 @@ def o_g_anf_error():
 QUERIES.update({"g_anf_error": (q_g_anf_error, o_g_anf_error)})
 
 
+# ------------------------------------------ KL domain shift (r05m) --
+
+KL_MIN_COUNT = 2
+
+
+def q_t_kl_shift(spark, sf_dir):
+    """Per-source unigram KL divergence from the corpus distribution
+    (text.py:kl_shift) — the domain-shift readout behind mixing-weight
+    decisions; the distribution-level sibling of t_mix_sources (which
+    enforces quotas) and t_dsir_sample (which scores rows). Integer
+    micro-nat rounding per ADDEND makes the shuffled sum
+    order-independent on both engines; the only floats are one divide
+    and one LN over exact-in-double integer products."""
+    from webgraph.text import kl_shift
+
+    return kl_shift(
+        load(spark, sf_dir, "documents"), min_count=KL_MIN_COUNT
+    )
+
+
+def o_t_kl_shift():
+    return rf"""
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+per AS (
+  SELECT source, tok, COUNT(*) AS c_s FROM tok WHERE tok <> ''
+  GROUP BY source, tok
+),
+corpuscnt AS (
+  SELECT tok, SUM(c_s) AS c FROM per GROUP BY tok
+  HAVING SUM(c_s) >= {KL_MIN_COUNT}
+),
+kept AS (SELECT p.source, p.c_s, g.c FROM per p JOIN corpuscnt g USING (tok)),
+nsrc AS (SELECT source, SUM(c_s) AS n_s FROM kept GROUP BY source),
+ntot AS (SELECT CAST(SUM(c_s) AS DOUBLE) AS n FROM kept),
+terms AS (
+  SELECT k.source, s.n_s,
+    CAST(ROUND((CAST(k.c_s AS DOUBLE) / s.n_s)
+      * LN((k.c_s * ntot.n) / (s.n_s * k.c)) * 1e6) AS BIGINT) AS term_e6
+  FROM kept k JOIN nsrc s USING (source) CROSS JOIN ntot
+)
+SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(SUM(term_e6) AS BIGINT) AS kl_e6
+FROM terms GROUP BY source
+"""
+
+
+QUERIES.update({"t_kl_shift": (q_t_kl_shift, o_t_kl_shift)})
+
+
 # The DRIVER_WINDOW reorder lives at the very END of this module (the
 # driver snapshots the first 50 registry entries; keeping the reorder
 # last lets new queries register anywhere above and still be eligible

@@ -1755,3 +1755,76 @@ def normalize_text(
     c = F.regexp_replace(c, NORM_TRAIL_RE, "\n")
     c = F.regexp_replace(c, NORM_NL3_RE, "\n\n")
     return df.withColumn(out_col, F.trim(c))
+
+
+def kl_shift(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Per-source unigram distribution shift against the whole corpus,
+    KL(P_source || P_corpus) — the domain-shift readout that calibrates
+    mixing weights and flags a crawl slice whose vocabulary drifted
+    (the corpus-selection framing of DSIR/DoReMi-style pipelines):
+
+        kl(s) = sum_tok P_s(tok) * ln(P_s(tok) / Q(tok))
+
+    with P_s the per-source relative token frequency and Q the
+    corpus-wide one. Every source token is also a corpus token, so
+    Q > 0 wherever P_s > 0 and the sum is finite. Returns one row per
+    source: (source, n_tokens, vocab, kl_e6). EACH addend is rounded to
+    integer micro-nats before the sum (the tfidf/pmi micro-unit
+    convention, applied per-addend because this sum crosses a shuffle —
+    integer addition is order-independent, float addition is not).
+
+    ``min_count`` drops tokens whose CORPUS count is below the floor
+    from both distributions before normalizing (hapax noise dominates
+    KL otherwise); totals are re-derived from the surviving counts.
+
+    Scale shape: one explode -> (source, tok) counts; the corpus-wide
+    count is a second partial aggregate on the SAME tok key, so the
+    join back is co-partitioned; per-source totals and the corpus total
+    ride in as tiny broadcast frames (one row per source / one row).
+    All products stay below 2^53, so the double arithmetic is exact up
+    to the final ln + divide on both engines."""
+    if min_count < 1:
+        raise ValueError(f"kl_shift: min_count must be >= 1, got {min_count}")
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(
+            F.filter(tokens(F.lower(F.col(text_col))), lambda x: x != "")
+        ).alias("tok"),
+    )
+    per = toks.groupBy("source", "tok").agg(F.count("*").alias("c_s"))
+    glob = (
+        per.groupBy("tok")
+        .agg(F.sum("c_s").alias("c"))
+        .filter(F.col("c") >= min_count)
+    )
+    kept = per.join(glob, "tok")
+    nsrc = kept.groupBy("source").agg(F.sum("c_s").alias("n_s"))
+    ntot = kept.agg(F.sum("c_s").cast("double").alias("_n"))
+    return (
+        kept.join(F.broadcast(nsrc), "source")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "source",
+            "n_s",
+            F.round(
+                (F.col("c_s") / F.col("n_s"))
+                * F.log(
+                    (F.col("c_s") * F.col("_n")) / (F.col("n_s") * F.col("c"))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("term_e6"),
+        )
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.count("*").alias("vocab"),
+            F.sum("term_e6").alias("kl_e6"),
+        )
+    )
