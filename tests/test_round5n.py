@@ -58,3 +58,78 @@ def test_kl_shift_min_count_renormalizes(spark):
 def test_kl_shift_guard():
     with pytest.raises(ValueError):
         kl_shift(None, min_count=0)
+
+
+def _hit(spark, edges, targets, **kw):
+    from webgraph.algos.common import from_int_edges
+    from webgraph.algos.hitting import truncated_hitting_time
+
+    g = from_int_edges(spark.createDataFrame(edges, "src long, dst long"))
+    t = spark.createDataFrame([(v,) for v in targets], "vid long")
+    state, metrics = truncated_hitting_time(g, t, **kw)
+    return {r["vid"]: r["h_e6"] for r in state.collect()}, metrics
+
+
+def test_hitting_time_path_and_dangling(spark):
+    # 2 -> 0 -> 1(target), 1 -> 3 (dangling): h = steps to the target,
+    # dangling non-target pegs at the cap
+    got, _ = _hit(spark, [(0, 1), (2, 0), (1, 3)], [1], horizon=5)
+    assert got == {1: 0, 0: 1_000_000, 2: 2_000_000, 3: 5_000_000}
+
+
+def test_hitting_time_integer_average(spark):
+    # 0 has two out-neighbors: the target (h=0) and a 1-step vertex
+    # (h=1e6) -> h(0) = 1e6 + (0 + 1e6) // 2 = 1_500_000 exactly
+    got, _ = _hit(spark, [(0, 9), (0, 1), (1, 9)], [9], horizon=5)
+    assert got == {9: 0, 1: 1_000_000, 0: 1_500_000}
+
+
+def test_hitting_time_early_stop_is_bit_identical(spark):
+    edges = [(0, 1), (2, 0), (1, 3)]
+    fast, m_fast = _hit(spark, edges, [1], horizon=8)
+    full, m_full = _hit(spark, edges, [1], horizon=8, early_stop=False)
+    assert fast == full
+    assert len(m_fast) < len(m_full) == 8
+    assert m_fast[-1]["changed"] == 0
+
+
+def test_hitting_time_unreachable_component_at_cap(spark):
+    got, _ = _hit(spark, [(0, 1), (5, 6), (6, 5)], [1], horizon=3)
+    assert got[5] == got[6] == 3_000_000
+
+
+def test_hitting_time_guards(spark):
+    from webgraph.algos.common import from_int_edges
+    from webgraph.algos.hitting import truncated_hitting_time
+
+    g = from_int_edges(spark.createDataFrame([(0, 1)], "src long, dst long"))
+    t = spark.createDataFrame([(1,)], "vid long")
+    with pytest.raises(ValueError):
+        truncated_hitting_time(g, t, horizon=0)
+    with pytest.raises(ValueError):
+        truncated_hitting_time(g, t, horizon=2, rounds=0)
+
+
+def test_hitting_time_checkpoint_resume_bit_identical(spark, tmp_path):
+    from webgraph.algos.common import from_int_edges
+    from webgraph.algos.hitting import truncated_hitting_time
+    from webgraph.checkpoint import CheckpointManager
+
+    edges = [(0, 1), (2, 0), (1, 3), (3, 2), (4, 0), (4, 3)]
+    g = from_int_edges(spark.createDataFrame(edges, "src long, dst long"))
+    t = spark.createDataFrame([(1,)], "vid long")
+    full, _ = truncated_hitting_time(g, t, horizon=5, early_stop=False)
+    want = {r["vid"]: r["h_e6"] for r in full.collect()}
+
+    d = str(tmp_path / "ck")
+    truncated_hitting_time(
+        g, t, horizon=5, rounds=2, checkpoint_dir=d, early_stop=False
+    )  # "crash" after round 2
+    resumed, metrics = truncated_hitting_time(
+        g, t, horizon=5, checkpoint_dir=d, resume=True, early_stop=False
+    )
+    got = {r["vid"]: r["h_e6"] for r in resumed.collect()}
+    assert got == want  # bit-identical
+    assert metrics[0]["iteration"] == 2
+    entries = CheckpointManager(d, "hitting").entries()
+    assert [e["iteration"] for e in entries] == list(range(5))

@@ -10693,6 +10693,74 @@ FROM terms GROUP BY source
 QUERIES.update({"t_kl_shift": (q_t_kl_shift, o_t_kl_shift)})
 
 
+# ------------------------------------ truncated hitting time (r05n) --
+
+HIT_HORIZON = 5
+# 100 of 500 vertices: on the ~20%-dense contract graph a small target
+# set clamps every vertex to the cap (the avg is dominated by
+# cap-valued neighbors) — 100 hubs spreads the distribution across 400
+# distinct values while still exercising the cap (2 rows at sf0.01)
+HIT_TOP = 100
+
+
+def q_g_hitting(spark, sf_dir):
+    """Truncated hitting time (algos/hitting.py, Sarkar & Moore 2007) to
+    the top in-degree hubs — random-walk proximity for link
+    prediction / crawl prioritization, the expectation-semiring member
+    of the iterative family (PageRank sums, SSSP mins, this one
+    averages-plus-one). Integer micro-step state with integer-division
+    averaging means every round is digit-exact, so the unrolled oracle
+    replays it with `//` — no allclose. Early-stop is on (the state is
+    monotone-decreasing integers, so a zero-change round IS the
+    fixpoint and the result is bit-identical to all HIT_HORIZON
+    rounds, which is what the oracle runs)."""
+    from webgraph.algos.hitting import truncated_hitting_time
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    hubs = (
+        g.edges.groupBy("dst")
+        .agg(F.count("*").alias("d"))
+        .orderBy(F.desc("d"), F.asc("dst"))
+        .limit(HIT_TOP)
+        .select(F.col("dst").alias("vid"))
+    )
+    state, _ = truncated_hitting_time(g, hubs, horizon=HIT_HORIZON)
+    return state
+
+
+def o_g_hitting():
+    from webgraph.algos.hitting import SCALE
+
+    cap = HIT_HORIZON * SCALE
+    parts = [
+        f"WITH e AS ({EDGES_SQL}),",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst AS vid FROM e),",
+        f"tgt AS (SELECT dst AS vid FROM e GROUP BY dst "
+        f"ORDER BY COUNT(*) DESC, dst ASC LIMIT {HIT_TOP}),",
+        "h0 AS (SELECT v.vid, (t.vid IS NOT NULL) AS is_tgt, "
+        f"CASE WHEN t.vid IS NOT NULL THEN 0 ELSE {cap} END AS h "
+        "FROM v LEFT JOIN tgt t USING (vid)),",
+    ]
+    for i in range(1, HIT_HORIZON + 1):
+        p = i - 1
+        parts += [
+            f"n{i} AS (SELECT e.src AS vid, SUM(h.h) AS hsum, "
+            f"COUNT(*) AS deg FROM e JOIN h{p} h ON h.vid = e.dst "
+            f"GROUP BY e.src),",
+            f"h{i} AS (SELECT h.vid, h.is_tgt, CASE WHEN h.is_tgt THEN 0 "
+            f"WHEN n.deg IS NOT NULL THEN LEAST({cap}, {SCALE} + n.hsum // n.deg) "
+            f"ELSE {cap} END AS h FROM h{p} h LEFT JOIN n{i} n USING (vid)),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT vid, CAST(h AS BIGINT) AS h_e6 FROM h{HIT_HORIZON}"
+    )
+    return _unrolled(parts)
+
+
+QUERIES.update({"g_hitting": (q_g_hitting, o_g_hitting)})
+
+
 # The DRIVER_WINDOW reorder lives at the very END of this module (the
 # driver snapshots the first 50 registry entries; keeping the reorder
 # last lets new queries register anywhere above and still be eligible
