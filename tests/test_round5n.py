@@ -133,3 +133,47 @@ def test_hitting_time_checkpoint_resume_bit_identical(spark, tmp_path):
     assert metrics[0]["iteration"] == 2
     entries = CheckpointManager(d, "hitting").entries()
     assert [e["iteration"] for e in entries] == list(range(5))
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_pq_recall_perfect_codebook_is_exact(spark):
+    """With n_codes >= corpus size every subvector is its own codebook
+    entry, so ADC == 1e6 * true d2 and the exact side is 1e12 * true d2
+    — order-isomorphic scores with identical tie-breaks, so every query
+    recalls the full top-k."""
+    from webgraph.similarity import pq_recall
+
+    import itertools
+
+    vecs = [list(p) for p in itertools.product([0, 1, 2], repeat=4)][:20]
+    got = pq_recall(
+        _emb(spark, vecs), n_queries=4, k=5, m=2, n_codes=20
+    ).collect()
+    assert len(got) == 4
+    assert all(r["n_hits"] == 5 and r["recall_e6"] == 1_000_000 for r in got)
+
+
+def test_pq_recall_partitioning_independent(spark):
+    from webgraph.similarity import pq_recall
+
+    vecs = [
+        [((7 * i + 3 * j) % 11) / 3.0 for j in range(8)] for i in range(30)
+    ]
+    df = _emb(spark, vecs)
+    a = sorted(map(tuple, pq_recall(df, n_queries=4, k=5, m=2, n_codes=8).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pq_recall(
+                df.repartition(7), n_queries=4, k=5, m=2, n_codes=8
+            ).collect(),
+        )
+    )
+    assert a == b
+    assert all(0 <= r[1] <= 5 for r in a)

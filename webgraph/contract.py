@@ -10761,6 +10761,107 @@ def o_g_hitting():
 QUERIES.update({"g_hitting": (q_g_hitting, o_g_hitting)})
 
 
+# ----------------------------------------- PQ recall@k (r05n) --
+
+PQR_NQ = 8
+PQR_K = 10
+
+
+def q_e_pq_recall(spark, sf_dir):
+    """Recall@k of PQ asymmetric-distance ranking vs the exact
+    fixed-point L2 scan (similarity.py:pq_recall) — the PQ leg of the
+    evaluate-your-approximations family, completing the ANN trio
+    (e_ivf_recall = scan pruning, e_sq_recall = 8-bit precision, this =
+    m-byte code compression). LUT entries round to micro-units BEFORE
+    the per-vector sum and the exact side is integer squared-L2, so
+    both rankings and the recall replay digit-for-digit."""
+    from webgraph.similarity import pq_recall
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return pq_recall(
+        emb, n_queries=PQR_NQ, k=PQR_K, m=PQ_M, n_codes=PQ_CODES, seed=PQ_SEED
+    )
+
+
+def o_e_pq_recall():
+    from webgraph.dedup import _MIX_BASE, POLY_MOD
+
+    P, MIX = POLY_MOD, _MIX_BASE
+    dim = PQ_M * PQ_DSUB
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sub AS (
+  SELECT vec_id, j,
+    v[j * {PQ_DSUB} + 1 : j * {PQ_DSUB} + {PQ_DSUB}] AS sv
+  FROM base, (SELECT unnest(range({PQ_M})) AS j)
+),
+cents AS (
+  SELECT j, code, sv AS cvec FROM (
+    SELECT j, vec_id, sv,
+      ROW_NUMBER() OVER (
+        PARTITION BY j
+        ORDER BY ((vec_id % {P}) * {MIX} + ({PQ_SEED} + j)) % {P}, vec_id
+      ) - 1 AS code
+    FROM sub
+  ) WHERE code < {PQ_CODES}
+),
+dist AS (
+  SELECT s.vec_id, s.j, c.code,
+    list_sum(list_transform(range(1, {PQ_DSUB + 1}),
+      i -> (s.sv[i] - c.cvec[i]) * (s.sv[i] - c.cvec[i]))) AS d2
+  FROM sub s JOIN cents c ON c.j = s.j
+),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, code ASC)
+      AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT vec_id AS qid, j, code, CAST(ROUND(1e6 * d2) AS BIGINT) AS d2_e6
+  FROM dist WHERE vec_id < {PQR_NQ}
+),
+adc AS (
+  SELECT l.qid, c.vec_id, SUM(l.d2_e6) AS score
+  FROM codes c JOIN lut l ON l.j = c.j AND l.code = c.code
+  WHERE c.vec_id <> l.qid GROUP BY 1, 2
+),
+ex AS (
+  SELECT vec_id,
+    list_transform(v, x -> CAST(ROUND(x * 1e6) AS BIGINT)) AS e
+  FROM base
+),
+d2x AS (
+  SELECT q.vec_id AS qid, b.vec_id,
+    list_sum(list_transform(range(1, {dim + 1}),
+      i -> (q.e[i] - b.e[i]) * (q.e[i] - b.e[i]))) AS score
+  FROM ex q JOIN ex b ON b.vec_id <> q.vec_id
+  WHERE q.vec_id < {PQR_NQ}
+),
+ta AS (
+  SELECT qid, vec_id FROM (SELECT qid, vec_id,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score ASC, vec_id ASC) AS rn
+    FROM adc) WHERE rn <= {PQR_K}
+),
+tx AS (
+  SELECT qid, vec_id FROM (SELECT qid, vec_id,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score ASC, vec_id ASC) AS rn
+    FROM d2x) WHERE rn <= {PQR_K}
+),
+h AS (SELECT qid, COUNT(*) AS n_hits FROM ta JOIN tx
+  USING (qid, vec_id) GROUP BY qid)
+SELECT q.qid AS qid, CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(ROUND(COALESCE(n_hits, 0) * 1e6 / {PQR_K}) AS BIGINT) AS recall_e6
+FROM (SELECT vec_id AS qid FROM base WHERE vec_id < {PQR_NQ}) q
+LEFT JOIN h ON q.qid = h.qid
+"""
+
+
+QUERIES.update({"e_pq_recall": (q_e_pq_recall, o_e_pq_recall)})
+
+
 # The DRIVER_WINDOW reorder lives at the very END of this module (the
 # driver snapshots the first 50 registry entries; keeping the reorder
 # last lets new queries register anywhere above and still be eligible
@@ -10774,10 +10875,14 @@ QUERIES.update({"g_hitting": (q_g_hitting, o_g_hitting)})
 # each round).
 DRIVER_WINDOW = [
     # graph core + iteratives (r05l: g_simrank replaces g_ktruss — truss
-    # stays sweep-checked; the similarity-walk modality is new)
+    # stays sweep-checked; the similarity-walk modality is new. r05n:
+    # g_anf_error replaces g_eff_diameter — same anf.py machinery plus
+    # the estimator leg, giving the approximation-certification family
+    # (t_hll_error/e_*_recall/d_minhash_recall/g_landmark_error) its
+    # first driver row; eff-diameter stays sweep-checked)
     "g_top50_in_degree", "g_edge_count", "g_pagerank", "g_pagerank_warm",
     "g_components", "g_louvain", "g_triangles", "g_katz", "g_sssp",
-    "g_eff_diameter", "g_simrank", "g_condensation_levels",
+    "g_anf_error", "g_simrank", "g_condensation_levels",
     # code corpus family (rotated-out rows stay sweep-checked; round-5j
     # swaps trade near-duplicate coverage — butterflies/link-predict/
     # bloom/covariance/pivot/block-clones — for the session's new

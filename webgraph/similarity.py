@@ -924,3 +924,122 @@ def sq_recall(
             .alias("recall_e6"),
         )
     )
+
+
+def pq_recall(
+    df: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of product-quantization ADC ranking against the exact
+    fixed-point L2 scan — the PQ leg of evaluate-your-approximations
+    (ivf_recall measures scan pruning, sq_recall 8-bit precision, this
+    one m-byte code compression): how much of the true top-k survives
+    when every vector is m bytes?
+
+    Both rankings are integer-exact: each per-subspace LUT entry rounds
+    to micro-units BEFORE the per-vector sum (the pq_topk convention,
+    widened from one driver-side query to a query TABLE computed
+    DataFrame-side), and the exact side is squared L2 over 1e-6
+    fixed-point components — so scores, (score asc, id asc) tie-breaks,
+    and the recall itself reproduce across engines digit-for-digit.
+
+    Plan: the LUT is (n_queries x m x n_codes) rows — broadcast; ADC
+    scoring is the exploded codes column joined to it, one id-keyed
+    aggregate, full vectors never touch the candidate side. The exact
+    baseline is the brute scan against broadcast queries (self-declared
+    exact, same as ivf_recall/sq_recall). ``iters=0`` codebooks keep
+    the whole pipeline SQL-replayable."""
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    codes, books = build_pq_index(
+        df, m=m, n_codes=n_codes, iters=0, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    dsub = len(books[0][0])
+    cent_rows = [
+        (j, c, books[j][c]) for j in range(m) for c in range(len(books[j]))
+    ]
+    cdf = spark.createDataFrame(cent_rows, "j int, code int, cvec array<double>")
+
+    base = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    sub_q = (
+        base.filter(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("qid"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.slice("v", j * dsub + 1, dsub).alias("sv"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("qid", F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    lut = sub_q.join(F.broadcast(cdf), "j").select(
+        "qid", "j", "code", F.round(d2 * 1e6).cast("long").alias("d2_e6")
+    )
+    adc = (
+        codes.select(F.col(id_col), F.posexplode("codes").alias("j", "code"))
+        .join(F.broadcast(lut), ["j", "code"])
+        .filter(F.col(id_col) != F.col("qid"))
+        .groupBy("qid", id_col)
+        .agg(F.sum("d2_e6").alias("score"))
+    )
+
+    evec = F.transform(F.col("v"), lambda x: F.round(x * 1e6).cast("long"))
+    ib = base.select(F.col(id_col), evec.alias("evec"))
+    qe = ib.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"), F.col("evec").alias("q_evec")
+    )
+    exact = (
+        ib.crossJoin(F.broadcast(qe))
+        .filter(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            F.col(id_col),
+            F.aggregate(
+                F.zip_with(
+                    F.col("evec"), F.col("q_evec"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0).cast("long"),
+                lambda s, x: s + x,
+            ).alias("score"),
+        )
+    )
+
+    def topk(scored):
+        w = Window.partitionBy("qid").orderBy(F.asc("score"), F.asc(id_col))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("qid", id_col)
+        )
+
+    hits = topk(adc).join(topk(exact), ["qid", id_col])
+    return (
+        qe.select("qid")
+        .join(hits.groupBy("qid").agg(F.count("*").alias("n_hits")), "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) * 1e6 / k)
+            .cast("long")
+            .alias("recall_e6"),
+        )
+    )
