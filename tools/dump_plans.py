@@ -29,6 +29,8 @@ PLAN_QUERIES = [
     "d_snapshot_diff",    # digest-only full outer join
     "t_normalize",        # codegen regexp chain around ONE ArrowEvalPython
     "c_clone_type3",      # distinct-unit shingle bucket join, no cartesian
+    "t_kl_shift",         # co-partitioned tok join + broadcast totals
+    "e_pq_recall",        # broadcast PQ LUT join + dual windowed top-k
 ]
 
 

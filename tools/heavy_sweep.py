@@ -72,6 +72,12 @@ HEAVY = [
     "g_four_cliques",
     "t_normalize",
     "c_clone_type3",
+    # round-5n additions: register merge + exact-ball compare, exploded
+    # token double-agg, expectation iteration, PQ encode + dual top-k
+    "g_anf_error",
+    "t_kl_shift",
+    "g_hitting",
+    "e_pq_recall",
 ]
 
 
