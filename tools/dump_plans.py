@@ -31,6 +31,7 @@ PLAN_QUERIES = [
     "c_clone_type3",      # distinct-unit shingle bucket join, no cartesian
     "t_kl_shift",         # co-partitioned tok join + broadcast totals
     "e_pq_recall",        # broadcast PQ LUT join + dual windowed top-k
+    "g_eigencentrality",  # loop body: join+agg + broadcast 1-row L1 total
 ]
 
 

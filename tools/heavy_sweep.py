@@ -78,6 +78,10 @@ HEAVY = [
     "t_kl_shift",
     "g_hitting",
     "e_pq_recall",
+    # round-5o additions: normalized power iteration, per-edge Brandes
+    # resolution over the materialized sweep
+    "g_eigencentrality",
+    "g_edge_betweenness",
 ]
 
 

@@ -430,3 +430,101 @@ def approximate_betweenness(
         .groupBy("vid")
         .agg(F.sum("delta").alias("betweenness"))
     )
+
+
+def edge_betweenness_contributions(
+    g: EncodedGraph,
+    seed: int,
+    max_depth: int,
+    directed: bool = True,
+) -> DataFrame:
+    """(src, dst, depth, delta_edge) — Brandes' single-source dependency
+    accumulation resolved to EDGES: for every shortest-path-DAG edge
+    (v, w) with depth(w) = depth(v) + 1,
+
+        delta_edge(v, w) = (sigma(v) / sigma(w)) * (1 + delta(w)),
+
+    the exact per-edge term the vertex sweep sums into delta(v) before
+    discarding (multi_betweenness_contributions' `contrib` aggregate).
+    Summed over a pivot set this is the standard edge-betweenness
+    estimator — the quantity Girvan–Newman community detection removes
+    greedily, and for a crawl graph the "load" a hyperlink carries
+    between regions. ``depth`` is depth(v) (the edge's tail level).
+
+    Cost: ONE extra three-way join over the ALREADY-materialized vertex
+    sweep (per-level frames are localCheckpointed by the backward pass)
+    — the sweep itself is not re-run, and non-DAG edges drop out of the
+    depth-equality join. Edges whose head has sigma 0 cannot appear
+    (every swept vertex has sigma >= 1 by construction)."""
+    sweep = multi_betweenness_contributions(
+        g, [seed], max_depth, directed=directed
+    ).select("vid", "depth", "sigma", "delta")
+    sweep = sweep.transform(truncate_lineage)
+    edges, unpersist = _shared_edges(g, directed)
+    tail = sweep.select(
+        F.col("vid").alias("src"),
+        F.col("depth").alias("depth"),
+        F.col("sigma").alias("sv"),
+    )
+    head = sweep.select(
+        F.col("vid").alias("dst"),
+        F.col("depth").alias("dw"),
+        F.col("sigma").alias("sw"),
+        F.col("delta").alias("deltaw"),
+    )
+    out = (
+        edges.join(tail, "src")
+        .join(head, "dst")
+        .filter(F.col("dw") == F.col("depth") + 1)
+        .select(
+            "src",
+            "dst",
+            "depth",
+            (
+                F.col("sv") / F.col("sw") * (F.lit(1.0) + F.col("deltaw"))
+            ).alias("delta_edge"),
+        )
+        .transform(truncate_lineage)
+    )
+    if unpersist:
+        edges.unpersist()
+    return out
+
+
+def pseudo_diameter(
+    g: EncodedGraph,
+    seed: int,
+    max_depth: int,
+    directed: bool = False,
+) -> DataFrame:
+    """Double-sweep pseudo-diameter (Magnien–Latapy–Habib): BFS from
+    ``seed``, restart from the farthest vertex found, and report that
+    second sweep's eccentricity — a lower bound on the true diameter
+    that is exact on trees and empirically tight on web graphs, for two
+    BFS sweeps instead of the all-pairs sweep exact diameter costs.
+    Both sweeps are horizon-bounded by ``max_depth`` (the same truncation
+    contract as neighborhood_function_exact / g_eff_diameter): on a
+    graph whose eccentricities exceed the horizon the reported bound is
+    the horizon itself. Ties at the farthest depth break to MIN vid so
+    the result is deterministic under any partitioning.
+
+    Returns one row: (seed, far1, ecc1, far2, ecc2) — sweep-1's farthest
+    vertex and eccentricity, then sweep-2's, with ecc2 >= ecc1 the
+    pseudo-diameter. The only driver readout is the two scalar
+    (depth, vid) argmax rows, one per sweep."""
+
+    def _far(depths: DataFrame) -> tuple[int, int]:
+        row = (
+            depths.orderBy(F.desc("depth"), F.asc("vid")).limit(1).collect()[0]
+        )
+        return int(row["vid"]), int(row["depth"])
+
+    d1, _ = bfs_depths(g, [seed], max_depth, directed=directed)
+    far1, ecc1 = _far(d1)
+    d2, _ = bfs_depths(g, [far1], max_depth, directed=directed)
+    far2, ecc2 = _far(d2)
+    spark = g.edges.sparkSession
+    return spark.createDataFrame(
+        [(int(seed), far1, ecc1, far2, ecc2)],
+        "seed long, far1 long, ecc1 long, far2 long, ecc2 long",
+    )

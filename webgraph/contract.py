@@ -10862,6 +10862,196 @@ LEFT JOIN h ON q.qid = h.qid
 QUERIES.update({"e_pq_recall": (q_e_pq_recall, o_e_pq_recall)})
 
 
+# --- eigenvector centrality / edge betweenness / pseudo-diameter (r05o) --
+
+EIG_ITERS = 4
+
+
+def q_g_eigencentrality(spark, sf_dir):
+    """Normalized power iteration on A^T (algos/eigenvector.py): k fixed
+    rounds of y = A^T x; x = y / ||y||_1 — the spectral limit of the
+    reference's raw in-degree ranking (README.md:107-112), completing the
+    PageRank/Katz/eigenvector family. Each round is one join+agg plus one
+    scalar L1 total, so the oracle unrolls it verbatim. e6 rounding on
+    L1-shares (each ~1/n scale) leaves ~9 orders of margin over
+    cross-engine float-summation noise."""
+    from webgraph.algos.eigenvector import eigenvector_centrality
+
+    g = from_int_edges(derived_edges(spark, sf_dir))
+    state, _ = eigenvector_centrality(g, max_iter=EIG_ITERS)
+    return state.select(
+        "vid", F.round(F.col("eig") * 1e6).cast("long").alias("eig_e6")
+    )
+
+
+def o_g_eigencentrality():
+    parts = [
+        f"WITH e AS ({EDGES_SQL}),",
+        f"v AS ({VERTS_SQL}),",
+        "nn AS (SELECT COUNT(*) AS n FROM v),",
+        "l0 AS (SELECT vid, (SELECT 1e0 / n FROM nn) AS x FROM v),",
+    ]
+    for i in range(1, EIG_ITERS + 1):
+        p = i - 1
+        parts += [
+            f"m{i} AS (SELECT e.dst AS vid, SUM(l.x) AS nm "
+            f"FROM e JOIN l{p} l ON e.src = l.vid GROUP BY e.dst),",
+            f"t{i} AS (SELECT SUM(nm) AS total FROM m{i}),",
+            f"l{i} AS (SELECT v.vid, COALESCE(m.nm, 0e0) / "
+            f"(SELECT total FROM t{i}) AS x FROM v LEFT JOIN m{i} m USING (vid)),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT vid, CAST(ROUND(x * 1000000e0) AS BIGINT) AS eig_e6 "
+        f"FROM l{EIG_ITERS}"
+    )
+    return _unrolled(parts)
+
+
+def q_g_edge_betweenness(spark, sf_dir):
+    """Brandes dependency accumulation resolved to EDGES
+    (algos/bfs.py:edge_betweenness_contributions): per shortest-path-DAG
+    edge (v, w), delta = sigma(v)/sigma(w) * (1 + delta(w)) — the
+    Girvan–Newman removal score, from the same seed-0 3-level sweep as
+    g_betweenness. One extra three-way join over the already-materialized
+    vertex sweep; non-DAG edges drop out of the depth-equality join."""
+    from webgraph.algos.bfs import edge_betweenness_contributions
+
+    g = from_int_edges(derived_edges2(spark, sf_dir))
+    out = edge_betweenness_contributions(g, PC_SEED, max_depth=PC_DEPTH)
+    return out.select(
+        "src",
+        "dst",
+        F.col("depth").cast("long").alias("depth"),
+        F.round(F.col("delta_edge") * 1e6).cast("long").alias("deb_e6"),
+    )
+
+
+def o_g_edge_betweenness():
+    # forward sigma chain + backward delta chain: verbatim o_g_betweenness,
+    # with the final select emitting the per-edge term instead of its
+    # per-vertex sum
+    parts = [
+        f"WITH e AS ({EDGES2_SQL}),",
+        f"v0 AS (SELECT CAST({PC_SEED} AS BIGINT) AS vid, "
+        f"CAST(0 AS BIGINT) AS depth, CAST(1 AS BIGINT) AS sigma),",
+    ]
+    prev_frontier = "v0"
+    seen = "v0"
+    for d in range(1, PC_DEPTH + 1):
+        parts += [
+            f"n{d} AS (SELECT e.dst AS vid, CAST({d} AS BIGINT) AS depth, "
+            f"CAST(SUM(b.sigma) AS BIGINT) AS sigma "
+            f"FROM {prev_frontier} b JOIN e ON e.src = b.vid "
+            f"WHERE e.dst NOT IN (SELECT vid FROM {seen}) GROUP BY e.dst),",
+            f"s{d} AS (SELECT * FROM {seen} UNION ALL SELECT * FROM n{d}),",
+        ]
+        prev_frontier = f"n{d}"
+        seen = f"s{d}"
+    parts.append(
+        f"d{PC_DEPTH} AS (SELECT vid, 0e0 AS delta FROM {seen} "
+        f"WHERE depth = {PC_DEPTH}),"
+    )
+    for d in range(PC_DEPTH - 1, -1, -1):
+        parts += [
+            f"c{d} AS (SELECT e.src AS v, SUM((1e0 + dw.delta) / w.sigma) AS frac "
+            f"FROM {seen} cur JOIN e ON e.src = cur.vid "
+            f"JOIN {seen} w ON w.vid = e.dst AND w.depth = {d + 1} "
+            f"JOIN d{d + 1} dw ON dw.vid = e.dst "
+            f"WHERE cur.depth = {d} GROUP BY e.src),",
+            f"d{d} AS (SELECT cur.vid, cur.sigma * COALESCE(c{d}.frac, 0e0) AS delta "
+            f"FROM {seen} cur LEFT JOIN c{d} ON c{d}.v = cur.vid "
+            f"WHERE cur.depth = {d}),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    unions = " UNION ALL ".join(
+        f"SELECT vid, delta FROM d{d}" for d in range(PC_DEPTH + 1)
+    )
+    parts.append(
+        f"SELECT cur.vid AS src, e.dst AS dst, cur.depth AS depth, "
+        f"CAST(ROUND(cur.sigma * (1e0 + dd.delta) / w.sigma * 1000000e0) "
+        f"AS BIGINT) AS deb_e6 "
+        f"FROM {seen} cur JOIN e ON e.src = cur.vid "
+        f"JOIN {seen} w ON w.vid = e.dst AND w.depth = cur.depth + 1 "
+        f"JOIN ({unions}) dd ON dd.vid = e.dst"
+    )
+    return _unrolled(parts)
+
+
+PD_SEED = 0
+PD_DEPTH = 3
+
+
+def q_g_pseudo_diameter(spark, sf_dir):
+    """Double-sweep pseudo-diameter (algos/bfs.py:pseudo_diameter): BFS
+    from the seed, restart from the farthest vertex, report that sweep's
+    eccentricity — the standard two-BFS diameter lower bound, horizon-
+    bounded like g_eff_diameter. Ties break to MIN vid on both sides."""
+    from webgraph.algos.bfs import pseudo_diameter
+
+    e = derived_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    g = from_int_edges(sym)
+    # edges already symmetrized above — directed walk over the sym set
+    return pseudo_diameter(g, PD_SEED, max_depth=PD_DEPTH, directed=True)
+
+
+def o_g_pseudo_diameter():
+    parts = [
+        f"WITH e AS ({EDGES_SQL}),",
+        f"sym AS ({SYM_SQL}),",
+        f"a0 AS (SELECT CAST({PD_SEED} AS BIGINT) AS vid, "
+        f"CAST(0 AS BIGINT) AS depth),",
+    ]
+
+    def _sweep(tag: str, start: str) -> str:
+        prev, seen = start, start
+        for d in range(1, PD_DEPTH + 1):
+            parts.append(
+                f"{tag}n{d} AS (SELECT DISTINCT s.dst AS vid, "
+                f"CAST({d} AS BIGINT) AS depth "
+                f"FROM {prev} b JOIN sym s ON s.src = b.vid "
+                f"WHERE s.dst NOT IN (SELECT vid FROM {seen})),"
+            )
+            parts.append(
+                f"{tag}s{d} AS (SELECT * FROM {seen} "
+                f"UNION ALL SELECT * FROM {tag}n{d}),"
+            )
+            prev, seen = f"{tag}n{d}", f"{tag}s{d}"
+        return seen
+
+    seen_a = _sweep("a", "a0")
+    parts.append(
+        f"far1 AS (SELECT vid, depth FROM {seen_a} "
+        f"ORDER BY depth DESC, vid ASC LIMIT 1),"
+    )
+    parts.append(
+        "b0 AS (SELECT vid, CAST(0 AS BIGINT) AS depth FROM far1),"
+    )
+    seen_b = _sweep("b", "b0")
+    parts.append(
+        f"far2 AS (SELECT vid, depth FROM {seen_b} "
+        f"ORDER BY depth DESC, vid ASC LIMIT 1)"
+    )
+    parts.append(
+        f"SELECT CAST({PD_SEED} AS BIGINT) AS seed, "
+        f"(SELECT vid FROM far1) AS far1, (SELECT depth FROM far1) AS ecc1, "
+        f"(SELECT vid FROM far2) AS far2, (SELECT depth FROM far2) AS ecc2"
+    )
+    return _unrolled(parts)
+
+
+QUERIES.update(
+    {
+        "g_eigencentrality": (q_g_eigencentrality, o_g_eigencentrality),
+        "g_edge_betweenness": (q_g_edge_betweenness, o_g_edge_betweenness),
+        "g_pseudo_diameter": (q_g_pseudo_diameter, o_g_pseudo_diameter),
+    }
+)
+
+
 # The DRIVER_WINDOW reorder lives at the very END of this module (the
 # driver snapshots the first 50 registry entries; keeping the reorder
 # last lets new queries register anywhere above and still be eligible
