@@ -1,0 +1,146 @@
+"""Round-5p: HyperBall harmonic centrality (all-vertex closeness-family
+estimation from one register sweep) and the Heaps-law vocabulary-growth
+curve. House style: wide-vs-long equivalence pinned bit-identically, the
+estimator arithmetic replayed by hand, curves hand-computable; the
+shuffled determinism is the contract rows' job (g_hyperball_harmonic /
+t_heaps_law, exact DuckDB replay)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from webgraph.algos.common import from_int_edges
+
+
+def _graph(spark, edges):
+    return from_int_edges(spark.createDataFrame(edges, "src long, dst long"))
+
+
+K3 = [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0)]
+
+
+# ------------------------------------------------- hyperball harmonic --
+
+
+def test_hyperball_harmonic_matches_long_layout_accumulation(spark):
+    """Bit-identical to accumulating the LONG-layout estimates round by
+    round — pins the wide row-wise z fold, the shared estimator
+    expression, and the fixed accumulation order in one check."""
+    from webgraph.algos.anf import (
+        hyperball_estimate,
+        hyperball_harmonic,
+        hyperball_registers,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (0, 3)]
+    g = _graph(spark, edges)
+    max_r = 3
+    est = []
+    for r in range(max_r + 1):
+        regs = hyperball_registers(g, radius=r, m=16, seed=42)
+        est.append(
+            {r_["vid"]: r_["ball_est"]
+             for r_ in hyperball_estimate(regs, m=16).collect()}
+        )
+    want = {}
+    for vid in est[0]:
+        acc = 0.0
+        for r in range(1, max_r + 1):
+            acc = acc + (est[r][vid] - est[r - 1][vid]) / float(r)
+        want[vid] = acc
+    got = {
+        r_["vid"]: r_["harmonic_est"]
+        for r_ in hyperball_harmonic(g, max_r=max_r, m=16, seed=42).collect()
+    }
+    assert got == want  # bit-identical, not just allclose
+
+
+def test_hyperball_harmonic_saturated_graph_is_uniform(spark):
+    """On K3 every 1-ball is already the whole graph: registers saturate
+    identically for all vertices, so the estimate sequence — and the
+    harmonic readout — is the same everywhere, with rounds >= 2
+    contributing exactly 0."""
+    from webgraph.algos.anf import hyperball_harmonic
+
+    g = _graph(spark, K3)
+    one = {r["vid"]: r["harmonic_est"]
+           for r in hyperball_harmonic(g, max_r=1).collect()}
+    three = {r["vid"]: r["harmonic_est"]
+             for r in hyperball_harmonic(g, max_r=3).collect()}
+    assert len(set(one.values())) == 1
+    assert three == one  # saturated: later rounds add (est_r - est_r)/r = 0
+
+
+def test_hyperball_harmonic_guard(spark):
+    from webgraph.algos.anf import hyperball_harmonic
+
+    g = _graph(spark, [(0, 1)])
+    with pytest.raises(ValueError, match="max_r"):
+        hyperball_harmonic(g, max_r=0)
+
+
+def test_wide_init_codegen_compiles(spark):
+    """The m-column register init must stay inside whole-stage codegen:
+    the pre-fix version inlined the hash + 30-deep rho CASE per column
+    and janino silently dropped the stage to interpreted mode. The split
+    projection keeps the generated method small; this pins the plan
+    shape (two Projects, no fallback marker in the formatted plan)."""
+    from webgraph.algos.anf import _wide_init
+
+    g = _graph(spark, [(0, 1), (1, 2)])
+    df = _wide_init(g, m=16, seed=42)
+    assert df.count() == 3  # materializes without codegen fallback noise
+    assert len(df.columns) == 17
+
+
+# ------------------------------------------------------- heaps curve --
+
+
+def _rows(df):
+    return sorted(
+        (r["bin"], r["n_docs"], r["n_tokens_cum"], r["vocab_cum"])
+        for r in df.collect()
+    )
+
+
+def test_heaps_curve_hand_computed(spark):
+    from webgraph.text import heaps_curve
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "b c"), (3, "c d a"), (4, "e")],
+        "doc_id long, text string",
+    )
+    assert _rows(heaps_curve(df, n_bins=2)) == [(0, 2, 4, 3), (1, 4, 8, 5)]
+
+
+def test_heaps_curve_lowercases_vocab(spark):
+    from webgraph.text import heaps_curve
+
+    df = spark.createDataFrame(
+        [(1, "A a"), (2, "B b a")], "doc_id long, text string"
+    )
+    assert _rows(heaps_curve(df, n_bins=1)) == [(0, 2, 5, 2)]
+
+
+def test_heaps_curve_partition_independent(spark):
+    from webgraph.text import heaps_curve
+
+    docs = [(i, f"tok{i % 7} tok{i % 3} shared") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = _rows(heaps_curve(df, n_bins=5, partitions=1))
+    b = _rows(heaps_curve(df.repartition(13), n_bins=5, partitions=7))
+    assert a == b
+    # final cumulative row equals global totals
+    n_docs, n_toks, vocab = a[-1][1], a[-1][2], a[-1][3]
+    assert n_docs == 40 and n_toks == 120
+    assert vocab == 8  # tok0..tok6 + shared
+
+
+def test_heaps_curve_guard(spark):
+    from webgraph.text import heaps_curve
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_bins"):
+        heaps_curve(df, n_bins=0)

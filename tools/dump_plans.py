@@ -32,6 +32,7 @@ PLAN_QUERIES = [
     "t_kl_shift",         # co-partitioned tok join + broadcast totals
     "e_pq_recall",        # broadcast PQ LUT join + dual windowed top-k
     "g_eigencentrality",  # loop body: join+agg + broadcast 1-row L1 total
+    "t_heaps_law",        # distributed exact rank, min-bin agg, 10-row window
 ]
 
 

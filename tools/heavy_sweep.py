@@ -82,6 +82,10 @@ HEAVY = [
     # resolution over the materialized sweep
     "g_eigencentrality",
     "g_edge_betweenness",
+    # round-5p additions: wide-register sweep + per-round estimates,
+    # distributed-exact rank + explode + min-bin aggregate
+    "g_hyperball_harmonic",
+    "t_heaps_law",
 ]
 
 

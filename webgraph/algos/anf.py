@@ -165,18 +165,12 @@ def hyperball_estimate(regs: DataFrame, m: int = 16) -> DataFrame:
     register layout, with small-range (linear counting) correction. The
     hash domain here is ~2^30/m per register, plenty for web-scale balls;
     expected relative error ~1.04/sqrt(m)."""
-    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
     agg = regs.groupBy("vid").agg(
         F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("z"),
         F.sum((F.col("reg") == 0).cast("int")).alias("v0"),
     )
-    raw = F.lit(alpha * m * m) / F.col("z")
-    lin = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v0"))
     return agg.select(
-        "vid",
-        F.when((raw <= 2.5 * m) & (F.col("v0") > 0), lin)
-        .otherwise(raw)
-        .alias("ball_est"),
+        "vid", _estimate_exprs(F.col("z"), F.col("v0"), m).alias("ball_est")
     )
 
 
@@ -209,14 +203,28 @@ def hyperball_registers_wide(
 def _wide_init(g: EncodedGraph, m: int, seed: int) -> DataFrame:
     """Wide-layout register init: vertex v contributes rho to its own
     bucket j(v), zero elsewhere. Shared by hyperball_registers_wide and
-    neighborhood_function (one implementation, one equivalence pin)."""
+    neighborhood_function (one implementation, one equivalence pin).
+
+    The hash chain and the 30-deep rho CASE are computed ONCE in a lower
+    projection and the m register columns derive from the two small
+    attributes: inlining them per column (m copies of ~300 overflow-
+    checked ops) blows the generated method past janino's limits and
+    silently drops the whole stage to interpreted mode. CollapseProject
+    leaves the split alone — the producer expressions are non-cheap and
+    referenced m times."""
     h = vertex_hash(F.col("vid"), seed)
-    rho = rho_column((h / F.lit(m)).cast("long")).cast("long")
-    j = (h % m).cast("int")
-    return g.vertices.select(
+    base = g.vertices.select(
+        "vid",
+        (h % m).cast("int").alias("_j"),
+        rho_column((h / F.lit(m)).cast("long")).cast("long").alias("_rho"),
+    )
+    return base.select(
         "vid",
         *[
-            F.when(j == i, rho).otherwise(F.lit(0)).cast("long").alias(f"reg{i}")
+            F.when(F.col("_j") == i, F.col("_rho"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias(f"reg{i}")
             for i in range(m)
         ],
     ).transform(truncate_lineage)
@@ -295,3 +303,89 @@ def effective_diameter(nf: list[dict], alpha: float = 0.9) -> int:
         if row["est_pairs"] >= target:
             return row["r"]
     return nf[-1]["r"]
+
+
+def _estimate_exprs(z, v0, m: int):
+    """The HLL estimate as a column expression over (z, v0) — shared by
+    the long-layout hyperball_estimate and the wide-layout row-wise
+    estimator so there is exactly one implementation of the correction
+    arithmetic. z is order-independent-exact (a sum of dyadic terms
+    fits a double's mantissa), so the same expression replays digit-
+    for-digit in SQL."""
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    raw = F.lit(alpha * m * m) / z
+    lin = F.lit(float(m)) * F.log(F.lit(float(m)) / v0)
+    return F.when((raw <= 2.5 * m) & (v0 > 0), lin).otherwise(raw)
+
+
+def _wide_estimate(regs_wide: DataFrame, m: int) -> DataFrame:
+    """(vid, ball_est) from the wide layout with NO aggregate: z and v0
+    are row-wise folds over the m register columns, so the per-round
+    estimate inside hyperball_harmonic costs a projection, not a
+    shuffle. Exactly equal to hyperball_estimate(wide_to_long(...)):
+    z's dyadic terms sum exactly in any association."""
+    z = sum(
+        (F.pow(F.lit(2.0), -F.col(f"reg{i}")) for i in range(1, m)),
+        F.pow(F.lit(2.0), -F.col("reg0")),
+    )
+    v0 = sum(
+        ((F.col(f"reg{i}") == 0).cast("int") for i in range(1, m)),
+        (F.col("reg0") == 0).cast("int"),
+    )
+    return regs_wide.select("vid", _estimate_exprs(z, v0, m).alias("ball_est"))
+
+
+def hyperball_harmonic(
+    g: EncodedGraph,
+    max_r: int = 3,
+    m: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(vid, harmonic_est) — harmonic centrality for EVERY vertex from
+    one HyperBall sweep (Boldi & Vigna, "In-Core Computation of
+    Geometric Centralities with HyperBall", ICDMW'13):
+
+        harmonic(v) ≈ sum_{r=1..max_r} (|B(v,r)| - |B(v,r-1)|) / r,
+
+    each ball size read from the shared register state after round r.
+    This is THE scale path for closeness-family centralities: the exact
+    sweep (harmonic_centrality) costs one BFS per SOURCE and is only
+    viable for a landmark set, while this estimates all 10^9 vertices
+    in max_r merge rounds over the wide layout (E shuffled rows per
+    round, not E*m — hyperball_registers_wide's economics). Horizon-
+    bounded like the exact neighborhood function; balls are directed
+    (out-edges), matching hyperball_registers.
+
+    Ball-size deltas inherit the HLL estimator's noise (±1.04/sqrt(m)
+    relative), including the occasional NEGATIVE delta where the
+    small-range correction hands off to the raw estimator between
+    rounds — standard for the method; the per-round registers
+    themselves are monotone. Every arithmetic step (dyadic z sums,
+    IEEE divisions, fixed-order accumulation) is engine-exact, so the
+    contract oracle replays the estimate digit-for-digit."""
+    if max_r < 1:
+        raise ValueError(f"hyperball_harmonic: max_r must be >= 1, got {max_r}")
+    # project the ALREADY-persisted EncodedGraph edges — re-persisting
+    # the projection would hold a second in-memory copy (the
+    # _shared_edges rule, webgraph/algos/bfs.py)
+    edges = g.edges.select("src", "dst")
+    regs = _wide_init(g, m, seed)
+    prev = _wide_estimate(regs, m).withColumnRenamed("ball_est", "_prev")
+    harm = g.vertices.select("vid", F.lit(0.0).alias("harm"))
+    for r in range(1, max_r + 1):
+        regs = _wide_merge_round(edges, regs, m)
+        est = _wide_estimate(regs, m).withColumnRenamed("ball_est", "_cur")
+        harm = (
+            harm.join(est, "vid")
+            .join(prev, "vid")
+            .select(
+                "vid",
+                (
+                    F.col("harm")
+                    + (F.col("_cur") - F.col("_prev")) / F.lit(float(r))
+                ).alias("harm"),
+            )
+            .transform(truncate_lineage)
+        )
+        prev = est.withColumnRenamed("_cur", "_prev")
+    return harm.select("vid", F.col("harm").alias("harmonic_est"))

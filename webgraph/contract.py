@@ -11052,6 +11052,128 @@ QUERIES.update(
 )
 
 
+# -------------- HyperBall harmonic centrality + Heaps-law curve (r05p) --
+
+HH_MAX_R = 3
+
+
+def q_g_hyperball_harmonic(spark, sf_dir):
+    """All-vertex harmonic centrality from one HyperBall sweep
+    (anf.py:hyperball_harmonic, Boldi-Vigna ICDMW'13) — the scale path
+    for closeness-family centralities (g_harmonic's exact sweep is
+    per-LANDMARK; this estimates every vertex in max_r merge rounds
+    over the wide register layout, E shuffled rows per round). The
+    estimate replays digit-for-digit: dyadic z sums are association-
+    independent-exact, divisions IEEE-deterministic, accumulation
+    order fixed — so the oracle rebuilds registers AND the estimator
+    chain and matches at e2."""
+    from webgraph.algos.anf import hyperball_harmonic
+
+    g = from_int_edges(derived_edges2(spark, sf_dir))
+    out = hyperball_harmonic(g, max_r=HH_MAX_R, m=HB_M, seed=HB_SEED)
+    return out.select(
+        "vid",
+        F.round(F.col("harmonic_est") * 100).cast("long").alias("harmonic_e2"),
+    )
+
+
+def o_g_hyperball_harmonic():
+    from webgraph.algos.anf import rho_sql, vertex_hash_sql
+
+    m = HB_M
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    amm, thresh, fm = repr(alpha * m * m), repr(2.5 * m), repr(float(m))
+    h = vertex_hash_sql("vid", HB_SEED)
+    parts = [
+        f"WITH e AS ({EDGES2_SQL}),",
+        "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),",
+        f"own AS (SELECT vid, CAST(({h}) % {m} AS INT) AS j, "
+        f"{rho_sql(f'({h}) // {m}')} AS reg FROM v),",
+        f"js AS (SELECT CAST(unnest(range({m})) AS INT) AS j),",
+        "r0 AS (SELECT v.vid, js.j, COALESCE(o.reg, 0) AS reg "
+        "FROM v CROSS JOIN js LEFT JOIN own o ON o.vid = v.vid AND o.j = js.j),",
+    ]
+    for i in range(1, HH_MAX_R + 1):
+        p = i - 1
+        parts += [
+            f"n{i} AS (SELECT e.src AS vid, r.j, MAX(r.reg) AS nreg "
+            f"FROM e JOIN r{p} r ON r.vid = e.dst GROUP BY e.src, r.j),",
+            f"r{i} AS (SELECT r.vid, r.j, GREATEST(r.reg, COALESCE(n.nreg, 0)) AS reg "
+            f"FROM r{p} r LEFT JOIN n{i} n ON n.vid = r.vid AND n.j = r.j),",
+        ]
+    for i in range(HH_MAX_R + 1):
+        parts += [
+            f"st{i} AS (SELECT vid, SUM(POWER(2e0, -reg)) AS z, "
+            f"SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS v0 "
+            f"FROM r{i} GROUP BY vid),",
+            f"est{i} AS (SELECT vid, CASE WHEN {amm} / z <= {thresh} AND v0 > 0 "
+            f"THEN {fm} * LN({fm} / CAST(v0 AS DOUBLE)) "
+            f"ELSE {amm} / z END AS e FROM st{i}),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    # fixed left-associated accumulation, matching the engine's
+    # round-by-round harm = harm + (est_r - est_{r-1}) / r
+    harm = " + ".join(
+        f"(est{i}.e - est{i - 1}.e) / {repr(float(i))}"
+        for i in range(1, HH_MAX_R + 1)
+    )
+    joins = " ".join(
+        f"JOIN est{i} ON est{i}.vid = est0.vid"
+        for i in range(1, HH_MAX_R + 1)
+    )
+    parts.append(
+        f"SELECT est0.vid AS vid, CAST(ROUND(({harm}) * 100) AS BIGINT) "
+        f"AS harmonic_e2 FROM est0 {joins}"
+    )
+    return _unrolled(parts)
+
+
+HEAPS_BINS = 10
+
+
+def q_t_heaps_law(spark, sf_dir):
+    """Heaps-law vocabulary-growth curve (text.py:heaps_curve):
+    cumulative docs/tokens/distinct-vocab at equal-population corpus
+    strata in doc_id order — V(N), the growth-side companion of
+    t_zipf_fit. Doc rank via the token_prefix_sums distributed-exact
+    protocol (no single-task window over docs); first-appearance
+    stratum is one hash aggregate min(bin) per token."""
+    from webgraph.text import heaps_curve
+
+    return heaps_curve(load(spark, sf_dir, "documents"), n_bins=HEAPS_BINS)
+
+
+def o_t_heaps_law():
+    return rf"""
+WITH d AS (
+  SELECT doc_id, list_filter(
+    regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+rk AS (SELECT doc_id, toks, ROW_NUMBER() OVER (ORDER BY doc_id) AS r,
+       COUNT(*) OVER () AS n FROM d),
+b AS (SELECT doc_id, toks, ((r - 1) * {HEAPS_BINS}) // n AS bin FROM rk),
+pb AS (SELECT bin, COUNT(*) AS docs, SUM(len(toks)) AS toks FROM b GROUP BY bin),
+fb AS (SELECT MIN(bin) AS bin FROM
+       (SELECT unnest(toks) AS token, bin FROM b) GROUP BY token),
+nv AS (SELECT bin, COUNT(*) AS new_vocab FROM fb GROUP BY bin)
+SELECT CAST(pb.bin AS BIGINT) AS bin,
+  CAST(SUM(docs) OVER w AS BIGINT) AS n_docs,
+  CAST(SUM(toks) OVER w AS BIGINT) AS n_tokens_cum,
+  CAST(SUM(COALESCE(new_vocab, 0)) OVER w AS BIGINT) AS vocab_cum
+FROM pb LEFT JOIN nv USING (bin)
+WINDOW w AS (ORDER BY pb.bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+QUERIES.update(
+    {
+        "g_hyperball_harmonic": (q_g_hyperball_harmonic, o_g_hyperball_harmonic),
+        "t_heaps_law": (q_t_heaps_law, o_t_heaps_law),
+    }
+)
+
+
 # The DRIVER_WINDOW reorder lives at the very END of this module (the
 # driver snapshots the first 50 registry entries; keeping the reorder
 # last lets new queries register anywhere above and still be eligible

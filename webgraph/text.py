@@ -1828,3 +1828,93 @@ def kl_shift(
             F.sum("term_e6").alias("kl_e6"),
         )
     )
+
+
+def heaps_curve(
+    df: DataFrame,
+    n_bins: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: cut the corpus (ordered by id)
+    into ``n_bins`` equal-population strata and report, per stratum, the
+    CUMULATIVE docs, tokens, and distinct-vocabulary size — V(N), the
+    curve whose V = K·N^beta fit sizes tokenizer vocabularies and
+    predicts marginal new-vocab yield of more crawl (Heaps 1978; the
+    growth-side companion of t_zipf_fit's frequency-side exponent).
+
+    Returns (bin, n_docs, n_tokens_cum, vocab_cum), bin in 0..n_bins-1.
+    Tokenization matches zipf_fit (lowercased whitespace split, empties
+    dropped) so the two fits describe the same token stream.
+
+    Scale shape: NO single-task global window over docs or tokens. The
+    doc rank reuses the token_prefix_sums protocol (repartitionByRange
+    on id, per-partition counts -> driver offsets -> broadcast); a
+    token's first-appearance stratum is one hash aggregate
+    min(bin-of-doc) — bin is monotone in rank, so min bin == bin of min
+    rank without carrying ranks through the explode; the only window
+    runs over the n_bins-row aggregate (the sketches.py histogram
+    pattern). Deterministic for unique ids under any partitioning."""
+    from pyspark.sql import Window
+
+    if n_bins < 1:
+        raise ValueError(f"heaps_curve: n_bins must be >= 1, got {n_bins}")
+    spark = df.sparkSession
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    parts = partitions or spark.sparkContext.defaultParallelism
+    d = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .repartitionByRange(parts, id_col)
+        .withColumn("_p", F.spark_partition_id())
+        .persist()
+    )
+    counts = sorted(
+        (r["_p"], r["c"])
+        for r in d.groupBy("_p").agg(F.count("*").alias("c")).collect()
+    )
+    offsets, acc = [], 0
+    for p, c in counts:
+        offsets.append((p, acc))
+        acc += c
+    n_total = max(acc, 1)
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_p int, _off long")
+    w = Window.partitionBy("_p").orderBy(id_col)
+    ranked = (
+        d.join(F.broadcast(off_df), "_p")
+        .withColumn("_r", F.col("_off") + F.row_number().over(w))
+        .withColumn("bin", F.expr(f"((_r - 1) * {int(n_bins)}) DIV {n_total}"))
+        .persist()
+    )
+    per_bin = ranked.groupBy("bin").agg(
+        F.count("*").alias("docs"),
+        F.sum(F.size("_toks")).alias("toks"),
+    )
+    first_bin = (
+        ranked.select("bin", F.explode("_toks").alias("token"))
+        .groupBy("token")
+        .agg(F.min("bin").alias("fb"))
+        .groupBy(F.col("fb").alias("bin"))
+        .agg(F.count("*").alias("new_vocab"))
+    )
+    wc = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = (
+        per_bin.join(first_bin, "bin", "left")
+        .select(
+            "bin",
+            "docs",
+            "toks",
+            F.coalesce(F.col("new_vocab"), F.lit(0)).alias("nv"),
+        )
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.sum("docs").over(wc).cast("long").alias("n_docs"),
+            F.sum("toks").over(wc).cast("long").alias("n_tokens_cum"),
+            F.sum("nv").over(wc).cast("long").alias("vocab_cum"),
+        )
+    )
+    return out
