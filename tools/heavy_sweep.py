@@ -86,6 +86,10 @@ HEAVY = [
     # distributed-exact rank + explode + min-bin aggregate
     "g_hyperball_harmonic",
     "t_heaps_law",
+    # round-5q additions: 64-vote signature agg + banded join over the
+    # doubled corpus; 4-micro-batch drain paying the state-commit floor
+    "d_simhash_recall",
+    "s_stream_quantiles",
 ]
 
 

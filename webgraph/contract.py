@@ -11174,6 +11174,162 @@ QUERIES.update(
 )
 
 
+# ------------------------------- SimHash banding recall curve (r05q) --
+
+SHR_BANDS = 8
+
+
+def q_d_simhash_recall(spark, sf_dir):
+    """SimHash banding recall certification — the simhash leg of the
+    evaluate-your-approximations family, twin of d_minhash_recall: over
+    the same seeded-mutation corpus, group the 500 ground-truth
+    (doc, mutant) pairs by exact signature hamming distance (8-bit-wide
+    buckets aligned with the 8x8 banding) and report the fraction the
+    chunk-equality candidate stage detects. Pigeonhole guarantees
+    recall 1.0 for bucket 0 (hamming < 8 shares a chunk); the curve's
+    upper buckets publish the measured probabilistic tail. Detection
+    runs the REAL banded join (simhash_near_pairs with the hamming cap
+    lifted), not a formula — the oracle recomputes signatures verbatim
+    and evaluates chunk equality directly on the explicit truth pairs."""
+    from webgraph.dedup import hamming64, simhash, simhash_near_pairs
+
+    base = _mutated_docs(spark, sf_dir)
+    sigs = simhash(base)
+    cand = (
+        simhash_near_pairs(sigs, max_hamming=64, bands=SHR_BANDS)
+        .select("a", "b", F.lit(1).alias("_hit"))
+    )
+    truth = base.filter(F.col("doc_id") < MHR_SHIFT).select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + MHR_SHIFT).alias("b")
+    )
+    sa = sigs.select(F.col("id").alias("a"), F.col("simhash").alias("sa"))
+    sb = sigs.select(F.col("id").alias("b"), F.col("simhash").alias("sb"))
+    scored = (
+        truth.join(sa, "a")
+        .join(sb, "b")
+        .join(cand, ["a", "b"], "left")
+        .select(
+            F.least(
+                F.lit(7), F.floor(hamming64(F.col("sa"), F.col("sb")) / 8)
+            )
+            .cast("long")
+            .alias("bucket"),
+            F.coalesce("_hit", F.lit(0)).alias("hit"),
+        )
+    )
+    return scored.groupBy("bucket").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("hit").cast("long").alias("n_detected"),
+        F.round(F.sum("hit") * 1e6 / F.count("*")).cast("long").alias("recall_e6"),
+    )
+
+
+def o_d_simhash_recall():
+    sig = _simhash_sig_sql().replace(
+        "FROM documents",
+        f"""FROM (SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {MHR_SHIFT},
+    array_to_string(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+      (x, i) -> (i - 1) % 10 >= 1 + 2 * (doc_id % 4)), ' ')
+  FROM documents)""",
+    )
+    # a truth pair is detected iff SOME 8-bit chunk of the two signatures
+    # is identical — exactly the banded join's candidate condition
+    chunk_eq = " OR ".join(
+        f"((x.simhash >> {b * 8}) & 255) = ((y.simhash >> {b * 8}) & 255)"
+        for b in range(SHR_BANDS)
+    )
+    return f"""
+WITH {sig},
+tp AS (SELECT doc_id AS a, doc_id + {MHR_SHIFT} AS b FROM documents),
+h AS (
+  SELECT tp.a, tp.b,
+    bit_count(xor(x.simhash, y.simhash)) AS ham,
+    CASE WHEN {chunk_eq} THEN 1 ELSE 0 END AS hit
+  FROM tp JOIN sigs x ON x.doc_id = tp.a JOIN sigs y ON y.doc_id = tp.b
+)
+SELECT CAST(LEAST(7, ham // 8) AS BIGINT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(SUM(hit) AS BIGINT) AS n_detected,
+  CAST(ROUND(SUM(hit) * 1e6 / COUNT(*)) AS BIGINT) AS recall_e6
+FROM h GROUP BY 1
+"""
+
+
+QUERIES.update({"d_simhash_recall": (q_d_simhash_recall, o_d_simhash_recall)})
+
+
+# --------------------------- streaming histogram quantiles (r05q) --
+
+SQ_LO, SQ_HI, SQ_BINS = 0.0, 1000.0, 512
+
+
+def q_s_stream_quantiles(spark, sf_dir):
+    """Streaming quantiles via a fixed-range histogram sketch
+    (streaming.py:streaming_histogram): the events table drained as a
+    4-batch file stream, each micro-batch's bin counts merged (sum) into
+    the versioned running state; the readout
+    (sketches.hist_quantile_readout, shared with the batch sketch) is
+    batch-exact because disjoint-batch histograms merge losslessly —
+    which is exactly what the oracle computes. The range is fixed
+    a-priori (no min/max pre-pass exists over future data), the honest
+    streaming-quantile contract."""
+    import tempfile
+
+    from webgraph.sketches import hist_quantile_readout
+    from webgraph.streaming import read_hist_state, streaming_histogram
+
+    _STREAM_SINK_N[0] += 1
+    base = tempfile.mkdtemp(prefix=f"stream_hist_{_STREAM_SINK_N[0]}_")
+    events = load(spark, sf_dir, "events")
+    events.repartition(4).write.mode("overwrite").parquet(f"{base}/in")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/in")
+    )
+    streaming_histogram(
+        spark, stream, f"{base}/state", f"{base}/ck",
+        value_col="value", lo=SQ_LO, hi=SQ_HI, bins=SQ_BINS,
+    )
+    hist = read_hist_state(spark, f"{base}/state")
+    return hist_quantile_readout(hist, SQ_LO, SQ_HI, SQ_BINS)
+
+
+def o_s_stream_quantiles():
+    lo, span, width = repr(SQ_LO), repr(SQ_HI - SQ_LO), repr((SQ_HI - SQ_LO) / SQ_BINS)
+    return f"""
+WITH h AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((value - {lo}) / {span} * {SQ_BINS}) AS BIGINT),
+                        0), {SQ_BINS - 1}) AS bin
+  FROM events WHERE value IS NOT NULL
+),
+hist AS (SELECT bin, COUNT(*) AS cnt FROM h GROUP BY bin),
+cum AS (
+  SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum,
+    SUM(cnt) OVER () AS total,
+    COALESCE(SUM(cnt) OVER (ORDER BY bin
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM hist
+),
+q AS (SELECT unnest([25, 50, 75, 90, 99]) AS q_pct)
+SELECT CAST(q.q_pct AS BIGINT) AS q_pct,
+  CAST(ROUND(({lo} + bin * {width}) * 1e6) AS BIGINT) AS est_e6
+FROM cum JOIN q ON cum.cum * 100 >= cum.total * q.q_pct
+  AND (cum.prev * 100 < cum.total * q.q_pct
+       OR (q.q_pct = 0 AND cum.prev = 0))
+"""
+
+
+QUERIES.update(
+    {"s_stream_quantiles": (q_s_stream_quantiles, o_s_stream_quantiles)}
+)
+
+
 # The DRIVER_WINDOW reorder lives at the very END of this module (the
 # driver snapshots the first 50 registry entries; keeping the reorder
 # last lets new queries register anywhere above and still be eligible

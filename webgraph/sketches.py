@@ -273,14 +273,9 @@ def histogram_quantiles(
     Two passes: (1) one min/max aggregate pins the range; (2) one
     bins-bounded hash aggregate counts per bin (mergeable: bin counts
     sum). The quantile readout is ONE pass over the cumulative histogram
-    (<= bins rows): each quantile's bin is the unique row straddling its
-    rank (prev_cum below, cum at-or-above — a broadcast join of the tiny
-    quantile list against the tiny cumulative frame), reporting the bin
-    LOWER EDGE: error is bounded by one bin width, bins is the explicit
-    accuracy knob. Returns (q_pct, est) with est exact-rounded micro-units.
+    (hist_quantile_readout, shared with the drained streaming sketch).
+    Returns (q_pct, est) with est exact-rounded micro-units.
     """
-    from pyspark.sql import Window
-
     spark = df.sparkSession
     lohi = df.agg(
         F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
@@ -298,6 +293,25 @@ def histogram_quantiles(
     hist = df.select(bin_.alias("bin")).groupBy("bin").agg(
         F.count("*").alias("cnt")
     )
+    return hist_quantile_readout(hist, lo, hi, bins, quantiles)
+
+
+def hist_quantile_readout(
+    hist: DataFrame,
+    lo: float,
+    hi: float,
+    bins: int,
+    quantiles: tuple = (25, 50, 75, 90, 99),
+) -> DataFrame:
+    """(q_pct, est_e6) straddle readout over a (bin, cnt) histogram frame
+    (<= bins rows; rows must have cnt > 0) — shared by the batch sketch
+    (histogram_quantiles) and the drained streaming sketch
+    (streaming.read_hist_state): each quantile's bin is the unique row
+    whose cumulative count straddles its rank; the estimate is the bin
+    LOWER EDGE, error bounded by one bin width."""
+    from pyspark.sql import Window
+
+    spark = hist.sparkSession
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = (
         hist.withColumn("cum", F.sum("cnt").over(w))

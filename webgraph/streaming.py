@@ -858,3 +858,95 @@ def record_peaks(events: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def read_hist_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The current (latest committed) streaming histogram as
+    ``(bin, cnt)``. Raises FileNotFoundError before the first commit."""
+    v = _latest_cms_version(state_dir)
+    if v is None:
+        raise FileNotFoundError(f"no committed histogram state under {state_dir}")
+    return spark.read.parquet(f"{state_dir}/v={v}").select("bin", "cnt")
+
+
+def streaming_histogram(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    bins: int = 512,
+):
+    """Streaming fixed-range histogram sketch: per micro-batch, count the
+    batch's values into ``bins`` equal-width bins over the FIXED [lo, hi)
+    range and merge bin counts (sum) into the running state — the
+    mergeable quantile sketch for streams. The range must be fixed
+    a-priori (a stream cannot run histogram_quantiles' min/max pre-pass
+    over future data); out-of-range values clamp into the edge bins, the
+    standard fixed-range contract. Because disjoint-batch histograms
+    merge losslessly, the drained state equals the batch histogram over
+    all data, so quantile readouts (sketches.hist_quantile_readout) are
+    batch-exact — which is exactly what the contract oracle checks.
+
+    State commit protocol is streaming_cms's: the <= bins-row state is
+    written as a NEW ``v=<batch_id>`` dir per batch, readers take the
+    largest ``_SUCCESS``-marked version, replayed batches are skipped by
+    the version watermark, superseded versions are pruned only after the
+    new commit. NULL values carry no bin and are dropped on both engines.
+    """
+    import os
+    import shutil
+
+    if hi <= lo:
+        raise ValueError(f"streaming_histogram: need hi > lo, got [{lo}, {hi})")
+    if bins < 1:
+        raise ValueError(f"streaming_histogram: bins must be >= 1, got {bins}")
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        last = _latest_cms_version(state_dir)
+        if last is not None and batch_id <= last:
+            return  # replayed batch: already merged, skip
+        scaled = (
+            (F.col(value_col) - F.lit(lo)) / F.lit(hi - lo) * F.lit(bins)
+        )
+        bin_ = F.least(
+            F.greatest(F.floor(scaled).cast("long"), F.lit(0)),
+            F.lit(bins - 1),
+        )
+        batch_hist = (
+            batch_df.filter(F.col(value_col).isNotNull())
+            .select(bin_.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").alias("cnt"))
+        )
+        if last is not None:
+            current = read_hist_state(spark, state_dir)
+            merged = (
+                current.unionByName(batch_hist)
+                .groupBy("bin")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        else:
+            merged = batch_hist
+        rows = [(r["bin"], r["cnt"]) for r in merged.collect()]
+        # overwrite is safe HERE: v=<batch_id> is only ever written by
+        # this batch, so the only thing it can clobber is this batch's
+        # own crashed partial attempt (no _SUCCESS -> no reader trusts it)
+        spark.createDataFrame(rows, "bin long, cnt long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/v={batch_id}")
+        for name in os.listdir(state_dir):  # prune AFTER the new commit
+            if name.startswith("v=") and name != f"v={batch_id}":
+                shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+
+    q = (
+        stream_df.writeStream.foreachBatch(update)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
