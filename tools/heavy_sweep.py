@@ -90,6 +90,10 @@ HEAVY = [
     # doubled corpus; 4-micro-batch drain paying the state-commit floor
     "d_simhash_recall",
     "s_stream_quantiles",
+    # round-5r additions: skinny-score barrier + attribute filter;
+    # per-asset gaps-and-islands over the Arrow frame seam
+    "c_lang_mismatch",
+    "m_vad_segments",
 ]
 
 

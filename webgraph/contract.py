@@ -11330,6 +11330,143 @@ QUERIES.update(
 )
 
 
+# ------------------- lang-metadata audit + VAD segments (r05r) --
+
+LM_LANGS = ("c", "go", "js", "python")
+LM_BLOCKS = (
+    "#include <stdio.h>\nprintf(x);\n#include <a.h>\n",
+    "package main\nfunc main() {\nfunc helper() {\n",
+    "function f() {\nconsole.log(1);\nfunction g() {\n",
+    "import os\ndef main():\nimport sys\n",
+)
+
+
+def _lang_seeded(spark, sf_dir):
+    """Code corpus with a language-marker block per file (true language =
+    doc_id % 4) and a CLAIMED lang column that lies on every 5th file
+    (claimed = the next language round-robin) — so the audit has exactly
+    the doc_id % 5 == 0 rows to find."""
+    d = F.col("doc_id")
+    content = F.concat(
+        F.element_at(F.array(*[F.lit(b) for b in LM_BLOCKS]), (d % 4 + 1).cast("int")),
+        F.col("text"),
+    )
+    claimed_idx = F.when(d % 5 == 0, (d % 4 + 1) % 4).otherwise(d % 4)
+    claimed = F.element_at(
+        F.array(*[F.lit(x) for x in LM_LANGS]), (claimed_idx + 1).cast("int")
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", claimed.alias("lang"), content.alias("content")
+    )
+
+
+def q_c_lang_mismatch(spark, sf_dir):
+    """Lang-metadata audit (code.py:lang_mismatch) over the input-table
+    shape (…, lang, content): rows whose claimed language disagrees with
+    the content-derived marker guess — mislabeled files poison
+    per-language stats, dedup strata, and tokenizer mixes, and at 10^12
+    files nobody re-labels by hand. Detection is literal-occurrence
+    counting + a fixed-order argmax (no regex dialect in play), one
+    codegen projection + a filter: zero Exchange."""
+    from webgraph.code import lang_mismatch
+
+    return lang_mismatch(_lang_seeded(spark, sf_dir))
+
+
+def o_c_lang_mismatch():
+    from webgraph.code import CODE_LANG_MARKERS
+
+    block_case = " ".join(
+        f"WHEN {i} THEN '{b}'".replace("\n", "' || chr(10) || '")
+        for i, b in enumerate(LM_BLOCKS)
+    )
+    lang_case = " ".join(f"WHEN {i} THEN '{x}'" for i, x in enumerate(LM_LANGS))
+    scores = []
+    for lang, markers in CODE_LANG_MARKERS:
+        terms = " + ".join(
+            f"(length(content) - length(replace(content, '{m}', ''))) / {len(m)}"
+            for m in markers
+        )
+        scores.append(f"({terms}) AS s_{lang}")
+    det_case = " ".join(
+        f"WHEN s_{lang} = mx THEN '{lang}'" for lang, _ in CODE_LANG_MARKERS
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    (CASE doc_id % 4 {block_case} END) || text AS content,
+    CASE (CASE WHEN doc_id % 5 = 0 THEN (doc_id % 4 + 1) % 4
+          ELSE doc_id % 4 END) {lang_case} END AS claimed
+  FROM documents
+),
+sc AS (SELECT doc_id, claimed, {", ".join(scores)} FROM base),
+mxd AS (SELECT *, GREATEST(s_c, s_go, s_js, s_python) AS mx FROM sc),
+det AS (
+  SELECT doc_id, claimed,
+    CASE WHEN mx <= 0 THEN 'unknown' {det_case} END AS detected
+  FROM mxd
+)
+SELECT doc_id, claimed, detected FROM det
+WHERE detected <> 'unknown' AND detected <> claimed
+"""
+
+
+VAD_THRESHOLD = 8192
+
+
+def q_m_vad_segments(spark, sf_dir):
+    """Voice-activity segments (multimodal.py:vad_segments): maximal
+    runs of consecutive frames at amp >= threshold over the per-frame
+    amplitude table (audio_frames, the same Arrow PCM seam as
+    m_audio_energy) — the energy gate before transcription fan-out.
+    Gaps-and-islands with the only window partitioned per asset."""
+    from webgraph.multimodal import audio_frames, vad_segments
+
+    docs = load(spark, sf_dir, "documents")
+    mime = F.element_at(
+        F.array(
+            F.lit("image/png"), F.lit("image/jpeg"),
+            F.lit("video/mp4"), F.lit("audio/wav"),
+        ),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        mime.alias("mime"),
+        F.col("text").cast("binary").alias("media"),
+    )
+    return vad_segments(audio_frames(assets), activity_threshold=VAD_THRESHOLD)
+
+
+def o_m_vad_segments():
+    return f"""
+WITH a AS (SELECT doc_id AS asset_id, sha256(text) AS h
+  FROM documents WHERE doc_id % 4 = 3),
+fr AS (SELECT asset_id, h, unnest(generate_series(0, 15)) AS i FROM a),
+amp AS (SELECT asset_id, CAST(i AS BIGINT) AS frame_idx,
+  CAST(('0x' || substr(h, CAST(4 * i + 1 AS INT), 4)) AS INTEGER) AS amp
+  FROM fr),
+act AS (SELECT asset_id, frame_idx, amp,
+  frame_idx - ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY frame_idx)
+    AS isl
+  FROM amp WHERE amp >= {VAD_THRESHOLD})
+SELECT asset_id,
+  CAST(MIN(frame_idx) AS BIGINT) AS seg_start,
+  CAST(MAX(frame_idx) AS BIGINT) AS seg_end,
+  CAST(COUNT(*) AS BIGINT) AS n_frames,
+  CAST(MAX(amp) AS BIGINT) AS peak_amp
+FROM act GROUP BY asset_id, isl
+"""
+
+
+QUERIES.update(
+    {
+        "c_lang_mismatch": (q_c_lang_mismatch, o_c_lang_mismatch),
+        "m_vad_segments": (q_m_vad_segments, o_m_vad_segments),
+    }
+)
+
+
 # The DRIVER_WINDOW reorder lives at the very END of this module (the
 # driver snapshots the first 50 registry entries; keeping the reorder
 # last lets new queries register anywhere above and still be eligible

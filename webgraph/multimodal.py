@@ -438,3 +438,72 @@ def shot_boundaries(frames: DataFrame) -> DataFrame:
             F.count("*").alias("n_frames"),
         )
     )
+
+
+AUDIO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("amp", T.LongType()),
+    ]
+)
+
+
+def audio_frames(assets: DataFrame, pcm_fn=None) -> DataFrame:
+    """(asset_id, frame_idx, amp) — the per-frame amplitude table behind
+    segment-level audio ops (vad_segments), same codec seam and Arrow
+    economics as audio_energy: payload bytes are dropped inside the
+    batch function, downstream shuffles (id, idx, int) rows only."""
+    pcm = pcm_fn or _fake_pcm
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["media"]):
+                amps = pcm(bytes(payload) if payload is not None else b"")
+                rows.extend(
+                    {"asset_id": asset_id, "frame_idx": i, "amp": a}
+                    for i, a in enumerate(amps)
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_idx", "amp"]
+            )
+
+    return assets.filter(F.col("mime").startswith("audio/")).select(
+        "asset_id", "media"
+    ).mapInPandas(batch_fn, schema=AUDIO_FRAMES_SCHEMA)
+
+
+def vad_segments(
+    frames: DataFrame, activity_threshold: int = 8192
+) -> DataFrame:
+    """Voice-activity segments: maximal runs of consecutive frames with
+    amp >= activity_threshold — the energy-gate VAD every speech
+    pipeline runs before transcription (only active segments are worth
+    decoding; the segment table also drives chunked ASR fan-out).
+    Returns (asset_id, seg_start, seg_end, n_frames, peak_amp), one row
+    per run.
+
+    Plan: gaps-and-islands — filter active frames, island key =
+    frame_idx - row_number() within the asset (consecutive frames share
+    it), one hash aggregate per island. The only window partitions BY
+    ASSET over its own frames (bounded by clip length), so the shape
+    scales with assets, not with a global sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    active = frames.filter(F.col("amp") >= activity_threshold)
+    islands = active.withColumn(
+        "_isl", F.col("frame_idx") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("asset_id", "_isl")
+        .agg(
+            F.min("frame_idx").alias("seg_start"),
+            F.max("frame_idx").alias("seg_end"),
+            F.count("*").alias("n_frames"),
+            F.max("amp").alias("peak_amp"),
+        )
+        .drop("_isl")
+        .select("asset_id", "seg_start", "seg_end", "n_frames", "peak_amp")
+    )
