@@ -94,6 +94,10 @@ HEAVY = [
     # per-asset gaps-and-islands over the Arrow frame seam
     "c_lang_mismatch",
     "m_vad_segments",
+    # round-5s additions: label-filtered windowed top-k; broadcast
+    # radius scan
+    "e_filtered_topk",
+    "e_range_search",
 ]
 
 

@@ -11467,6 +11467,100 @@ QUERIES.update(
 )
 
 
+# ------------------------- filtered ANN + range search (r05s) --
+
+FT_QID, FT_LABEL, FT_K = 0, 3, 15
+RS_QID, RS_T = 0, 0.15
+
+
+def _query_frame(spark, sf_dir, qid):
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == qid).collect()[0]["embedding"]
+    ]
+    return emb, spark.createDataFrame(
+        [(qid, qvec)], "q_id long, q_vec array<double>"
+    )
+
+
+def q_e_filtered_topk(spark, sf_dir):
+    """Filtered vector search (similarity.py:filtered_topk): exact top-k
+    WITHIN the label-filtered set — never global-top-k-then-filter (the
+    classic filtered-ANN bug that starves selective predicates below k
+    results). This pre-filter exact path is the oracle twin; the
+    post-filter scale path is ivf_filtered_topk (nprobe buckets,
+    k*oversample candidates, filter, cut — pytest pins agreement at
+    full probe)."""
+    from webgraph.similarity import filtered_topk
+
+    emb, q = _query_frame(spark, sf_dir, FT_QID)
+    out = filtered_topk(
+        emb, q,
+        (F.col("label") == FT_LABEL) & (F.col("vec_id") != FT_QID),
+        k=FT_K,
+    )
+    return out.select(
+        "vec_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round(F.col("cos") * 1e6).cast("long").alias("cos_e6"),
+    )
+
+
+def o_e_filtered_topk():
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = {FT_QID}),
+f AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE label = {FT_LABEL} AND vec_id <> {FT_QID}),
+r AS (SELECT vec_id,
+        list_cosine_similarity(v, (SELECT qe FROM q)) AS cos,
+        ROW_NUMBER() OVER (ORDER BY
+          list_cosine_similarity(v, (SELECT qe FROM q)) DESC,
+          vec_id ASC) AS rank
+      FROM f)
+SELECT vec_id, CAST(rank AS BIGINT) AS rank,
+  CAST(ROUND(cos * 1000000e0) AS BIGINT) AS cos_e6
+FROM r WHERE rank <= {FT_K}
+"""
+
+
+def q_e_range_search(spark, sf_dir):
+    """Radius search (similarity.py:range_search): every vector with
+    cosine >= threshold — the FAISS range_search analog for unknown
+    neighborhood sizes (top-k truncates dense near-dup clusters; range
+    search returns them whole). One broadcast + one corpus scan, no
+    window; the LSH near-dup family is the all-pairs scale path."""
+    from webgraph.similarity import range_search
+
+    emb, q = _query_frame(spark, sf_dir, RS_QID)
+    out = range_search(
+        emb.filter(F.col("vec_id") != RS_QID), q, threshold=RS_T
+    )
+    return out.select(
+        "vec_id", F.round(F.col("cos") * 1e6).cast("long").alias("cos_e6")
+    )
+
+
+def o_e_range_search():
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = {RS_QID})
+SELECT vec_id,
+  CAST(ROUND(1000000e0 * list_cosine_similarity(embedding::DOUBLE[],
+    (SELECT qe FROM q))) AS BIGINT) AS cos_e6
+FROM embeddings
+WHERE vec_id <> {RS_QID}
+  AND list_cosine_similarity(embedding::DOUBLE[], (SELECT qe FROM q)) >= {RS_T}
+"""
+
+
+QUERIES.update(
+    {
+        "e_filtered_topk": (q_e_filtered_topk, o_e_filtered_topk),
+        "e_range_search": (q_e_range_search, o_e_range_search),
+    }
+)
+
+
 # The DRIVER_WINDOW reorder lives at the very END of this module (the
 # driver snapshots the first 50 registry entries; keeping the reorder
 # last lets new queries register anywhere above and still be eligible

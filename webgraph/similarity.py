@@ -1043,3 +1043,100 @@ def pq_recall(
             .alias("recall_e6"),
         )
     )
+
+
+def filtered_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    predicate: Column,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Filtered vector search, exact PRE-FILTER reference: apply the
+    metadata predicate, then the exact scan (brute_force_topk) over the
+    survivors — top-k is taken WITHIN the filtered set, never globally
+    then filtered (the classic filtered-ANN bug: a selective predicate
+    starves a post-filtered global top-k below k results).
+
+    The 100 TB decision is selectivity-driven: a SELECTIVE predicate
+    wants this pre-filter shape (the filter pushes into the scan and
+    the survivors are cheap to score exactly); a LOOSE predicate wants
+    ivf_filtered_topk (probe nprobe buckets with k*oversample, filter,
+    cut to k — never scans the corpus). This exact path is the
+    oracle-able twin the contract checks."""
+    return brute_force_topk(
+        emb.filter(predicate), queries, k,
+        id_col=id_col, vec_col=vec_col,
+        q_id_col=q_id_col, q_vec_col=q_vec_col,
+    )
+
+
+def ivf_filtered_topk(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    predicate: Column,
+    k: int = 10,
+    nprobe: int = 4,
+    oversample: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    meta: DataFrame | None = None,
+) -> DataFrame:
+    """Filtered ANN, POST-FILTER scale path: probe the nprobe nearest
+    buckets for k*oversample candidates, apply the predicate, cut to k.
+    The oversample factor buys back the candidates the predicate
+    removes — with selectivity s, E[survivors] ≈ s*k*oversample, so
+    oversample ≈ ceil(1/s) keeps recall flat without widening nprobe.
+    Exact on any query whose true filtered top-k lies inside the probed
+    buckets' first k*oversample candidates (pytest pins agreement with
+    filtered_topk at full probe)."""
+    cand = ivf_topk(
+        indexed, centroids, query_vec,
+        k=k * oversample, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+    )
+    # build_ivf_index keeps only (id, vec, bucket); predicates over other
+    # metadata columns evaluate against ``meta`` (id + metadata — at
+    # scale a skinny broadcastable frame, or the partitioned base table)
+    keyed = (meta if meta is not None else indexed).select(
+        F.col(id_col), predicate.alias("_keep")
+    )
+    return (
+        cand.join(keyed, id_col)
+        .filter(F.col("_keep"))
+        .drop("_keep")
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def range_search(
+    emb: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Radius (range) search: every corpus vector with cosine >=
+    threshold per query — the FAISS range_search analog, the primitive
+    behind near-dup sweeps where the NUMBER of neighbors is unknown
+    a-priori (top-k truncates dense neighborhoods; range search
+    returns them whole). Broadcast the query set, one corpus scan, no
+    window: output size is data-dependent by design. The LSH-bucketed
+    near-dup family (embedding_near_dup_pairs) is the all-pairs scale
+    path; this is the per-query exact form."""
+    c = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    q = queries.select(F.col(q_id_col), _as_double(F.col(q_vec_col)).alias("_qv"))
+    cos = dot(F.col("_v"), F.col("_qv")) / (
+        l2_norm(F.col("_v")) * l2_norm(F.col("_qv"))
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .select(q_id_col, id_col, cos.alias("cos"))
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+    )
