@@ -11579,7 +11579,10 @@ DRIVER_WINDOW = [
     # the estimator leg, giving the approximation-certification family
     # (t_hll_error/e_*_recall/d_minhash_recall/g_landmark_error) its
     # first driver row; eff-diameter stays sweep-checked)
-    "g_top50_in_degree", "g_edge_count", "g_pagerank", "g_pagerank_warm",
+    # (r05o-s: g_eigencentrality replaces g_pagerank_warm — warm-start
+    # stays sweep-checked; eigenvector completes the PR/Katz/eigenvector
+    # spectral family in the window)
+    "g_top50_in_degree", "g_edge_count", "g_pagerank", "g_eigencentrality",
     "g_components", "g_louvain", "g_triangles", "g_katz", "g_sssp",
     "g_anf_error", "g_simrank", "g_condensation_levels",
     # code corpus family (rotated-out rows stay sweep-checked; round-5j
@@ -11591,14 +11594,19 @@ DRIVER_WINDOW = [
     "c_clone_type3",
     # round-5i new modules/families
     "g_gap_stats", "t_bpe_merges", "g_node2vec_walks",
-    # embedding similarity
-    "e_semdedup", "e_ivf_topk", "e_mips_topk",
-    # streaming
+    # embedding similarity (r05s: e_filtered_topk replaces e_mips_topk —
+    # MIPS stays sweep-checked; the filtered-ANN modality is new)
+    "e_semdedup", "e_ivf_topk", "e_filtered_topk",
+    # streaming (r05q: s_stream_quantiles replaces s_late_events — the
+    # mergeable-quantile-sketch modality is new; late-events stays
+    # sweep-checked)
     "s_stream_cms", "s_pagerank_refresh", "s_incremental_merge",
-    "s_stateful_sessions", "s_late_events", "g_msf",
-    # dedup modalities
+    "s_stateful_sessions", "s_stream_quantiles", "g_msf",
+    # dedup modalities (r05q: d_simhash_recall replaces g_mis — MIS
+    # stays sweep-checked next to g_msf/g_matching; the simhash leg of
+    # the certification family earns a driver row)
     "d_line_dedup", "d_substring_dedup", "d_dedup_clusters",
-    "d_minhash_dup_pairs", "d_clean_corpus", "g_mis",
+    "d_minhash_dup_pairs", "d_clean_corpus", "d_simhash_recall",
     # text pipeline
     "t_main_content", "t_mix_sources", "t_dsir_sample", "t_lm_score",
     "t_ccnet_buckets", "t_normalize", "t_perceptron",
