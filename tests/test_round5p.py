@@ -144,3 +144,31 @@ def test_heaps_curve_guard(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="n_bins"):
         heaps_curve(df, n_bins=0)
+
+
+def test_harmonic_exact_hand_computed_path(spark):
+    """0 -> 1 -> 2: harmonic(0) = 1 + 1/2, harmonic(1) = 1,
+    harmonic(2) = 0 (directed, no out-reach)."""
+    from webgraph.algos.anf import harmonic_exact
+
+    g = _graph(spark, [(0, 1), (1, 2)])
+    got = {r["vid"]: r["harmonic"] for r in harmonic_exact(g, max_r=3).collect()}
+    assert got == {0: pytest.approx(1.5), 1: pytest.approx(1.0),
+                   2: pytest.approx(0.0)}
+
+
+def test_harmonic_exact_k3_uniform(spark):
+    from webgraph.algos.anf import harmonic_exact
+
+    g = _graph(spark, K3)
+    got = {r["vid"]: r["harmonic"] for r in harmonic_exact(g, max_r=2).collect()}
+    assert got == {0: pytest.approx(2.0), 1: pytest.approx(2.0),
+                   2: pytest.approx(2.0)}
+
+
+def test_harmonic_exact_guard(spark):
+    from webgraph.algos.anf import harmonic_exact
+
+    g = _graph(spark, [(0, 1)])
+    with pytest.raises(ValueError, match="max_r"):
+        harmonic_exact(g, max_r=0)

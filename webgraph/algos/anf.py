@@ -389,3 +389,44 @@ def hyperball_harmonic(
         )
         prev = est.withColumnRenamed("_cur", "_prev")
     return harm.select("vid", F.col("harm").alias("harmonic_est"))
+
+
+def harmonic_exact(g: EncodedGraph, max_r: int) -> DataFrame:
+    """(vid, harmonic) — EXACT within-horizon harmonic centrality via the
+    pair-table ball expansion: sum_{r=1..max_r} (|B(r)| - |B(r-1)|)/r
+    with exact ball counts (|B(r)| - |B(r-1)| = vertices at depth
+    exactly r, so the sum is sum over reached w of 1/d(v,w)). O(V·ball)
+    pair rows — the correctness-oracle twin of hyperball_harmonic, which
+    replaces the pair table with registers at scale; the accumulation
+    order matches it term for term so certifications compare the two
+    directly."""
+    if max_r < 1:
+        raise ValueError(f"harmonic_exact: max_r must be >= 1, got {max_r}")
+    edges = g.edges.select("src", "dst")
+    verts = g.vertices.select("vid")
+    ball = verts.select(F.col("vid").alias("root"), F.col("vid").alias("member"))
+    prev = verts.select("vid", F.lit(1).cast("long").alias("_prev"))
+    harm = verts.select("vid", F.lit(0.0).alias("harmonic"))
+    for r in range(1, max_r + 1):
+        grown = ball.join(
+            edges, ball.member == edges.src, "inner"
+        ).select("root", F.col("dst").alias("member"))
+        ball = ball.unionByName(grown).distinct().transform(truncate_lineage)
+        cnt = ball.groupBy("root").agg(F.count("*").alias("_cur")).select(
+            F.col("root").alias("vid"), "_cur"
+        )
+        harm = (
+            harm.join(cnt, "vid")
+            .join(prev, "vid")
+            .select(
+                "vid",
+                (
+                    F.col("harmonic")
+                    + (F.col("_cur") - F.col("_prev")).cast("double")
+                    / F.lit(float(r))
+                ).alias("harmonic"),
+            )
+            .transform(truncate_lineage)
+        )
+        prev = cnt.withColumnRenamed("_cur", "_prev")
+    return harm

@@ -11077,7 +11077,12 @@ def q_g_hyperball_harmonic(spark, sf_dir):
     )
 
 
-def o_g_hyperball_harmonic():
+def _hb_est_chain_parts() -> tuple[list, str, str]:
+    """(CTE parts, est-harm SQL expr, est-table joins) for the HyperBall
+    register + per-round-estimate chain on graph 2 — shared by
+    o_g_hyperball_harmonic and o_g_harmonic_error. The harm expression
+    is the fixed left-associated accumulation, matching the engine's
+    round-by-round harm = harm + (est_r - est_{r-1}) / r."""
     from webgraph.algos.anf import rho_sql, vertex_hash_sql
 
     m = HB_M
@@ -11110,9 +11115,6 @@ def o_g_hyperball_harmonic():
             f"THEN {fm} * LN({fm} / CAST(v0 AS DOUBLE)) "
             f"ELSE {amm} / z END AS e FROM st{i}),",
         ]
-    parts[-1] = parts[-1].rstrip(",")
-    # fixed left-associated accumulation, matching the engine's
-    # round-by-round harm = harm + (est_r - est_{r-1}) / r
     harm = " + ".join(
         f"(est{i}.e - est{i - 1}.e) / {repr(float(i))}"
         for i in range(1, HH_MAX_R + 1)
@@ -11121,6 +11123,12 @@ def o_g_hyperball_harmonic():
         f"JOIN est{i} ON est{i}.vid = est0.vid"
         for i in range(1, HH_MAX_R + 1)
     )
+    return parts, harm, joins
+
+
+def o_g_hyperball_harmonic():
+    parts, harm, joins = _hb_est_chain_parts()
+    parts[-1] = parts[-1].rstrip(",")
     parts.append(
         f"SELECT est0.vid AS vid, CAST(ROUND(({harm}) * 100) AS BIGINT) "
         f"AS harmonic_e2 FROM est0 {joins}"
@@ -11559,6 +11567,76 @@ QUERIES.update(
         "e_range_search": (q_e_range_search, o_e_range_search),
     }
 )
+
+
+# ----------------- HyperBall-harmonic estimator certification (r05t) --
+
+
+def q_g_harmonic_error(spark, sf_dir):
+    """Estimator-error certification for HyperBall HARMONIC centrality —
+    the centrality-readout leg of the evaluate-your-approximations
+    family, one level above g_anf_error (which certifies the ball sizes
+    the readout consumes): per vertex, the register-sweep estimate
+    (hyperball_harmonic) vs the exact within-horizon harmonic
+    (harmonic_exact, pair-table expansion), relative error in basis
+    points against max(exact, 1) — sink vertices have exact 0 and an
+    absolute-scale denominator keeps the readout integer-total. Both
+    sides accumulate (ball_r - ball_{r-1})/r in the same fixed order, so
+    the oracle replays every float digit-for-digit."""
+    from webgraph.algos.anf import harmonic_exact, hyperball_harmonic
+
+    g = from_int_edges(derived_edges2(spark, sf_dir))
+    est = hyperball_harmonic(g, max_r=HH_MAX_R, m=HB_M, seed=HB_SEED)
+    exact = harmonic_exact(g, max_r=HH_MAX_R)
+    return exact.join(est, "vid").select(
+        "vid",
+        F.round(F.col("harmonic") * 100).cast("long").alias("exact_e2"),
+        F.round(F.col("harmonic_est") * 100).cast("long").alias("est_e2"),
+        F.round(
+            F.abs(F.col("harmonic_est") - F.col("harmonic"))
+            * 1e4
+            / F.greatest(F.col("harmonic"), F.lit(1.0))
+        )
+        .cast("long")
+        .alias("err_e4"),
+    )
+
+
+def o_g_harmonic_error():
+    parts, est_harm, est_joins = _hb_est_chain_parts()
+    # exact ball chain: incremental pair-table expansion with per-radius
+    # counts, the o_g_eff_diameter pattern on the DIRECTED graph
+    parts.append("b0 AS (SELECT vid AS root, vid AS member FROM v),")
+    for r in range(1, HH_MAX_R + 1):
+        parts.append(
+            f"b{r} AS (SELECT root, member FROM b{r - 1} UNION "
+            f"SELECT b.root, e.dst FROM b{r - 1} b JOIN e ON e.src = b.member),"
+        )
+    parts.append("c0 AS (SELECT vid, CAST(1 AS BIGINT) AS n FROM v),")
+    for r in range(1, HH_MAX_R + 1):
+        parts.append(
+            f"c{r} AS (SELECT root AS vid, COUNT(*) AS n FROM b{r} GROUP BY root),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    exact_harm = " + ".join(
+        f"CAST(c{r}.n - c{r - 1}.n AS DOUBLE) / {repr(float(r))}"
+        for r in range(1, HH_MAX_R + 1)
+    )
+    exact_joins = " ".join(
+        f"JOIN c{r} ON c{r}.vid = c0.vid" for r in range(1, HH_MAX_R + 1)
+    )
+    parts.append(
+        f"SELECT c0.vid AS vid, "
+        f"CAST(ROUND(({exact_harm}) * 100) AS BIGINT) AS exact_e2, "
+        f"CAST(ROUND(({est_harm}) * 100) AS BIGINT) AS est_e2, "
+        f"CAST(ROUND(ABS(({est_harm}) - ({exact_harm})) * 10000e0 "
+        f"/ GREATEST(({exact_harm}), 1e0)) AS BIGINT) AS err_e4 "
+        f"FROM c0 {exact_joins} JOIN est0 ON est0.vid = c0.vid {est_joins}"
+    )
+    return _unrolled(parts)
+
+
+QUERIES.update({"g_harmonic_error": (q_g_harmonic_error, o_g_harmonic_error)})
 
 
 # The DRIVER_WINDOW reorder lives at the very END of this module (the
