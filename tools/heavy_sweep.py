@@ -98,6 +98,8 @@ HEAVY = [
     # radius scan
     "e_filtered_topk",
     "e_range_search",
+    # round-5t addition: register sweep + pair-table expansion compared
+    "g_harmonic_error",
 ]
 
 
