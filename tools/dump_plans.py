@@ -33,6 +33,9 @@ PLAN_QUERIES = [
     "e_pq_recall",        # broadcast PQ LUT join + dual windowed top-k
     "g_eigencentrality",  # loop body: join+agg + broadcast 1-row L1 total
     "t_heaps_law",        # distributed exact rank, min-bin agg, 10-row window
+    "g_hyperball_harmonic",  # split wide-register init (the codegen fix)
+    "c_lang_mismatch",    # skinny-score barrier stops pushdown re-inlining
+    "m_vad_segments",     # per-asset islands window over the Arrow seam
 ]
 
 
