@@ -114,3 +114,42 @@ def test_range_search_returns_whole_dense_neighborhood(spark):
     )
     out = range_search(emb, _q(spark, 0, [1.0, 0.0]), threshold=0.99)
     assert out.count() == 6
+
+
+# ------------------------------------------------------ MAD outliers --
+
+
+def test_mad_outliers_hand_computed(spark):
+    """Values 1..9 plus 100: med = 5.5, devs = .5..4.5 and 94.5, MAD =
+    median(devs)... hand: devs sorted = [0.5,0.5,1.5,1.5,2.5,2.5,3.5,
+    3.5,4.5,94.5] -> MAD = 2.5; fence 3*2.5 = 7.5 flags only 100."""
+    from webgraph.sketches import mad_outliers
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 100])],
+        "id long, x double",
+    )
+    out = mad_outliers(df, "x", k=3.0, scale=1)
+    assert [(r["id"], r["_u"]) for r in out.collect()] == [(9, 100)]
+
+
+def test_mad_outliers_uniform_data_flags_nothing(spark):
+    from webgraph.sketches import mad_outliers
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, x double"
+    )
+    assert mad_outliers(df, "x", k=3.0, scale=1).count() == 0
+
+
+def test_mad_outliers_zero_mad_caveat(spark):
+    """>50% identical values -> MAD 0 -> every other value is flagged
+    (the documented caveat)."""
+    from webgraph.sketches import mad_outliers
+
+    df = spark.createDataFrame(
+        [(i, 5.0) for i in range(6)] + [(10, 7.0), (11, 4.0)],
+        "id long, x double",
+    )
+    out = mad_outliers(df, "x", k=3.0, scale=1)
+    assert sorted(r["id"] for r in out.collect()) == [10, 11]

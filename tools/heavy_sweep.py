@@ -100,6 +100,8 @@ HEAVY = [
     "e_range_search",
     # round-5t addition: register sweep + pair-table expansion compared
     "g_harmonic_error",
+    # round-5u addition: two exact-percentile passes + broadcast fences
+    "r_mad_outliers",
 ]
 
 

@@ -11639,6 +11639,64 @@ def o_g_harmonic_error():
 QUERIES.update({"g_harmonic_error": (q_g_harmonic_error, o_g_harmonic_error)})
 
 
+# --------------------------------- MAD robust outliers (r05u) --
+
+MAD_K = 3.0
+
+
+def q_r_mad_outliers(spark, sf_dir):
+    """Robust price outliers (sketches.py:mad_outliers): rows with
+    |cents - median| > k * MAD — the 50%-breakdown robust fence the
+    mean/stddev z-score can't provide (outliers drag the mean toward
+    themselves). Integer-cent units keep both exact percentiles on
+    .0/.5 doubles, so fence comparisons replay digit-for-digit; the
+    medians run as broadcast 1-row aggregates, no driver round-trip.
+    r_price_quantiles' histogram sketch is the approximate fence at
+    scale; this is the exact bounded-slice form."""
+    from webgraph.sketches import mad_outliers
+
+    # seeded corruption: every 97th order's lines carry a 100x price (a
+    # fat-finger/unit bug) — uniform TPC-H prices have NO 3-MAD outliers,
+    # so the fence must catch exactly the seeded set and nothing else
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "price2",
+        F.col("l_extendedprice")
+        * F.when(F.col("l_orderkey") % 97 == 0, F.lit(100.0)).otherwise(F.lit(1.0)),
+    )
+    out = mad_outliers(li, "price2", k=MAD_K, scale=100)
+    return out.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.col("_u").alias("price_c"),
+        # dev ends in .0/.5 (median of ints interpolates at half): report
+        # deci-cents — double->long CAST truncates in Spark but rounds in
+        # DuckDB, so the half-unit must be scaled out before the cast
+        F.round(F.col("_dev") * 10).cast("long").alias("dev_d1"),
+    )
+
+
+def o_r_mad_outliers():
+    return f"""
+WITH u AS (
+  SELECT l_orderkey, l_linenumber,
+    CAST(ROUND(l_extendedprice
+      * (CASE WHEN l_orderkey % 97 = 0 THEN 100.0 ELSE 1.0 END)
+      * 100) AS BIGINT) AS c
+  FROM lineitem
+),
+m AS (SELECT quantile_cont(c, 0.5) AS med FROM u),
+d AS (SELECT l_orderkey, l_linenumber, c,
+      ABS(c - (SELECT med FROM m)) AS dev FROM u),
+md AS (SELECT quantile_cont(dev, 0.5) AS mad FROM d)
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+  c AS price_c, CAST(ROUND(dev * 10) AS BIGINT) AS dev_d1
+FROM d WHERE dev > {MAD_K} * (SELECT mad FROM md)
+"""
+
+
+QUERIES.update({"r_mad_outliers": (q_r_mad_outliers, o_r_mad_outliers)})
+
+
 # The DRIVER_WINDOW reorder lives at the very END of this module (the
 # driver snapshots the first 50 registry entries; keeping the reorder
 # last lets new queries register anywhere above and still be eligible

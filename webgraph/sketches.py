@@ -410,3 +410,40 @@ def heavy_hitters(
         .filter(F.col("cnt") * cap > F.lit(n_tokens))
     )
     return verified
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    k: float = 3.0,
+    scale: int = 100,
+) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: flag rows
+    with |x - median(x)| > k * MAD — the robust twin of the z-score
+    (median and MAD have 50% breakdown; mean/stddev are dragged by the
+    very outliers being hunted). Returns the input rows that exceed the
+    fence, plus (units, dev_units).
+
+    Exactness contract: values are first scaled to integer units
+    (ROUND(x * scale) — cents for 2-decimal money), so both exact
+    percentiles land on .0/.5 doubles, deviations and the k*MAD fence
+    stay dyadic-exact, and the row set replays digit-for-digit on any
+    engine — no float-boundary flips. Both medians run as broadcast
+    1-row aggregates cross-joined back (no driver round-trip). The
+    exact percentile is a sort-based aggregate: right for the
+    deterministic contract; at 100 TB use hist_quantile_readout's
+    sketch as the approximate fence and keep this for bounded slices.
+    Standard MAD caveat: when >50% of values are identical, MAD = 0 and
+    every other value is flagged."""
+    units = F.round(F.col(value_col) * scale).cast("long")
+    u = df.withColumn("_u", units)
+    med = u.agg(F.expr("percentile(_u, 0.5)").alias("_med"))
+    d = u.crossJoin(F.broadcast(med)).withColumn(
+        "_dev", F.abs(F.col("_u") - F.col("_med"))
+    )
+    mad = d.agg(F.expr("percentile(_dev, 0.5)").alias("_mad"))
+    return (
+        d.crossJoin(F.broadcast(mad))
+        .filter(F.col("_dev") > F.lit(float(k)) * F.col("_mad"))
+        .drop("_med", "_mad")
+    )
