@@ -142,3 +142,66 @@ def test_audio_frames_replays_fake_pcm(spark):
     h = hashlib.sha256(payload).hexdigest()
     want = {(1, i): int(h[4 * i: 4 * i + 4], 16) for i in range(16)}
     assert got == want  # image asset filtered out; amps = digest nibbles
+
+
+# -------------------------------------------------- co-change coupling --
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "repo string, commit string, path string")
+
+
+def test_cochange_hand_computed_support_and_jaccard(spark):
+    """a+b co-change in c1, c2 (support 2); a appears in 3 commits, b in
+    2 -> jaccard = 2 / (3 + 2 - 2) = 2/3."""
+    from webgraph.code import cochange_pairs
+
+    ev = _events(
+        spark,
+        [("r", "c1", "a"), ("r", "c1", "b"),
+         ("r", "c2", "a"), ("r", "c2", "b"),
+         ("r", "c3", "a"), ("r", "c3", "z")],
+    )
+    got = [
+        (r["repo"], r["path_a"], r["path_b"], r["support"], r["jaccard_e6"])
+        for r in cochange_pairs(ev, min_support=2).collect()
+    ]
+    assert got == [("r", "a", "b", 2, 666667)]
+
+
+def test_cochange_sweep_commit_dropped_whole(spark):
+    """A commit touching more than max_commit_files contributes NO pairs
+    — not even for file pairs that also co-change elsewhere."""
+    from webgraph.code import cochange_pairs
+
+    base = [("r", "c1", "a"), ("r", "c1", "b"),
+            ("r", "c2", "a"), ("r", "c2", "b")]
+    sweep = [("r", "sweep", f"f{i}") for i in range(5)] + [
+        ("r", "sweep", "a"), ("r", "sweep", "b")]
+    got = {
+        (r["path_a"], r["path_b"]): r["support"]
+        for r in cochange_pairs(
+            _events(spark, base + sweep), min_support=2, max_commit_files=4
+        ).collect()
+    }
+    # sweep (7 files > cap 4) dropped whole: support stays 2, and the
+    # jaccard denominators count only kept commits
+    assert got == {("a", "b"): 2}
+
+
+def test_cochange_no_cross_repo_pairs(spark):
+    from webgraph.code import cochange_pairs
+
+    ev = _events(
+        spark,
+        [("r1", "c1", "a"), ("r2", "c1", "b"),
+         ("r1", "c2", "a"), ("r2", "c2", "b")],
+    )
+    assert cochange_pairs(ev, min_support=1).count() == 0
+
+
+def test_cochange_guard(spark):
+    from webgraph.code import cochange_pairs
+
+    with pytest.raises(ValueError, match="min_support"):
+        cochange_pairs(_events(spark, [("r", "c", "a")]), min_support=0)

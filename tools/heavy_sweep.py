@@ -102,6 +102,8 @@ HEAVY = [
     "g_harmonic_error",
     # round-5u addition: two exact-percentile passes + broadcast fences
     "r_mad_outliers",
+    # round-5v addition: (repo, commit)-bucketed pair join + cap drop
+    "c_cochange",
 ]
 
 

@@ -11697,6 +11697,87 @@ FROM d WHERE dev > {MAD_K} * (SELECT mad FROM md)
 QUERIES.update({"r_mad_outliers": (q_r_mad_outliers, o_r_mad_outliers)})
 
 
+# ------------------------------- co-change coupling (r05v) --
+
+CC_MIN_SUPPORT = 2
+CC_MAX_FILES = 20
+
+
+def q_c_cochange(spark, sf_dir):
+    """Logical coupling (code.py:cochange_pairs) over a deterministic
+    commit history derived from the corpus — the first row to exercise
+    the input table's `commit` column AS history: repo = source, commit
+    = (doc_id//20) % 6, path = f((doc_id//20) % 5) — 6 mod 5 = 1 makes
+    the paths cycle within each commit bucket, so pairs recur across
+    commits with varying support. A per-repo 'sweep' commit touching
+    one file per doc exceeds max_commit_files and must be dropped WHOLE
+    by the cap (the MSR sweep-commit filter) — the oracle replays the
+    drop, so the cap is checked live, not just documented."""
+    from webgraph.code import cochange_pairs
+
+    d = F.col("doc_id")
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("c"), ((d / 20).cast("long") % 6).cast("string")).alias(
+            "commit"
+        ),
+        F.concat(F.lit("f"), ((d / 20).cast("long") % 5).cast("string")).alias(
+            "path"
+        ),
+    )
+    sweep = docs.select(
+        F.col("source").alias("repo"),
+        F.lit("sweep").alias("commit"),
+        # 23 is coprime with the 20-way source split, so a repo's sweep
+        # commit accumulates up to 23 distinct files (> the cap of 20)
+        # once the repo holds >= 23 docs — d % 25 would give only
+        # gcd-limited 5 and the cap would never bite
+        F.concat(F.lit("g"), (d % 23).cast("string")).alias("path"),
+    )
+    return cochange_pairs(
+        base.unionByName(sweep),
+        min_support=CC_MIN_SUPPORT,
+        max_commit_files=CC_MAX_FILES,
+    )
+
+
+def o_c_cochange():
+    return f"""
+WITH ev AS (
+  SELECT DISTINCT repo, commit, path FROM (
+    SELECT source AS repo,
+      'c' || CAST((doc_id // 20) % 6 AS VARCHAR) AS commit,
+      'f' || CAST((doc_id // 20) % 5 AS VARCHAR) AS path
+    FROM documents
+    UNION ALL
+    SELECT source, 'sweep', 'g' || CAST(doc_id % 23 AS VARCHAR)
+    FROM documents
+  )
+),
+sz AS (SELECT repo, commit, COUNT(*) AS n FROM ev GROUP BY repo, commit),
+kept AS (SELECT ev.* FROM ev JOIN sz USING (repo, commit)
+         WHERE sz.n <= {CC_MAX_FILES}),
+sup AS (
+  SELECT a.repo, a.path AS path_a, b.path AS path_b, COUNT(*) AS support
+  FROM kept a JOIN kept b ON a.repo = b.repo AND a.commit = b.commit
+    AND a.path < b.path
+  GROUP BY a.repo, a.path, b.path
+  HAVING COUNT(*) >= {CC_MIN_SUPPORT}
+),
+pf AS (SELECT repo, path, COUNT(*) AS nc FROM kept GROUP BY repo, path)
+SELECT s.repo, s.path_a, s.path_b, CAST(s.support AS BIGINT) AS support,
+  CAST(ROUND(s.support * 1000000e0 / (na.nc + nb.nc - s.support)) AS BIGINT)
+    AS jaccard_e6
+FROM sup s
+JOIN pf na ON na.repo = s.repo AND na.path = s.path_a
+JOIN pf nb ON nb.repo = s.repo AND nb.path = s.path_b
+"""
+
+
+QUERIES.update({"c_cochange": (q_c_cochange, o_c_cochange)})
+
+
 # The DRIVER_WINDOW reorder lives at the very END of this module (the
 # driver snapshots the first 50 registry entries; keeping the reorder
 # last lets new queries register anywhere above and still be eligible
