@@ -205,3 +205,31 @@ def test_cochange_guard(spark):
 
     with pytest.raises(ValueError, match="min_support"):
         cochange_pairs(_events(spark, [("r", "c", "a")]), min_support=0)
+
+
+def test_churn_hotspots_hand_computed(spark):
+    from webgraph.code import churn_hotspots
+
+    ev = _events(
+        spark,
+        [("r", "c1", "a"), ("r", "c2", "a"), ("r", "c3", "a"),
+         ("r", "c1", "b"), ("r", "c2", "b"),
+         ("r", "c1", "z"),
+         ("r2", "c1", "only")],
+    )
+    got = sorted(
+        (r["repo"], r["path"], r["n_commits"], r["churn_rank"])
+        for r in churn_hotspots(ev).collect()
+    )
+    assert got == [
+        ("r", "a", 3, 1), ("r", "b", 2, 2), ("r", "z", 1, 3),
+        ("r2", "only", 1, 1),
+    ]
+
+
+def test_churn_hotspots_dedupes_same_commit_touches(spark):
+    """Duplicate (repo, commit, path) events count once."""
+    from webgraph.code import churn_hotspots
+
+    ev = _events(spark, [("r", "c1", "a"), ("r", "c1", "a")])
+    assert churn_hotspots(ev).collect()[0]["n_commits"] == 1

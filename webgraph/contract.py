@@ -11778,6 +11778,57 @@ JOIN pf nb ON nb.repo = s.repo AND nb.path = s.path_b
 QUERIES.update({"c_cochange": (q_c_cochange, o_c_cochange)})
 
 
+def q_c_churn(spark, sf_dir):
+    """Per-file churn hotspots (code.py:churn_hotspots) over the same
+    derived commit history as c_cochange (sweep commits INCLUDED — churn
+    counts every touch; the cap is a pair-forming concern): distinct
+    commits per (repo, path), ranked within the repo with a path
+    tie-break — the Nagappan-Ball defect-prediction signal."""
+    from webgraph.code import churn_hotspots
+
+    d = F.col("doc_id")
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("c"), ((d / 20).cast("long") % 6).cast("string")).alias(
+            "commit"
+        ),
+        F.concat(F.lit("f"), ((d / 20).cast("long") % 5).cast("string")).alias(
+            "path"
+        ),
+    )
+    sweep = docs.select(
+        F.col("source").alias("repo"),
+        F.lit("sweep").alias("commit"),
+        F.concat(F.lit("g"), (d % 23).cast("string")).alias("path"),
+    )
+    return churn_hotspots(base.unionByName(sweep))
+
+
+def o_c_churn():
+    return """
+WITH ev AS (
+  SELECT DISTINCT repo, commit, path FROM (
+    SELECT source AS repo,
+      'c' || CAST((doc_id // 20) % 6 AS VARCHAR) AS commit,
+      'f' || CAST((doc_id // 20) % 5 AS VARCHAR) AS path
+    FROM documents
+    UNION ALL
+    SELECT source, 'sweep', 'g' || CAST(doc_id % 23 AS VARCHAR)
+    FROM documents
+  )
+),
+c AS (SELECT repo, path, COUNT(*) AS n_commits FROM ev GROUP BY repo, path)
+SELECT repo, path, CAST(n_commits AS BIGINT) AS n_commits,
+  CAST(ROW_NUMBER() OVER (PARTITION BY repo
+    ORDER BY n_commits DESC, path ASC) AS BIGINT) AS churn_rank
+FROM c
+"""
+
+
+QUERIES.update({"c_churn": (q_c_churn, o_c_churn)})
+
+
 # The DRIVER_WINDOW reorder lives at the very END of this module (the
 # driver snapshots the first 50 registry entries; keeping the reorder
 # last lets new queries register anywhere above and still be eligible
