@@ -104,6 +104,9 @@ HEAVY = [
     "r_mad_outliers",
     # round-5v addition: (repo, commit)-bucketed pair join + cap drop
     "c_cochange",
+    # light round-5 rows kept for per-round 10x coverage symmetry
+    "g_pseudo_diameter",
+    "c_churn",
 ]
 
 
