@@ -481,7 +481,10 @@ def edge_betweenness_contributions(
             "dst",
             "depth",
             (
-                F.col("sv") / F.col("sw") * (F.lit(1.0) + F.col("deltaw"))
+                # same association order as the oracle's
+                # sigma * (1 + delta) / sigma_w — digit-for-digit equal,
+                # never an ulp apart at a ROUND(x*1e6) boundary
+                F.col("sv") * (F.lit(1.0) + F.col("deltaw")) / F.col("sw")
             ).alias("delta_edge"),
         )
         .transform(truncate_lineage)

@@ -43,9 +43,14 @@ def encode_graph(
     rather than re-encode. Algorithms key on vid and only join urls back
     for final output.
     """
+    # Materialize the (src, dst) string pairs ONCE: both the vertex
+    # dictionary and the encoded-edge joins read this cache, where deriving
+    # each from the raw input would execute the whole upstream pipeline
+    # (scan -> extract -> filter -> dedup) twice.
+    raw = edges.select(src, dst).persist()
     verts = (
-        edges.select(F.col(src).alias("url"))
-        .unionByName(edges.select(F.col(dst).alias("url")))
+        raw.select(F.col(src).alias("url"))
+        .unionByName(raw.select(F.col(dst).alias("url")))
         .distinct()
         .withColumn("vid", F.monotonically_increasing_id())
         .select("vid", "url")
@@ -54,7 +59,7 @@ def encode_graph(
     n = verts.count()  # materializes the mapping so vids never re-derive
 
     e = (
-        edges.join(verts.withColumnRenamed("url", src), src, "inner")
+        raw.join(verts.withColumnRenamed("url", src), src, "inner")
         .withColumnRenamed("vid", "src_vid")
         .join(verts.withColumnRenamed("url", dst).withColumnRenamed("vid", "dst_vid"), dst, "inner")
         .select(F.col("src_vid").alias("src"), F.col("dst_vid").alias("dst"))
@@ -63,16 +68,33 @@ def encode_graph(
         e = e.repartition(partitions, "src")
     e = e.persist()
     e.count()
+    raw.unpersist()
     return EncodedGraph(vertices=verts, edges=e, num_vertices=n)
 
 
-def from_int_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> EncodedGraph:
+def from_int_edges(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    assume_distinct: bool = False,
+) -> EncodedGraph:
     """Wrap an already-integer-keyed edge table as an EncodedGraph (vid ≡
     the integer key, no dictionary encode). Used when the upstream data
-    carries numeric ids (e.g. the driver's TPC-H-derived graphs)."""
+    carries numeric ids (e.g. the driver's TPC-H-derived graphs).
+
+    The edge frame is persisted and materialized FIRST, and the vertex set
+    is derived from the cached edges — deriving vertices from the raw input
+    would execute the whole upstream plan (scan + dedup) twice, once per
+    count. ``assume_distinct=True`` skips the (src, dst) dedup when the
+    caller's input is provably duplicate-free (e.g. ends in its own
+    DISTINCT); the wrapped result is identical either way."""
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
-    ).distinct()
+    )
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.persist()
+    e.count()
     verts = (
         e.select(F.col("src").alias("vid"))
         .unionByName(e.select(F.col("dst").alias("vid")))
@@ -81,8 +103,6 @@ def from_int_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> Enco
         .persist()
     )
     n = verts.count()
-    e = e.persist()
-    e.count()
     return EncodedGraph(vertices=verts, edges=e, num_vertices=n)
 
 
@@ -177,7 +197,8 @@ def from_weighted_edges(
         F.col(src).cast("long").alias("src"),
         F.col(dst).cast("long").alias("dst"),
         F.col(weight).cast("double").alias("weight"),
-    )
+    ).persist()
+    e.count()  # materialize first; vertices then derive from the cache
     verts = (
         e.select(F.col("src").alias("vid"))
         .unionByName(e.select(F.col("dst").alias("vid")))
@@ -186,8 +207,6 @@ def from_weighted_edges(
         .persist()
     )
     n = verts.count()
-    e = e.persist()
-    e.count()
     return EncodedGraph(vertices=verts, edges=e, num_vertices=n)
 
 

@@ -56,7 +56,11 @@ def connected_components(
     one — warm starting buys iterations, never correctness. Vertices
     absent from ``initial_labels`` fall back to their own vid."""
     spark = g.edges.sparkSession
-    sym = symmetrize(g.edges).persist()
+    # Explicit src-clustering for the stationary big side: symmetrize ends
+    # in a (src,dst)-keyed dedup whose layout does NOT satisfy the loop's
+    # src clustering, so without this the full symmetrized edge table
+    # re-exchanged EVERY iteration. AQE sizes the partition count.
+    sym = symmetrize(g.edges).repartition("src").persist()
     num_msgs = sym.count()
 
     ckpt = CheckpointManager(checkpoint_dir, "components") if checkpoint_dir else None
@@ -85,13 +89,19 @@ def connected_components(
 
     for it in range(start_iter, max_iter):
         t0 = time.time()
+        # Shuffled hash joins, build side = the V-shaped label state: the
+        # src-clustered edge cache streams with zero exchange and zero
+        # sort; only the small label frame shuffles to meet it (sort-merge
+        # would re-sort all E rows every iteration). One row per vid on
+        # the build side — hash-uniform, no skew.
+        lbl = labels.hint("shuffle_hash")
         neighbor_min = (
-            sym.join(labels, sym.src == labels.vid, "inner")
+            sym.join(lbl, sym.src == lbl["vid"], "inner")
             .groupBy(sym.dst.alias("vid"))
             .agg(F.min("component").alias("nbr_min"))
         )
         new_labels = (
-            labels.join(neighbor_min, "vid", "left")
+            labels.join(neighbor_min.hint("shuffle_hash"), "vid", "left")
             .select(
                 "vid",
                 F.least(

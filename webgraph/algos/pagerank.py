@@ -91,9 +91,23 @@ def pagerank(
     else:
         out_deg = g.edges.groupBy("src").agg(F.count("*").alias("deg"))
         w_expr = F.lit(1.0) / F.col("deg")
+    # Explicit src-clustering for the stationary big side: the per-iteration
+    # join then never exchanges OR sorts edges_w (the loop uses a shuffled
+    # hash join — see below). Without this the layout depends on which join
+    # strategy built edges_w (a broadcast build leaves the input's
+    # (src,dst)-hash layout, which does NOT satisfy src clustering, and the
+    # E-sized frame would re-exchange every iteration). The partition count
+    # is explicit and scale-derived (~24 B/edge cached, ≤128 MB per
+    # partition, floor = cluster parallelism) — an unnumbered repartition
+    # would let AQE coalesce the loop's layout below the core count.
+    n_parts = max(
+        spark.sparkContext.defaultParallelism,
+        int(num_edges * 24 // (128 << 20)) + 1,
+    )
     edges_w = (
         g.edges.join(out_deg, "src", "inner")
         .select("src", "dst", w_expr.alias("w"))
+        .repartition(n_parts, "src")
         .persist()
     )
     edges_w.count()
@@ -101,10 +115,12 @@ def pagerank(
     # Dangling vertices: outdeg == 0 (left_anti against srcs). Counted once;
     # a graph with none (common after dedup of a well-linked corpus) skips
     # the per-iteration mass aggregation entirely — the dominant fixed cost
-    # at high parallelism.
+    # at high parallelism. The distinct-src set reads the already
+    # src-clustered edges_w cache, so it aggregates with NO exchange
+    # (deriving it from g.edges would re-shuffle all E rows).
     dangling = (
         g.vertices.select("vid").join(
-            g.edges.select(F.col("src").alias("vid")).distinct(), "vid", "left_anti"
+            edges_w.select(F.col("src").alias("vid")).distinct(), "vid", "left_anti"
         )
     ).persist()
     n_dangling = dangling.count()
@@ -151,7 +167,14 @@ def pagerank(
 
     for it in range(start_iter, max_iter):
         t0 = time.time()
-        contribs = edges_w.join(ranks, edges_w.src == ranks.vid, "inner").select(
+        # Shuffled hash join, build side = the V-shaped rank state: the
+        # stationary src-clustered edges_w cache streams with zero exchange
+        # and zero sort, and only the small ranks frame is shuffled to meet
+        # it (a sort-merge join would re-sort all E rows EVERY iteration).
+        # The build side has one row per vid — hash-uniform, no skew — so
+        # per-partition hash maps stay at V/P rows by construction.
+        r = ranks.hint("shuffle_hash")
+        contribs = edges_w.join(r, edges_w.src == r["vid"], "inner").select(
             edges_w.src.alias("_src"),
             edges_w.dst.alias("vid"),
             (F.col("w") * F.col("rank")).alias("c"),
@@ -172,7 +195,13 @@ def pagerank(
         else:
             summed = contribs.groupBy("vid").agg(F.sum("c").alias("contrib"))
 
-        base = g.vertices.select("vid").join(summed, "vid", "left")
+        # Hash join again (build = the aggregated contribs, also V-shaped):
+        # the vertex cache and the aggregate are both vid-clustered already,
+        # so this join runs with no exchange and — unlike sort-merge — no
+        # per-iteration sort of either V-sized side.
+        base = g.vertices.select("vid").join(
+            summed.hint("shuffle_hash"), "vid", "left"
+        )
         if pers is not None:
             # Personalized teleport: restart mass and dangling mass both
             # land on p(v). The p side is stationary and vid-keyed, so the

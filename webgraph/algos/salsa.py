@@ -52,14 +52,24 @@ def salsa(
 
     out_deg = edges.groupBy("src").agg(F.count("*").alias("odeg"))
     in_deg = edges.groupBy("dst").agg(F.count("*").alias("ideg"))
+    # Each stationary side is explicitly clustered by ITS iteration join
+    # key (fwd sweeps join on src, bwd on dst) so the per-iteration
+    # shuffled hash joins stream both caches with zero exchange and zero
+    # sort; partition count scale-derived as in pagerank.py.
+    n_parts = max(
+        spark.sparkContext.defaultParallelism,
+        int(num_edges * 24 // (128 << 20)) + 1,
+    )
     e_fwd = (
         edges.join(out_deg, "src", "inner")
         .select("src", "dst", (F.lit(1.0) / F.col("odeg")).alias("w"))
+        .repartition(n_parts, "src")
         .persist()
     )
     e_bwd = (
         edges.join(in_deg, "dst", "inner")
         .select("src", "dst", (F.lit(1.0) / F.col("ideg")).alias("w"))
+        .repartition(n_parts, "dst")
         .persist()
     )
     e_fwd.count(), e_bwd.count()
@@ -78,22 +88,26 @@ def salsa(
             start_iter = last + 1
     for it in range(start_iter, max_iter):
         t0 = time.time()
+        # shuffled hash joins, build = the V-shaped state / aggregate side:
+        # the clustered edge caches stream sort-free (see pagerank.py)
+        h = hub.hint("shuffle_hash")
         a_raw = (
-            e_fwd.join(hub, e_fwd.src == hub.vid, "inner")
+            e_fwd.join(h, e_fwd.src == h["vid"], "inner")
             .groupBy(e_fwd.dst.alias("vid"))
             .agg(F.sum(F.col("w") * F.col("hub")).alias("auth"))
         )
         auth = (
-            verts.join(a_raw, "vid", "left")
+            verts.join(a_raw.hint("shuffle_hash"), "vid", "left")
             .select("vid", F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"))
             .transform(truncate_lineage)
         )
+        a = auth.hint("shuffle_hash")
         h_raw = (
-            e_bwd.join(auth, e_bwd.dst == auth.vid, "inner")
+            e_bwd.join(a, e_bwd.dst == a["vid"], "inner")
             .groupBy(e_bwd.src.alias("vid"))
             .agg(F.sum(F.col("w") * F.col("auth")).alias("hub"))
         )
-        hub = verts.join(h_raw, "vid", "left").select(
+        hub = verts.join(h_raw.hint("shuffle_hash"), "vid", "left").select(
             "vid", F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub")
         )
         if ckpt:

@@ -388,14 +388,23 @@ def o_t_exact_dedup():
 
 
 def q_t_ngram_similar_pairs(spark, sf_dir):
-    """Exact n-gram (word-trigram) Jaccard near-dup pairs, top-20."""
+    """Exact n-gram (word-trigram) Jaccard near-dup pairs, top-20.
+
+    Plan shape (r06): the per-doc trigram set is deduplicated ROW-LOCALLY
+    (``array_distinct``) so neither the dedup nor the per-doc set size
+    needs a shuffle, and the former trigram self-join — which exchanged
+    the trigram strings twice and re-filtered a<b post-join — is replaced
+    by ONE trigram-keyed aggregation into sorted doc-id buckets with
+    bucket-local pair expansion (a<b by construction). Identical pair
+    multiset, identical integer jaccard; one exchange of the trigram
+    table instead of two plus a doc-keyed one."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tok")
     ).filter(F.size("tok") >= 3)
-    tris = toks.select(
+    tri_sets = toks.select(
         "doc_id",
-        F.explode(
+        F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), F.size("tok") - 3),
                 lambda i: F.concat_ws(
@@ -405,17 +414,28 @@ def q_t_ngram_similar_pairs(spark, sf_dir):
                     F.col("tok").getItem(i + 2),
                 ),
             )
-        ).alias("tri"),
-    ).distinct()
-    sz = tris.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = tris.select(F.col("doc_id").alias("a"), "tri")
-    b = tris.select(F.col("doc_id").alias("b"), "tri")
-    common = (
-        a.join(b, "tri")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("common"))
+        ).alias("tris"),
+    ).persist()
+    sz = tri_sets.select("doc_id", F.size("tris").alias("n"))
+    tris = tri_sets.select("doc_id", F.explode("tris").alias("tri"))
+    buckets = (
+        tris.groupBy("tri")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
     )
+    # Pair rows stream one per (member, later-member): each carries one
+    # bucket array (bounded by the bucket's doc count), never the full
+    # quadratic pair set in a single row.
+    members = buckets.select(
+        "ds", F.posexplode("ds").alias("i", "a")
+    ).filter(F.col("i") < F.size("ds") - 1)
+    pairs = members.select(
+        "a",
+        F.explode(
+            F.slice(F.col("ds"), F.col("i") + 2, F.size("ds"))
+        ).alias("b"),
+    )
+    common = pairs.groupBy("a", "b").agg(F.count("*").alias("common"))
     j = (
         common.join(sz.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
         .join(sz.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")

@@ -872,9 +872,18 @@ def sq_recall(
     ranking is a qid-partitioned window — parallel across queries, and
     at corpus scale the refinement is the standard two-phase top-k
     (per-partition partial top-k, then merge), same plan shape the IVF
-    path already uses for probe pruning."""
+    path already uses for probe pruning.
+
+    Query selection assumes DENSE integer ids starting at 0 (the first
+    n_queries ids are the query set); on sparse/offset ids it raises
+    rather than silently certifying fewer (or zero) queries."""
     from pyspark.sql.window import Window
 
+    if df.filter(F.col(id_col) < n_queries).isEmpty():
+        raise ValueError(
+            f"sq_recall: no rows with {id_col} < {n_queries}; query "
+            "selection assumes dense integer ids starting at 0"
+        )
     quant, _ = sq_quantize(df, id_col, vec_col)
     e6 = F.transform(
         _as_double(F.col(vec_col)), lambda x: F.round(x * 1e6).cast("long")
@@ -954,9 +963,18 @@ def pq_recall(
     aggregate, full vectors never touch the candidate side. The exact
     baseline is the brute scan against broadcast queries (self-declared
     exact, same as ivf_recall/sq_recall). ``iters=0`` codebooks keep
-    the whole pipeline SQL-replayable."""
+    the whole pipeline SQL-replayable.
+
+    Query selection assumes DENSE integer ids starting at 0 (the first
+    n_queries ids are the query set); on sparse/offset ids it raises
+    rather than silently certifying fewer (or zero) queries."""
     from pyspark.sql.window import Window
 
+    if df.filter(F.col(id_col) < n_queries).isEmpty():
+        raise ValueError(
+            f"pq_recall: no rows with {id_col} < {n_queries}; query "
+            "selection assumes dense integer ids starting at 0"
+        )
     spark = df.sparkSession
     codes, books = build_pq_index(
         df, m=m, n_codes=n_codes, iters=0, id_col=id_col, vec_col=vec_col, seed=seed

@@ -1888,17 +1888,22 @@ def heaps_curve(
         .withColumn("bin", F.expr(f"((_r - 1) * {int(n_bins)}) DIV {n_total}"))
         .persist()
     )
+    # Materialize both (<= n_bins)-row aggregates eagerly so the big token
+    # caches can be released NOW — previously d and ranked stayed persisted
+    # for the session's lifetime (one leaked cache pair per call).
     per_bin = ranked.groupBy("bin").agg(
         F.count("*").alias("docs"),
         F.sum(F.size("_toks")).alias("toks"),
-    )
+    ).localCheckpoint(eager=True)
     first_bin = (
         ranked.select("bin", F.explode("_toks").alias("token"))
         .groupBy("token")
         .agg(F.min("bin").alias("fb"))
         .groupBy(F.col("fb").alias("bin"))
         .agg(F.count("*").alias("new_vocab"))
-    )
+    ).localCheckpoint(eager=True)
+    d.unpersist()
+    ranked.unpersist()
     wc = Window.orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
