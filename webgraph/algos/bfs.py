@@ -34,7 +34,12 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph, symmetrize, truncate_lineage
+from webgraph.algos.common import (
+    EncodedGraph,
+    cluster_for_loop,
+    symmetrize,
+    truncate_lineage,
+)
 from webgraph.checkpoint import CheckpointManager
 
 
@@ -59,11 +64,7 @@ def bfs_depths(
     # undirected mode: materialize the symmetrized set ONCE — otherwise
     # its union+distinct shuffle of the full edge table re-executes on
     # every level's frontier probe
-    edges = (
-        g.edges
-        if directed
-        else symmetrize(g.edges).transform(truncate_lineage)
-    )
+    edges, _unpersist_edges = _shared_edges(g, directed)
     ckpt = CheckpointManager(checkpoint_dir, "bfs") if checkpoint_dir else None
 
     seeds_df = spark.createDataFrame([(int(s),) for s in set(seeds)], "vid long")
@@ -87,7 +88,8 @@ def bfs_depths(
         # one frontier⋈edges probe; distinct() partial-aggregates map-side
         # so hub fan-in never inflates the shuffle
         nxt = (
-            frontier.join(edges.withColumnRenamed("src", "vid"), "vid")
+            frontier.hint("shuffle_hash")
+            .join(edges.withColumnRenamed("src", "vid"), "vid")
             .select(F.col("dst").alias("vid"))
             .distinct()
             .join(visited.select("vid"), "vid", "left_anti")
@@ -111,22 +113,28 @@ def bfs_depths(
         if n_new == 0:
             break
 
+    if _unpersist_edges:
+        edges.unpersist()
     return visited.select("vid", "depth"), metrics
 
 
 def _shared_edges(g: EncodedGraph, directed: bool) -> tuple[DataFrame, bool]:
-    """The (src, dst) traversal frame without redundant caching: directed
-    mode projects the EncodedGraph's ALREADY-persisted edges (the
-    projection scans the cache — persisting it again would hold a second
-    in-memory copy); undirected mode materializes the symmetrized set,
-    which IS new data, once. Returns (frame, we_persisted_it) so callers
-    unpersist the symmetrized copy once their outputs are materialized
-    (review finding: the per-call caches were never released)."""
+    """The (src, dst) traversal frame, src-clustered for the level loops
+    (cluster_for_loop): every per-level frontier⋈edges probe then streams
+    the cache with zero exchange and zero sort — the graph cache's own
+    (src,dst)-hash layout would re-exchange all E rows at EVERY level.
+    Costs one loop-lifetime in-memory copy in directed mode (the r05
+    no-second-copy rule traded per-level E-sized exchanges for that
+    memory; the exchange is the wrong side of the trade at any scale).
+    Returns (frame, we_persisted_it) so callers unpersist once their
+    outputs are materialized."""
+    n = g.edges.count()
     if directed:
-        return g.edges.select("src", "dst"), False
-    sym = symmetrize(g.edges).persist()
-    sym.count()
-    return sym, True
+        e = cluster_for_loop(g.edges.select("src", "dst"), "src", num_rows=n)
+    else:
+        e = cluster_for_loop(symmetrize(g.edges), "src", num_rows=2 * n)
+    e.count()
+    return e, True
 
 
 def multi_path_counts(
@@ -173,7 +181,8 @@ def multi_path_counts(
         # ONE probe for all roots: frontier ⋈ edges, partial-aggregated
         # map-side on (root, dst) before the shuffle
         nxt = (
-            frontier.join(edges, frontier.vid == edges.src, "inner")
+            frontier.hint("shuffle_hash")
+            .join(edges, frontier.vid == edges.src, "inner")
             .groupBy("root", F.col("dst").alias("vid"))
             .agg(F.sum("sigma").alias("sigma"))
             .join(visited.select("root", "vid"), ["root", "vid"], "left_anti")
@@ -246,7 +255,7 @@ def multi_betweenness_contributions(
             F.col("delta").alias("dw"),
         )
         contrib = (
-            cur.join(edges, cur.vid == edges.src, "inner")
+            cur.hint("shuffle_hash").join(edges, cur.vid == edges.src, "inner")
             .join(
                 succ,
                 (cur.root == succ.root) & (F.col("dst") == F.col("w")),

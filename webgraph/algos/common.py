@@ -144,6 +144,29 @@ def truncate_lineage(df: DataFrame) -> DataFrame:
         return out
 
 
+def cluster_for_loop(
+    edges: DataFrame, key: str, num_rows: int | None = None
+) -> DataFrame:
+    """Repartition a stationary edge frame by its per-iteration join key
+    and persist it. Iterative loops then stream this cache with zero
+    exchange and zero sort (pair it with a ``shuffle_hash`` hint on the
+    V-shaped state side — sort-merge would re-sort all E rows every
+    iteration, and without explicit clustering the layout depends on
+    whichever join built the frame). Partition count is explicit and
+    scale-derived (~24 B/row cached, ≤128 MB per partition, floor =
+    cluster parallelism) — an unnumbered repartition would let AQE
+    coalesce the loop's layout below the core count. The caller owns the
+    cache and should unpersist it when the loop ends."""
+    spark = edges.sparkSession
+    if num_rows is None:
+        num_rows = edges.count()
+    n_parts = max(
+        spark.sparkContext.defaultParallelism,
+        int(num_rows * 24 // (128 << 20)) + 1,
+    )
+    return edges.repartition(n_parts, key).persist()
+
+
 def symmetrize(edges: DataFrame) -> DataFrame:
     """Undirected view: both directions, self-loops dropped, deduplicated.
     Used by CC / LP / triangles (link direction is a crawl artifact there)."""

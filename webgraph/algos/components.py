@@ -26,7 +26,12 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph, symmetrize, truncate_lineage
+from webgraph.algos.common import (
+    EncodedGraph,
+    cluster_for_loop,
+    symmetrize,
+    truncate_lineage,
+)
 from webgraph.checkpoint import CheckpointManager
 from webgraph.metrics import iteration_metrics, partition_skew
 
@@ -59,8 +64,11 @@ def connected_components(
     # Explicit src-clustering for the stationary big side: symmetrize ends
     # in a (src,dst)-keyed dedup whose layout does NOT satisfy the loop's
     # src clustering, so without this the full symmetrized edge table
-    # re-exchanged EVERY iteration. AQE sizes the partition count.
-    sym = symmetrize(g.edges).repartition("src").persist()
+    # re-exchanged EVERY iteration. Partition count sized from the 2E
+    # upper bound (g.edges is already cached, so the count is free).
+    sym = cluster_for_loop(
+        symmetrize(g.edges), "src", num_rows=2 * g.edges.count()
+    )
     num_msgs = sym.count()
 
     ckpt = CheckpointManager(checkpoint_dir, "components") if checkpoint_dir else None

@@ -40,7 +40,7 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph, truncate_lineage
+from webgraph.algos.common import EncodedGraph, cluster_for_loop, truncate_lineage
 from webgraph.checkpoint import CheckpointManager
 
 
@@ -67,11 +67,12 @@ def eigenvector_centrality(
             f"eigenvector_centrality: max_iter must be >= 1, got {max_iter}"
         )
     spark = g.edges.sparkSession
-    # project the ALREADY-persisted EncodedGraph edges — re-persisting
-    # the projection would hold a second in-memory copy (the
-    # _shared_edges rule, webgraph/algos/bfs.py)
-    edges = g.edges.select("src", "dst")
-    num_edges = edges.count()
+    num_edges = g.edges.count()
+    # Src-clustered loop copy (cluster_for_loop): the per-iteration join
+    # streams it with zero exchange and zero sort; released on return.
+    edges = cluster_for_loop(
+        g.edges.select("src", "dst"), "src", num_rows=num_edges
+    )
     verts = g.vertices.select("vid")
     n = g.num_vertices
     if n == 0:
@@ -89,12 +90,13 @@ def eigenvector_centrality(
     metrics: list[dict] = []
     for it in range(start_iter, max_iter):
         t0 = time.time()
+        st = state.hint("shuffle_hash")
         inflow = (
-            edges.join(state, edges.src == state.vid, "inner")
+            edges.join(st, edges.src == st["vid"], "inner")
             .groupBy(edges.dst.alias("vid"))
             .agg(F.sum("eig").alias("inflow"))
         )
-        based = verts.join(inflow, "vid", "left").select(
+        based = verts.join(inflow.hint("shuffle_hash"), "vid", "left").select(
             "vid", F.coalesce(F.col("inflow"), F.lit(0.0)).alias("y")
         )
         # L1 total as a broadcast 1-row frame — keeps the normalization
@@ -140,4 +142,5 @@ def eigenvector_centrality(
             "(L1 total of A^T x hit 0); the graph has no recurrent "
             "in-link structure to rank"
         )
+    edges.unpersist()
     return state, metrics

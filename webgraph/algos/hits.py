@@ -28,7 +28,7 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph, truncate_lineage
+from webgraph.algos.common import EncodedGraph, cluster_for_loop, truncate_lineage
 from webgraph.checkpoint import CheckpointManager
 
 
@@ -58,8 +58,16 @@ def hits(
     if max_iter < 1:
         raise ValueError(f"hits: max_iter must be >= 1, got {max_iter}")
     spark = g.edges.sparkSession
-    edges = g.edges.persist()
-    num_edges = edges.count()
+    num_edges = g.edges.count()
+    # Two clustered loop copies, one per sweep direction (the auth pass
+    # joins on src, the hub pass on dst) — each streams sort- and
+    # exchange-free in its shuffled hash join; released on return.
+    e_fwd = cluster_for_loop(
+        g.edges.select("src", "dst"), "src", num_rows=num_edges
+    )
+    e_bwd = cluster_for_loop(
+        g.edges.select("src", "dst"), "dst", num_rows=num_edges
+    )
     verts = g.vertices.select("vid")
 
     ckpt = CheckpointManager(checkpoint_dir, "hits") if checkpoint_dir else None
@@ -78,26 +86,28 @@ def hits(
     state = None
     for it in range(start_iter, max_iter):
         t0 = time.time()
+        h = hub.hint("shuffle_hash")
         a_raw = (
-            edges.join(hub, edges.src == hub.vid, "inner")
-            .groupBy(edges.dst.alias("vid"))
+            e_fwd.join(h, e_fwd.src == h["vid"], "inner")
+            .groupBy(e_fwd.dst.alias("vid"))
             .agg(F.sum("hub").alias("auth"))
         )
         # Materialize the raw scores, THEN normalize over the checkpointed
         # frame (single execution of the edges⋈hub aggregation).
         a_full = (
-            verts.join(a_raw, "vid", "left")
+            verts.join(a_raw.hint("shuffle_hash"), "vid", "left")
             .select("vid", F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"))
             .transform(truncate_lineage)
         )
         auth = _normalized(a_full, "auth")
+        a = auth.hint("shuffle_hash")
         h_raw = (
-            edges.join(auth, edges.dst == auth.vid, "inner")
-            .groupBy(edges.src.alias("vid"))
+            e_bwd.join(a, e_bwd.dst == a["vid"], "inner")
+            .groupBy(e_bwd.src.alias("vid"))
             .agg(F.sum("auth").alias("hub"))
         )
         h_full = (
-            verts.join(h_raw, "vid", "left")
+            verts.join(h_raw.hint("shuffle_hash"), "vid", "left")
             .select("vid", F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"))
             .transform(truncate_lineage)
         )
@@ -119,5 +129,6 @@ def hits(
 
     if state is None:  # resumed at or past max_iter: return loaded state
         state = hub.join(auth, "vid").select("vid", "hub", "auth")
-    edges.unpersist()
+    e_fwd.unpersist()
+    e_bwd.unpersist()
     return state, metrics

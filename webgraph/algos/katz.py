@@ -26,7 +26,7 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph, truncate_lineage
+from webgraph.algos.common import EncodedGraph, cluster_for_loop, truncate_lineage
 from webgraph.checkpoint import CheckpointManager
 
 
@@ -59,11 +59,15 @@ def katz_centrality(
     if max_iter < 1:
         raise ValueError(f"katz_centrality: max_iter must be >= 1, got {max_iter}")
     spark = g.edges.sparkSession
-    # project the ALREADY-persisted EncodedGraph edges — re-persisting
-    # the projection would hold a second in-memory copy (the
-    # _shared_edges rule, webgraph/algos/bfs.py)
-    edges = g.edges.select("src", "dst")
-    num_edges = edges.count()
+    num_edges = g.edges.count()
+    # Src-clustered loop copy (cluster_for_loop): the per-iteration join
+    # then streams it with zero exchange and zero sort. Costs one extra
+    # in-memory copy of (src, dst) for the loop's lifetime — released
+    # before returning — where the shared graph cache's (src,dst)-hash
+    # layout would re-exchange all E rows every iteration.
+    edges = cluster_for_loop(
+        g.edges.select("src", "dst"), "src", num_rows=num_edges
+    )
     verts = g.vertices.select("vid")
 
     ckpt = CheckpointManager(checkpoint_dir, "katz") if checkpoint_dir else None
@@ -79,12 +83,13 @@ def katz_centrality(
     prev_delta = None
     for it in range(start_iter, max_iter):
         t0 = time.time()
+        st = state.hint("shuffle_hash")
         contrib = (
-            edges.join(state, edges.src == state.vid, "inner")
+            edges.join(st, edges.src == st["vid"], "inner")
             .groupBy(edges.dst.alias("vid"))
             .agg(F.sum("katz").alias("inflow"))
         )
-        new_state = verts.join(contrib, "vid", "left").select(
+        new_state = verts.join(contrib.hint("shuffle_hash"), "vid", "left").select(
             "vid",
             (
                 F.lit(float(beta))
@@ -124,4 +129,5 @@ def katz_centrality(
                 break
             prev_delta = delta
 
+    edges.unpersist()
     return state, metrics

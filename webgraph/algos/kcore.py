@@ -27,7 +27,12 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph, symmetrize, truncate_lineage
+from webgraph.algos.common import (
+    EncodedGraph,
+    cluster_for_loop,
+    symmetrize,
+    truncate_lineage,
+)
 from webgraph.checkpoint import CheckpointManager
 
 
@@ -154,7 +159,11 @@ def coreness(
 
     if rounds < 1:
         raise ValueError(f"coreness: rounds must be >= 1, got {rounds}")
-    sym = symmetrize(g.edges).persist()
+    # dst-clustered loop cache (the per-round neighbor join keys on dst);
+    # shuffled hash join streams it sort- and exchange-free (pagerank.py)
+    sym = cluster_for_loop(
+        symmetrize(g.edges), "dst", num_rows=2 * g.edges.count()
+    )
     sym.count()
     deg = sym.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("c"))
     state = truncate_lineage(
@@ -170,7 +179,9 @@ def coreness(
     run, converged = 0, False
     for _ in range(rounds):
         nbr = sym.join(
-            state.select(F.col("vid").alias("dst"), F.col("c").alias("nc")), "dst"
+            state.select(F.col("vid").alias("dst"), F.col("c").alias("nc"))
+            .hint("shuffle_hash"),
+            "dst",
         ).select(F.col("src").alias("vid"), "nc")
         h = (
             nbr.withColumn("rn", F.row_number().over(w))

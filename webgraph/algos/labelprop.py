@@ -24,7 +24,12 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph, symmetrize, truncate_lineage
+from webgraph.algos.common import (
+    EncodedGraph,
+    cluster_for_loop,
+    symmetrize,
+    truncate_lineage,
+)
 from webgraph.checkpoint import CheckpointManager
 from webgraph.metrics import iteration_metrics
 
@@ -40,7 +45,10 @@ def label_propagation(
     ``_probe(it, changed_df)`` is a test seam that receives the
     convergence-count frame before it executes (plan assertions)."""
     spark = g.edges.sparkSession
-    sym = symmetrize(g.edges).persist()
+    # src-clustered loop cache + shuffled hash joins: see components.py
+    sym = cluster_for_loop(
+        symmetrize(g.edges), "src", num_rows=2 * g.edges.count()
+    )
     num_msgs = sym.count()
 
     ckpt = CheckpointManager(checkpoint_dir, "labelprop") if checkpoint_dir else None
@@ -56,8 +64,9 @@ def label_propagation(
     prev_changed = None
     for it in range(start_iter, max_iter):
         t0 = time.time()
+        lbl = labels.hint("shuffle_hash")
         freq = (
-            sym.join(labels, sym.src == labels.vid, "inner")
+            sym.join(lbl, sym.src == lbl["vid"], "inner")
             .groupBy(sym.dst.alias("vid"), F.col("label"))
             .agg(F.count("*").alias("n"))
         )
@@ -65,7 +74,7 @@ def label_propagation(
         best = freq.groupBy("vid").agg(
             F.max_by("label", F.struct(F.col("n"), -F.col("label"))).alias("nbr_label")
         )
-        new_labels = labels.join(best, "vid", "left").select(
+        new_labels = labels.join(best.hint("shuffle_hash"), "vid", "left").select(
             "vid", F.coalesce(F.col("nbr_label"), F.col("label")).alias("label")
         )
         # Materialize first, then count changes from the materialized frame
@@ -120,7 +129,9 @@ def seeded_label_spread(
     persisted symmetrized edges, labeled-frontier join, one
     (dst, label) frequency aggregate with map-side combine, one max_by
     argmax; only the vertex-shaped label state re-shuffles."""
-    sym = symmetrize(g.edges).persist()
+    sym = cluster_for_loop(
+        symmetrize(g.edges), "src", num_rows=2 * g.edges.count()
+    )
     sym.count()
     seed_labels = (
         g.vertices.select("vid")
@@ -129,8 +140,9 @@ def seeded_label_spread(
     )
     labels = seed_labels
     for _ in range(iters):
+        lbl = labels.hint("shuffle_hash")
         freq = (
-            sym.join(labels, sym.src == labels.vid, "inner")
+            sym.join(lbl, sym.src == lbl["vid"], "inner")
             .groupBy(sym.dst.alias("vid"), F.col("label"))
             .agg(F.count("*").alias("n"))
         )

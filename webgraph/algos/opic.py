@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph, truncate_lineage
+from webgraph.algos.common import EncodedGraph, cluster_for_loop, truncate_lineage
 
 
 def opic(g: EncodedGraph, iters: int = 5) -> DataFrame:
@@ -48,11 +48,12 @@ def opic(g: EncodedGraph, iters: int = 5) -> DataFrame:
     outdeg = g.edges.groupBy(F.col("src").alias("vid")).agg(
         F.count("*").alias("od")
     )
-    edges_w = (
-        g.edges.join(outdeg.withColumnRenamed("vid", "src"), "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("od")).alias("w"))
-        .repartition("src")
-        .persist()
+    edges_w = cluster_for_loop(
+        g.edges.join(outdeg.withColumnRenamed("vid", "src"), "src").select(
+            "src", "dst", (F.lit(1.0) / F.col("od")).alias("w")
+        ),
+        "src",
+        num_rows=g.edges.count(),
     )
     edges_w.count()
     has_out = outdeg.select("vid")
@@ -69,7 +70,10 @@ def opic(g: EncodedGraph, iters: int = 5) -> DataFrame:
             .first()[0]
         )
         gathered = (
-            edges_w.join(state.select(F.col("vid").alias("src"), "cash"), "src")
+            edges_w.join(
+                state.select(F.col("vid").alias("src"), "cash").hint("shuffle_hash"),
+                "src",
+            )
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.sum(F.col("cash") * F.col("w")).alias("inflow"))
         )

@@ -31,7 +31,7 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph, truncate_lineage
+from webgraph.algos.common import EncodedGraph, cluster_for_loop, truncate_lineage
 from webgraph.checkpoint import CheckpointManager
 from webgraph.metrics import iteration_metrics, partition_skew
 
@@ -96,19 +96,13 @@ def pagerank(
     # hash join — see below). Without this the layout depends on which join
     # strategy built edges_w (a broadcast build leaves the input's
     # (src,dst)-hash layout, which does NOT satisfy src clustering, and the
-    # E-sized frame would re-exchange every iteration). The partition count
-    # is explicit and scale-derived (~24 B/edge cached, ≤128 MB per
-    # partition, floor = cluster parallelism) — an unnumbered repartition
-    # would let AQE coalesce the loop's layout below the core count.
-    n_parts = max(
-        spark.sparkContext.defaultParallelism,
-        int(num_edges * 24 // (128 << 20)) + 1,
-    )
-    edges_w = (
-        g.edges.join(out_deg, "src", "inner")
-        .select("src", "dst", w_expr.alias("w"))
-        .repartition(n_parts, "src")
-        .persist()
+    # E-sized frame would re-exchange every iteration).
+    edges_w = cluster_for_loop(
+        g.edges.join(out_deg, "src", "inner").select(
+            "src", "dst", w_expr.alias("w")
+        ),
+        "src",
+        num_rows=num_edges,
     )
     edges_w.count()
 

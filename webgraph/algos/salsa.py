@@ -23,7 +23,7 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph, truncate_lineage
+from webgraph.algos.common import EncodedGraph, cluster_for_loop, truncate_lineage
 from webgraph.checkpoint import CheckpointManager
 
 
@@ -55,22 +55,20 @@ def salsa(
     # Each stationary side is explicitly clustered by ITS iteration join
     # key (fwd sweeps join on src, bwd on dst) so the per-iteration
     # shuffled hash joins stream both caches with zero exchange and zero
-    # sort; partition count scale-derived as in pagerank.py.
-    n_parts = max(
-        spark.sparkContext.defaultParallelism,
-        int(num_edges * 24 // (128 << 20)) + 1,
+    # sort (cluster_for_loop, same rationale as pagerank.py).
+    e_fwd = cluster_for_loop(
+        edges.join(out_deg, "src", "inner").select(
+            "src", "dst", (F.lit(1.0) / F.col("odeg")).alias("w")
+        ),
+        "src",
+        num_rows=num_edges,
     )
-    e_fwd = (
-        edges.join(out_deg, "src", "inner")
-        .select("src", "dst", (F.lit(1.0) / F.col("odeg")).alias("w"))
-        .repartition(n_parts, "src")
-        .persist()
-    )
-    e_bwd = (
-        edges.join(in_deg, "dst", "inner")
-        .select("src", "dst", (F.lit(1.0) / F.col("ideg")).alias("w"))
-        .repartition(n_parts, "dst")
-        .persist()
+    e_bwd = cluster_for_loop(
+        edges.join(in_deg, "dst", "inner").select(
+            "src", "dst", (F.lit(1.0) / F.col("ideg")).alias("w")
+        ),
+        "dst",
+        num_rows=num_edges,
     )
     e_fwd.count(), e_bwd.count()
 

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph, truncate_lineage
+from webgraph.algos.common import EncodedGraph, cluster_for_loop, truncate_lineage
 from webgraph.algos.walks import WALK_MOD, _B_CUR, _B_DST, _B_STEP
 
 #: exact micro-unit decay table for C = 0.8 (index = meeting step tau)
@@ -70,11 +70,13 @@ def simrank_single_source(
     if max_steps >= len(DECAY_MICRO):
         raise ValueError(f"max_steps must be < {len(DECAY_MICRO)}")
     spark = g.edges.sparkSession
-    rev = (
+    # src-clustered loop cache: the per-step join keys on cur == rev.src
+    rev = cluster_for_loop(
         g.edges.filter(F.col("src") != F.col("dst"))
         .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        .distinct()
-        .persist()
+        .distinct(),
+        "src",
+        num_rows=g.edges.count(),
     )
     rev.count()
 
@@ -89,7 +91,7 @@ def simrank_single_source(
     for t in range(1, max_steps + 1):
         h = _step_hash(F.col("cur"), t, F.col("dst"), F.lit(seed) + F.col("r"))
         stepped = (
-            state.join(rev.withColumnRenamed("src", "cur"), "cur")
+            state.hint("shuffle_hash").join(rev.withColumnRenamed("src", "cur"), "cur")
             .groupBy("r", "vid")
             .agg(F.min(F.struct(h.alias("h"), F.col("dst"))).alias("m"))
             .select("r", "vid", F.col("m.dst").alias("cur"))

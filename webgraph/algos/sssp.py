@@ -26,7 +26,7 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph, truncate_lineage
+from webgraph.algos.common import EncodedGraph, cluster_for_loop, truncate_lineage
 from webgraph.checkpoint import CheckpointManager
 
 
@@ -61,12 +61,12 @@ def shortest_paths(
         raise ValueError(f"shortest_paths: max_iter must be >= 1, got {max_iter}")
     spark = g.edges.sparkSession
     w = F.lit(1).cast("long") if weight is None else weight.cast("long")
-    # project + weight over the ALREADY-persisted EncodedGraph edges —
-    # the weight is per-scan codegen arithmetic; persisting this
-    # projection would hold a second in-memory copy of the edge table
-    # (the _shared_edges rule, webgraph/algos/bfs.py)
-    edges = g.edges.select("src", "dst", w.alias("w"))
-    num_edges = edges.count()
+    num_edges = g.edges.count()
+    # src-clustered loop copy (cluster_for_loop): each relaxation round
+    # streams it with zero exchange and zero sort; released on return
+    edges = cluster_for_loop(
+        g.edges.select("src", "dst", w.alias("w")), "src", num_rows=num_edges
+    )
     verts = g.vertices.select("vid")
 
     ckpt = CheckpointManager(checkpoint_dir, "sssp") if checkpoint_dir else None
@@ -87,12 +87,14 @@ def shortest_paths(
     for it in range(start_iter, max_iter):
         t0 = time.time()
         cand = (
-            edges.join(state.filter(F.col("dist").isNotNull()),
+            edges.join(state.filter(F.col("dist").isNotNull()).hint("shuffle_hash"),
                        edges.src == F.col("vid"), "inner")
             .groupBy(edges.dst.alias("vid"))
             .agg(F.min(F.col("dist") + F.col("w")).alias("nd"))
         )
-        new_state = verts.join(state, "vid", "left").join(cand, "vid", "left").select(
+        new_state = verts.join(state.hint("shuffle_hash"), "vid", "left").join(
+            cand.hint("shuffle_hash"), "vid", "left"
+        ).select(
             "vid", F.least(F.col("dist"), F.col("nd")).alias("dist")
         )
         prev_state = state
@@ -123,4 +125,5 @@ def shortest_paths(
         if changed == 0:
             break
 
+    edges.unpersist()
     return state, metrics

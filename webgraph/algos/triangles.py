@@ -51,16 +51,28 @@ def _oriented(g: EncodedGraph, degree_ordered: bool) -> DataFrame:
 
 
 def triangle_count(g: EncodedGraph, degree_ordered: bool = True) -> int:
-    """Total number of distinct triangles in the undirected graph."""
+    """Total number of distinct triangles in the undirected graph.
+
+    Counted as Σ_{(a,b) oriented} |N⁺(a) ∩ N⁺(b)| over per-vertex
+    oriented-out-neighbor arrays: the same triangle set the wedge join
+    enumerates, but the quadratic wedge table is never materialized or
+    shuffled — the intersection runs row-locally inside codegen after two
+    edge⋈adjacency joins (on a dense graph the wedge form shuffled
+    O(Σ deg²) rows to then discard most of them in the closing semi-join).
+    Degree-ordered orientation bounds every array by the classic
+    O(sqrt(E)) wedge argument, so rows stay small on power-law graphs."""
     e = _oriented(g, degree_ordered).persist()
-    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    wedges = e1.join(e2, "b")
-    closing = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    closed = wedges.join(closing, ["a", "c"], "left_semi")
-    n = closed.count()
+    adj = e.groupBy(F.col("src").alias("vid")).agg(
+        F.collect_list("dst").alias("nbrs")
+    )
+    pairs = e.join(
+        adj.select(F.col("vid").alias("src"), F.col("nbrs").alias("na")), "src"
+    ).join(adj.select(F.col("vid").alias("dst"), F.col("nbrs").alias("nb")), "dst")
+    row = pairs.agg(
+        F.sum(F.size(F.array_intersect("na", "nb"))).alias("t")
+    ).collect()[0]
     e.unpersist()
-    return n
+    return int(row["t"] or 0)
 
 
 def triangle_count_per_vertex(g: EncodedGraph, degree_ordered: bool = True) -> DataFrame:

@@ -32,7 +32,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph, symmetrize, truncate_lineage
+from webgraph.algos.common import (
+    EncodedGraph,
+    cluster_for_loop,
+    symmetrize,
+    truncate_lineage,
+)
 from webgraph.dedup import POLY_MOD, _MIX_BASE
 
 _A = 1_000_003  # odd multipliers, coprime to P
@@ -52,7 +57,8 @@ def wl_refinement(
     if rounds < 0:
         raise ValueError(f"wl_refinement: rounds must be >= 0, got {rounds}")
     edges = g.edges.select("src", "dst") if directed else symmetrize(g.edges)
-    edges = edges.persist()
+    # src-clustered loop cache + shuffled hash joins (see pagerank.py)
+    edges = cluster_for_loop(edges, "src", num_rows=2 * g.edges.count())
     edges.count()
 
     deg = edges.groupBy(F.col("dst").alias("vid")).agg(F.count("*").alias("deg"))
@@ -67,9 +73,9 @@ def wl_refinement(
     for _ in range(rounds):
         msg = (
             edges.join(
-                colors.withColumnRenamed("vid", "src").withColumnRenamed(
-                    "wl_color", "c"
-                ),
+                colors.withColumnRenamed("vid", "src")
+                .withColumnRenamed("wl_color", "c")
+                .hint("shuffle_hash"),
                 "src",
             )
             .groupBy(F.col("dst").alias("vid"))
