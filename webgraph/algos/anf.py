@@ -30,7 +30,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph, truncate_lineage
+from webgraph.algos.common import EncodedGraph, cluster_for_loop, truncate_lineage
 
 ANF_MOD = 1_000_000_007
 _B1 = 2_654_435_761
@@ -40,22 +40,45 @@ _B2 = 40_503
 def neighborhood_function_exact(g: EncodedGraph, max_r: int) -> list[int]:
     """Exact neighborhood function N(r) = total reachable (root, member)
     pairs within <= r hops, for r = 0..max_r, from ONE incremental ball
-    expansion (each radius reuses the previous radius' materialized pair
-    table — not one re-expansion per radius). The exact twin of
-    neighborhood_function (HyperANF) for small graphs and oracles."""
+    expansion. The exact twin of neighborhood_function (HyperANF) for
+    small graphs and oracles.
+
+    r06: frontier-based — each radius expands only the members ADDED at
+    the previous radius and anti-joins the ball, instead of re-distincting
+    the whole O(V·ball) pair table every round; once a round adds nothing
+    the expansion has saturated and the remaining totals are constant.
+    Identical ball sets, identical counts, a fraction of the shuffle."""
     if max_r < 0:
         raise ValueError(f"max_r must be >= 0, got {max_r}")
-    edges = g.edges.select("src", "dst")
-    ball = g.vertices.select(
+    edges = cluster_for_loop(
+        g.edges.select("src", "dst"), "src", num_rows=g.edges.count()
+    )
+    frontier = g.vertices.select(
         F.col("vid").alias("root"), F.col("vid").alias("member")
     ).transform(truncate_lineage)
-    totals = [ball.count()]
+    ball = frontier
+    total = ball.count()
+    totals = [total]
     for _ in range(max_r):
-        grown = ball.join(
-            edges, ball.member == edges.src, "inner"
-        ).select("root", F.col("dst").alias("member"))
-        ball = ball.unionByName(grown).distinct().transform(truncate_lineage)
-        totals.append(ball.count())
+        if frontier is not None:
+            grown = (
+                frontier.hint("shuffle_hash")
+                .join(edges, frontier.member == edges.src, "inner")
+                .select("root", F.col("dst").alias("member"))
+                .distinct()
+            )
+            new = grown.join(ball, ["root", "member"], "left_anti").transform(
+                truncate_lineage
+            )
+            n_new = new.count()
+            if n_new:
+                ball = ball.unionByName(new).transform(truncate_lineage)
+                total += n_new
+                frontier = new
+            else:
+                frontier = None  # saturated — every later N(r) equals N(r-1)
+        totals.append(total)
+    edges.unpersist()
     return totals
 
 
@@ -65,16 +88,31 @@ def neighborhood_sizes_exact(g: EncodedGraph, radius: int = 2) -> DataFrame:
     and correctness oracles; switch to hyperball at scale."""
     if radius < 0:
         raise ValueError(f"radius must be >= 0, got {radius}")
-    # project the ALREADY-persisted EncodedGraph edges — re-persisting
-    # the projection would hold a second in-memory copy (the
-    # _shared_edges rule, webgraph/algos/bfs.py)
-    edges = g.edges.select("src", "dst")
-    ball = g.vertices.select(F.col("vid").alias("root"), F.col("vid").alias("member"))
+    # frontier expansion (see neighborhood_function_exact): expand only
+    # last round's additions, anti-join the ball, stop when saturated —
+    # identical ball sets without the per-round full-table distinct
+    edges = cluster_for_loop(
+        g.edges.select("src", "dst"), "src", num_rows=g.edges.count()
+    )
+    frontier = g.vertices.select(
+        F.col("vid").alias("root"), F.col("vid").alias("member")
+    ).transform(truncate_lineage)
+    ball = frontier
     for _ in range(radius):
-        grown = ball.join(
-            edges, ball.member == edges.src, "inner"
-        ).select("root", F.col("dst").alias("member"))
-        ball = ball.unionByName(grown).distinct().transform(truncate_lineage)
+        grown = (
+            frontier.hint("shuffle_hash")
+            .join(edges, frontier.member == edges.src, "inner")
+            .select("root", F.col("dst").alias("member"))
+            .distinct()
+        )
+        new = grown.join(ball, ["root", "member"], "left_anti").transform(
+            truncate_lineage
+        )
+        if not new.take(1):
+            break
+        ball = ball.unionByName(new).transform(truncate_lineage)
+        frontier = new
+    edges.unpersist()
     return ball.groupBy("root").agg(F.count("*").alias("ball")).select(
         F.col("root").alias("vid"), F.col("ball").cast("long").alias("ball")
     )
@@ -402,31 +440,48 @@ def harmonic_exact(g: EncodedGraph, max_r: int) -> DataFrame:
     directly."""
     if max_r < 1:
         raise ValueError(f"harmonic_exact: max_r must be >= 1, got {max_r}")
-    edges = g.edges.select("src", "dst")
+    # r06 frontier form: |B(r)| - |B(r-1)| IS the per-root count of
+    # members first reached at radius r, so the harmonic term needs only
+    # the newly-added frontier — no per-round full-ball distinct or
+    # count, and the loop exits at saturation (every later term is
+    # exactly +0.0/r, leaving the IEEE accumulation bit-identical).
+    edges = cluster_for_loop(
+        g.edges.select("src", "dst"), "src", num_rows=g.edges.count()
+    )
     verts = g.vertices.select("vid")
-    ball = verts.select(F.col("vid").alias("root"), F.col("vid").alias("member"))
-    prev = verts.select("vid", F.lit(1).cast("long").alias("_prev"))
+    frontier = verts.select(
+        F.col("vid").alias("root"), F.col("vid").alias("member")
+    ).transform(truncate_lineage)
+    ball = frontier
     harm = verts.select("vid", F.lit(0.0).alias("harmonic"))
     for r in range(1, max_r + 1):
-        grown = ball.join(
-            edges, ball.member == edges.src, "inner"
-        ).select("root", F.col("dst").alias("member"))
-        ball = ball.unionByName(grown).distinct().transform(truncate_lineage)
-        cnt = ball.groupBy("root").agg(F.count("*").alias("_cur")).select(
-            F.col("root").alias("vid"), "_cur"
+        grown = (
+            frontier.hint("shuffle_hash")
+            .join(edges, frontier.member == edges.src, "inner")
+            .select("root", F.col("dst").alias("member"))
+            .distinct()
+        )
+        new = grown.join(ball, ["root", "member"], "left_anti").transform(
+            truncate_lineage
+        )
+        if not new.take(1):
+            break
+        delta = new.groupBy("root").agg(F.count("*").alias("_d")).select(
+            F.col("root").alias("vid"), "_d"
         )
         harm = (
-            harm.join(cnt, "vid")
-            .join(prev, "vid")
+            harm.join(delta.hint("shuffle_hash"), "vid", "left")
             .select(
                 "vid",
                 (
                     F.col("harmonic")
-                    + (F.col("_cur") - F.col("_prev")).cast("double")
+                    + F.coalesce(F.col("_d"), F.lit(0)).cast("double")
                     / F.lit(float(r))
                 ).alias("harmonic"),
             )
             .transform(truncate_lineage)
         )
-        prev = cnt.withColumnRenamed("_cur", "_prev")
+        ball = ball.unionByName(new).transform(truncate_lineage)
+        frontier = new
+    edges.unpersist()
     return harm

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph, truncate_lineage
+from webgraph.algos.common import EncodedGraph, cluster_for_loop, truncate_lineage
 from webgraph.algos.components import connected_components
 from webgraph.algos.scc import strongly_connected_components
 
@@ -53,20 +53,30 @@ def reachable_from(
     table, so total join work is O(E) across the whole sweep, not O(E)
     per level."""
     src, dst = ("dst", "src") if reverse else ("src", "dst")
+    # probe-key-clustered loop copy: without it the FULL edge table
+    # re-exchanged at every level of the sweep (the frontier's stats are
+    # conservative post-truncation, so the semi-join went sort-merge)
+    e = cluster_for_loop(edges.select("src", "dst"), src, num_rows=edges.count())
     reached = truncate_lineage(seeds.select("vid").distinct())
     frontier = reached
     for _ in range(max_depth):
         nxt = (
-            edges.join(frontier.withColumnRenamed("vid", src), src, "left_semi")
+            e.join(
+                frontier.withColumnRenamed("vid", src).hint("shuffle_hash"),
+                src,
+                "left_semi",
+            )
             .select(F.col(dst).alias("vid"))
             .distinct()
             .join(reached, "vid", "left_anti")
         )
         nxt = truncate_lineage(nxt)
         if nxt.isEmpty():
+            e.unpersist()
             return reached
         reached = truncate_lineage(reached.unionByName(nxt))
         frontier = nxt
+    e.unpersist()
     raise RuntimeError(
         f"reachable_from: frontier still non-empty after {max_depth} levels"
     )

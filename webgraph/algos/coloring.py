@@ -49,7 +49,12 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph, symmetrize, truncate_lineage
+from webgraph.algos.common import (
+    EncodedGraph,
+    cluster_for_loop,
+    symmetrize,
+    truncate_lineage,
+)
 from webgraph.algos.mis import priority_expr
 from webgraph.metrics import iteration_metrics
 
@@ -76,14 +81,19 @@ def greedy_coloring(
     <= its degree. Raises if the priority DAG is not exhausted within
     ``max_iter`` rounds (correctness failure — some vertex would stay
     uncolored)."""
-    sym = symmetrize(g.edges).persist()
-    sym.count()
-
     p_src = F.struct(priority_expr("src", seed).alias("p"), F.col("src").alias("v"))
     p_dst = F.struct(priority_expr("dst", seed).alias("p"), F.col("dst").alias("v"))
     # edges oriented higher-priority-src -> lower-priority... we keep the
-    # (lower src -> waits-on dst) orientation: src must commit before dst
-    oriented = sym.filter(p_src < p_dst).persist()
+    # (lower src -> waits-on dst) orientation: src must commit before dst.
+    # src-clustered (cluster_for_loop) so each round's delta join streams
+    # it exchange- and sort-free; the intermediate symmetrized frame is
+    # consumed only here and needs no cache of its own.
+    oriented = cluster_for_loop(
+        symmetrize(g.edges).filter(p_src < p_dst),
+        "src",
+        num_rows=2 * g.edges.count(),
+    )
+    oriented.count()
 
     pred_cnt = oriented.groupBy(F.col("dst").alias("vid")).agg(
         F.count("*").alias("need")
@@ -120,7 +130,11 @@ def greedy_coloring(
         parts.append(ready.withColumn("round", F.lit(it)))
 
         delta = (
-            oriented.join(ready.withColumnRenamed("vid", "src"), "src", "inner")
+            oriented.join(
+                ready.withColumnRenamed("vid", "src").hint("shuffle_hash"),
+                "src",
+                "inner",
+            )
             .groupBy(F.col("dst").alias("vid"))
             .agg(
                 F.count("*").alias("d_got"),
@@ -146,7 +160,6 @@ def greedy_coloring(
         if n_left == 0:
             done = True
             break
-    sym.unpersist()
     oriented.unpersist()
     if not done:
         raise RuntimeError(

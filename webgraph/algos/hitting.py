@@ -36,7 +36,7 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph, truncate_lineage
+from webgraph.algos.common import EncodedGraph, cluster_for_loop, truncate_lineage
 from webgraph.checkpoint import CheckpointManager
 
 SCALE = 1_000_000
@@ -73,11 +73,13 @@ def truncated_hitting_time(
         raise ValueError(f"truncated_hitting_time: rounds must be >= 1, got {rounds}")
     spark = g.edges.sparkSession
     cap = horizon * SCALE
-    # project the ALREADY-persisted EncodedGraph edges — re-persisting
-    # the projection would hold a second in-memory copy (the
-    # _shared_edges rule, webgraph/algos/bfs.py)
-    edges = g.edges.select("src", "dst")
-    num_edges = edges.count()
+    num_edges = g.edges.count()
+    # dst-clustered loop copy (cluster_for_loop): the per-round gather
+    # joins on dst and streams it exchange- and sort-free; released on
+    # return
+    edges = cluster_for_loop(
+        g.edges.select("src", "dst"), "dst", num_rows=num_edges
+    )
     verts = g.vertices.select("vid").join(
         F.broadcast(targets.select("vid").distinct().withColumn("_t", F.lit(True))),
         "vid",
@@ -107,7 +109,9 @@ def truncated_hitting_time(
         # table, map-side partial combine absorbs hub fan-in
         nbr = (
             edges.join(
-                state.select(F.col("vid").alias("dst"), "h"), "dst", "inner"
+                state.select(F.col("vid").alias("dst"), "h").hint("shuffle_hash"),
+                "dst",
+                "inner",
             )
             .groupBy(F.col("src").alias("vid"))
             .agg(F.sum("h").alias("hsum"), F.count("*").alias("deg"))
@@ -156,4 +160,5 @@ def truncated_hitting_time(
         if changed == 0:
             break
 
+    edges.unpersist()
     return state.select("vid", F.col("h").alias("h_e6")), metrics

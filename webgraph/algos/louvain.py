@@ -51,7 +51,12 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph, symmetrize, truncate_lineage
+from webgraph.algos.common import (
+    EncodedGraph,
+    cluster_for_loop,
+    symmetrize,
+    truncate_lineage,
+)
 
 
 def _q_num(edges: DataFrame, state: DataFrame, s: int) -> int:
@@ -96,10 +101,13 @@ def louvain(
     """
     spark = g.edges.sparkSession
     # level-1 weighted symmetric multiset: w=1 per direction, no self-loops
-    edges = (
-        symmetrize(g.edges)
-        .withColumn("w", F.lit(1).cast("long"))
-        .persist()
+    # dst-clustered level cache: the per-round k_{i,C} join keys on dst,
+    # so local-move rounds stream it exchange- and sort-free
+    e_rows = 2 * g.edges.count()
+    edges = cluster_for_loop(
+        symmetrize(g.edges).withColumn("w", F.lit(1).cast("long")),
+        "dst",
+        num_rows=e_rows,
     )
     s = int(edges.agg(F.sum("w")).collect()[0][0] or 0)
     full_map = g.vertices.select("vid", F.col("vid").alias("gid")).transform(truncate_lineage)
@@ -131,7 +139,7 @@ def louvain(
                 .join(
                     state.select(
                         F.col("vid").alias("dst"), F.col("gid").alias("ngid")
-                    ),
+                    ).hint("shuffle_hash"),
                     "dst",
                 )
                 .groupBy(F.col("src").alias("vid"), "ngid")
@@ -248,14 +256,17 @@ def louvain(
         # already includes both directions — total weight S is preserved)
         m_src = state.select(F.col("vid").alias("src"), F.col("gid").alias("gsrc"))
         m_dst = state.select(F.col("vid").alias("dst"), F.col("gid").alias("gdst"))
-        nxt = (
-            edges.join(m_src, "src")
-            .join(m_dst, "dst")
+        # contraction never grows the edge multiset, so the previous
+        # level's row count is a valid sizing bound
+        nxt = cluster_for_loop(
+            edges.join(m_src.hint("shuffle_hash"), "src")
+            .join(m_dst.hint("shuffle_hash"), "dst")
             .groupBy(F.col("gsrc").alias("src"), F.col("gdst").alias("dst"))
-            .agg(F.sum("w").alias("w"))
-            .persist()
+            .agg(F.sum("w").alias("w")),
+            "dst",
+            num_rows=e_rows,
         )
-        nxt.count()
+        e_rows = nxt.count()
         edges.unpersist()
         edges = nxt
 

@@ -38,25 +38,29 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph, truncate_lineage
+from webgraph.algos.common import EncodedGraph, cluster_for_loop, truncate_lineage
 
 
 def _min_label_fixpoint(verts: DataFrame, edges: DataFrame, src: str, dst: str):
     """labels(v) = min vid u with u ->* v along (src -> dst); returns the
     materialized (vid, label) frame and the number of iterations run."""
+    # probe-key-clustered loop copy + shuffled hash joins (pagerank.py
+    # pattern): the fixpoint otherwise re-exchanged and re-sorted the
+    # edge frame at every min-label round, in both sweep directions
+    e = cluster_for_loop(edges.select("src", "dst"), src, num_rows=edges.count())
     labels = verts.select("vid", F.col("vid").alias("label")).transform(truncate_lineage)
     it = 0
     while True:
         it += 1
         incoming = (
-            edges.join(
-                labels.withColumnRenamed("vid", src), src
+            e.join(
+                labels.withColumnRenamed("vid", src).hint("shuffle_hash"), src
             )
             .groupBy(F.col(dst).alias("vid"))
             .agg(F.min("label").alias("nbr_min"))
         )
         new_labels = (
-            labels.join(incoming, "vid", "left")
+            labels.join(incoming.hint("shuffle_hash"), "vid", "left")
             .select(
                 "vid",
                 F.least(
@@ -73,6 +77,7 @@ def _min_label_fixpoint(verts: DataFrame, edges: DataFrame, src: str, dst: str):
         )
         labels = new_labels
         if changed == 0:
+            e.unpersist()
             return labels, it
 
 

@@ -84,11 +84,21 @@ def triangle_count_per_vertex(g: EncodedGraph, degree_ordered: bool = True) -> D
     corners union below is role-agnostic, so attribution is unchanged
     while hub-wedge blowup is avoided (see module docstring)."""
     e = _oriented(g, degree_ordered).persist()
-    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    wedges = e1.join(e2, "b")
-    closing = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    closed = wedges.join(closing, ["a", "c"], "left_semi")
+    # neighbor-array intersection (see triangle_count): each oriented
+    # triangle {base (a,b), apex c ∈ N⁺(a)∩N⁺(b)} enumerates exactly once
+    # with all three corners intact — no wedge table is materialized
+    adj = e.groupBy(F.col("src").alias("vid")).agg(
+        F.collect_list("dst").alias("nbrs")
+    )
+    closed = (
+        e.join(adj.select(F.col("vid").alias("src"), F.col("nbrs").alias("na")), "src")
+        .join(adj.select(F.col("vid").alias("dst"), F.col("nbrs").alias("nb")), "dst")
+        .select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.explode(F.array_intersect("na", "nb")).alias("c"),
+        )
+    )
     corners = (
         closed.select(F.col("a").alias("vid"))
         .unionAll(closed.select(F.col("b").alias("vid")))
@@ -274,27 +284,24 @@ def k_truss(
                 "rounds; raise max_iter — a capped result is a superset "
                 "of the true truss, never returned silently"
             )
-        e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-        e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
-        tri = (
-            e1.join(e2, "y")
-            .join(
-                e.select(F.col("a").alias("x"), F.col("b").alias("z")),
-                ["x", "z"],
-                "left_semi",
-            )
+        # support(a,b) = |adj(a) ∩ adj(b)| over the CURRENT edge set —
+        # identical to the former wedge-join + semi-close + 3-corner
+        # explode + (a,b) aggregate, computed row-locally from per-vertex
+        # neighbor arrays instead of materializing the wedge table every
+        # round (the triangle_count rewrite, applied per peel round). Row
+        # size is bounded by the hub degree; the wedge form generated
+        # deg² rows per hub instead.
+        sym_cur = e.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
+            e.select(F.col("b").alias("v"), F.col("a").alias("w"))
         )
-        sides = (
-            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
-            .unionAll(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
-            .unionAll(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
-        )
-        sup = sides.groupBy("a", "b").agg(F.count("*").cast("long").alias("support"))
+        adj = sym_cur.groupBy("v").agg(F.collect_list("w").alias("nbrs"))
         kept = (
-            e.join(sup, ["a", "b"], "left")
+            e.join(adj.select(F.col("v").alias("a"), F.col("nbrs").alias("na")), "a")
+            .join(adj.select(F.col("v").alias("b"), F.col("nbrs").alias("nb")), "b")
             .select(
-                "a", "b",
-                F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support"),
+                "a",
+                "b",
+                F.size(F.array_intersect("na", "nb")).cast("long").alias("support"),
             )
             .filter(F.col("support") >= need)
             .transform(truncate_lineage)

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph.algos.common import EncodedGraph, truncate_lineage
+from webgraph.algos.common import EncodedGraph, cluster_for_loop, truncate_lineage
 
 # Same modulus family as webgraph.dedup's portable hashes; three odd
 # multipliers decorrelate (cur, step, dst). All arithmetic stays < 2^63:
@@ -79,9 +79,11 @@ def deterministic_walks(
     from webgraph.checkpoint import CheckpointManager
 
     ckpt = CheckpointManager(checkpoint_dir, "walks") if checkpoint_dir else None
-    # projection of the already-persisted EncodedGraph edges (no second
-    # cache copy — the _shared_edges rule, webgraph/algos/bfs.py)
-    edges = g.edges.select("src", "dst")
+    # src-clustered loop copy: every step's frontier join streams it
+    # exchange- and sort-free (cluster_for_loop)
+    edges = cluster_for_loop(
+        g.edges.select("src", "dst"), "src", num_rows=g.edges.count()
+    )
     frontier = g.vertices.select(
         F.col("vid").alias("walk_id"), F.col("vid").alias("cur")
     )
@@ -100,7 +102,8 @@ def deterministic_walks(
     for t in range(start_step, walk_len + 1):
         h = _step_hash(F.col("cur"), t, F.col("dst"), seed)
         nxt = (
-            frontier.join(edges, frontier.cur == edges.src, "inner")
+            frontier.hint("shuffle_hash")
+            .join(edges, frontier.cur == edges.src, "inner")
             .groupBy("walk_id")
             .agg(F.min(F.struct(h.alias("h"), F.col("dst").alias("d"))).alias("m"))
             .select("walk_id", F.col("m.d").alias("cur"))
@@ -124,6 +127,7 @@ def deterministic_walks(
                 nxt.select("walk_id", F.lit(t).alias("step"), F.col("cur").alias("vid"))
             )
             frontier = nxt
+    edges.unpersist()
     return acc
 
 
@@ -156,7 +160,9 @@ def node2vec_walks(
     Integer-exact everywhere (priority < 2^63), hence the DuckDB oracle
     replays it verbatim. Walks end early at dangling vertices; rows are
     emitted only for steps actually taken."""
-    edges = g.edges.select("src", "dst")
+    edges = cluster_for_loop(
+        g.edges.select("src", "dst"), "src", num_rows=g.edges.count()
+    )
     frontier = g.vertices.select(
         F.col("vid").alias("walk_id"),
         F.lit(None).cast("long").alias("prev"),
@@ -169,7 +175,9 @@ def node2vec_walks(
         F.col("src").alias("_asrc"), F.col("dst").alias("_adst")
     ).withColumn("_hit", F.lit(True))
     for t in range(1, walk_len + 1):
-        cand = frontier.join(edges, frontier.cur == edges.src, "inner").select(
+        cand = frontier.hint("shuffle_hash").join(
+            edges, frontier.cur == edges.src, "inner"
+        ).select(
             "walk_id",
             "prev",
             "cur",
@@ -209,6 +217,7 @@ def node2vec_walks(
             nxt.select("walk_id", F.lit(t).alias("step"), F.col("cur").alias("vid"))
         )
         frontier = nxt
+    edges.unpersist()
     return acc
 
 

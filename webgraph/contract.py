@@ -10507,7 +10507,8 @@ def q_c_clone_type3(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select(
         F.concat(F.col("text"), F.lit("\n\n"), blk).alias("content")
     )
-    return clone_type3_pairs(docs)
+    # exact contract mode pinned explicitly (library default now caps)
+    return clone_type3_pairs(docs, max_doc_freq=None)
 
 
 def o_c_clone_type3():

@@ -98,6 +98,30 @@ def shingles(
     )
 
 
+def bucket_pair_counts(kv: DataFrame, key: str, id_col: str) -> DataFrame:
+    """(a, b, common) — for every `key` bucket, count co-occurring id
+    pairs with a < b. ONE key-keyed aggregation into sorted id arrays
+    with bucket-local pair expansion, replacing the classic self-join
+    that shuffles the (usually string) key column TWICE and filters
+    a < b only after generating both orders. Pair rows stream one per
+    (member, later-member) — each carries one bucket array, bounded by
+    that bucket's membership, never the quadratic pair set in one row.
+    Exact: identical pair multiset to the self-join form."""
+    buckets = (
+        kv.groupBy(key)
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    members = buckets.select(
+        "ds", F.posexplode("ds").alias("i", "a")
+    ).filter(F.col("i") < F.size("ds") - 1)
+    pairs = members.select(
+        "a",
+        F.explode(F.slice(F.col("ds"), F.col("i") + 2, F.size("ds"))).alias("b"),
+    )
+    return pairs.groupBy("a", "b").agg(F.count("*").alias("common"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -134,14 +158,9 @@ def ngram_jaccard_pairs(
             )
             sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
     sz = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("id").alias("a"), "shingle")
-    b = sh.select(F.col("id").alias("b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("common"))
-    )
+    # sorted-bucket pair expansion: one shingle-keyed exchange instead of
+    # the two the self-join paid (identical pairs — bucket_pair_counts)
+    common = bucket_pair_counts(sh, "shingle", "id")
     return (
         common.join(sz.withColumnRenamed("id", "a").withColumnRenamed("n_sh", "na"), "a")
         .join(sz.withColumnRenamed("id", "b").withColumnRenamed("n_sh", "nb"), "b")
