@@ -82,22 +82,25 @@ def from_int_edges(
     the integer key, no dictionary encode). Used when the upstream data
     carries numeric ids (e.g. the driver's TPC-H-derived graphs).
 
-    The edge frame is persisted and materialized FIRST, and the vertex set
-    is derived from the cached edges — deriving vertices from the raw input
-    would execute the whole upstream plan (scan + dedup) twice, once per
-    count. ``assume_distinct=True`` skips the (src, dst) dedup when the
-    caller's input is provably duplicate-free (e.g. ends in its own
-    DISTINCT); the wrapped result is identical either way."""
+    Both caches materialize in ONE job (round 6): the vertex set derives
+    from the persisted edge frame through a single ``explode`` branch —
+    the same vid set as the union-of-endpoints form, but one subtree, so
+    the edge cache fills as a side effect of the one vertex count and the
+    upstream plan (scan + dedup) executes exactly once (the former
+    edges-count-then-vertices-count shape paid two job submissions, and a
+    two-branch union over a not-yet-materialized cache races both
+    branches into the upstream). ``assume_distinct=True`` skips the
+    (src, dst) dedup when the caller's input is provably duplicate-free
+    (e.g. ends in its own DISTINCT); the wrapped result is identical
+    either way."""
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     )
     if not assume_distinct:
         e = e.distinct()
     e = e.persist()
-    e.count()
     verts = (
-        e.select(F.col("src").alias("vid"))
-        .unionByName(e.select(F.col("dst").alias("vid")))
+        e.select(F.explode(F.array("src", "dst")).alias("vid"))
         .distinct()
         .withColumn("url", F.col("vid").cast("string"))
         .persist()
@@ -221,10 +224,10 @@ def from_weighted_edges(
         F.col(dst).cast("long").alias("dst"),
         F.col(weight).cast("double").alias("weight"),
     ).persist()
-    e.count()  # materialize first; vertices then derive from the cache
+    # one materialization job: the single explode branch fills the edge
+    # cache while computing the vertex set (see from_int_edges)
     verts = (
-        e.select(F.col("src").alias("vid"))
-        .unionByName(e.select(F.col("dst").alias("vid")))
+        e.select(F.explode(F.array("src", "dst")).alias("vid"))
         .distinct()
         .withColumn("url", F.col("vid").cast("string"))
         .persist()

@@ -33,8 +33,12 @@ def _oriented(g: EncodedGraph, degree_ordered: bool) -> DataFrame:
     und = sym.filter(F.col("src") < F.col("dst"))
     if not degree_ordered:
         return und
-    # orient low-degree -> high-degree (ties by vid): classic wedge bound
-    deg = symmetrize(g.edges).groupBy("src").count().select(
+    # orient low-degree -> high-degree (ties by vid): classic wedge bound.
+    # Degrees derive from the SAME sym subtree as `und` (round 6): the two
+    # symmetrize calls were structurally identical, but each carried its
+    # own scan + union + distinct — one shared subtree lets Catalyst reuse
+    # the exchange instead of deduplicating the edge set twice per build.
+    deg = sym.groupBy("src").count().select(
         F.col("src").alias("vid"), F.col("count").alias("deg")
     )
     e = (
