@@ -279,6 +279,7 @@ def k_truss(
         .transform(truncate_lineage)
     )
     it = 0
+    n_prev = None  # carried from the previous round's kept-count (round 6)
     while True:
         if rounds is not None and it >= rounds:
             break
@@ -310,12 +311,17 @@ def k_truss(
             .filter(F.col("support") >= need)
             .transform(truncate_lineage)
         )
-        n_prev, n_now = e.count(), kept.count()
+        # carry the previous round's survivor count instead of re-counting
+        # e (one job per peel round saved; identical fixpoint test)
+        if n_prev is None:
+            n_prev = e.count()
+        n_now = kept.count()
         # kept is already materialized; its projection needs no second copy
         e = kept.select("a", "b")
         it += 1
         if rounds is None and n_now == n_prev:
             return kept
+        n_prev = n_now
     # oracle mode: recompute nothing — `kept` carries round-`rounds` support
     if rounds == 0:
         return e.withColumn("support", F.lit(None).cast("long")).select(

@@ -148,6 +148,11 @@ def _warm_session(spark: SparkSession) -> None:
         )
         gt = from_int_edges(tiny)
         pagerank(gt, tol=0.0, max_iter=2, collect_skew=False)
+        # neighbor-array shapes (collect_list aggregate + array_intersect
+        # + explode) used by the triangle/truss family
+        from webgraph.algos.triangles import triangle_count
+
+        triangle_count(gt)
         gt.edges.unpersist()
         gt.vertices.unpersist()
 
