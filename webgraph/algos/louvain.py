@@ -104,11 +104,16 @@ def louvain(
     # dst-clustered level cache: the per-round k_{i,C} join keys on dst,
     # so local-move rounds stream it exchange- and sort-free
     e_rows = 2 * g.edges.count()
-    edges = cluster_for_loop(
-        symmetrize(g.edges).withColumn("w", F.lit(1).cast("long")),
-        "dst",
-        num_rows=e_rows,
-    )
+    sym_w = symmetrize(g.edges).withColumn("w", F.lit(1).cast("long"))
+    # dst-clustering amortizes one up-front exchange over the level's
+    # local-move rounds; with a single round there is nothing to amortize
+    # (the round's one dst-keyed join pays the same exchange either way),
+    # so a 1-round schedule persists without the extra repartition —
+    # strictly cheaper at any scale, identical result.
+    if max_rounds > 1:
+        edges = cluster_for_loop(sym_w, "dst", num_rows=e_rows)
+    else:
+        edges = sym_w.persist()
     s = int(edges.agg(F.sum("w")).collect()[0][0] or 0)
     full_map = g.vertices.select("vid", F.col("vid").alias("gid")).transform(truncate_lineage)
     if s == 0:  # no edges: every vertex is its own community
@@ -258,14 +263,18 @@ def louvain(
         m_dst = state.select(F.col("vid").alias("dst"), F.col("gid").alias("gdst"))
         # contraction never grows the edge multiset, so the previous
         # level's row count is a valid sizing bound
-        nxt = cluster_for_loop(
+        contracted = (
             edges.join(m_src.hint("shuffle_hash"), "src")
             .join(m_dst.hint("shuffle_hash"), "dst")
             .groupBy(F.col("gsrc").alias("src"), F.col("gdst").alias("dst"))
-            .agg(F.sum("w").alias("w")),
-            "dst",
-            num_rows=e_rows,
+            .agg(F.sum("w").alias("w"))
         )
+        # same 1-round rule as the level-1 cache: only re-cluster when
+        # the next level's local-move rounds can amortize the exchange
+        if max_rounds > 1:
+            nxt = cluster_for_loop(contracted, "dst", num_rows=e_rows)
+        else:
+            nxt = contracted.persist()
         e_rows = nxt.count()
         edges.unpersist()
         edges = nxt
