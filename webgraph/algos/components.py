@@ -102,34 +102,39 @@ def connected_components(
         # sort; only the small label frame shuffles to meet it (sort-merge
         # would re-sort all E rows every iteration). One row per vid on
         # the build side — hash-uniform, no skew.
-        lbl = labels.hint("shuffle_hash")
+        lbl = labels.select("vid", "component").hint("shuffle_hash")
         neighbor_min = (
             sym.join(lbl, sym.src == lbl["vid"], "inner")
             .groupBy(sym.dst.alias("vid"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        # The change flag rides the update projection (round 6): the old
+        # label is already on the row here, so `component != prev` costs a
+        # comparison — the former separate labels ⋈ prev join to count
+        # changes re-shuffled the V-sized state once more EVERY round.
         new_labels = (
-            labels.join(neighbor_min.hint("shuffle_hash"), "vid", "left")
+            labels.select("vid", "component")
+            .join(neighbor_min.hint("shuffle_hash"), "vid", "left")
             .select(
                 "vid",
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
+                (F.coalesce(F.col("nbr_min"), F.col("component")) < F.col("component"))
+                .alias("_chg"),
             )
         )
         # Materialize FIRST (one execution of the join+agg job), then count
-        # changes from the materialized frame against the previous state —
-        # the pagerank.py pattern. Counting over the lazy plan and then
-        # checkpointing would execute the identical uncached iteration
-        # twice (2x every shuffle at scale).
-        prev = labels
+        # changes from the materialized frame — the pagerank.py pattern.
+        # Counting over the lazy plan and then checkpointing would execute
+        # the identical uncached iteration twice (2x every shuffle at
+        # scale). The flag column is carried in the checkpointed state and
+        # stripped at return; resume tolerates states with or without it.
         if ckpt:
             labels = ckpt.write_state(new_labels, it)
         else:
             labels = new_labels.transform(truncate_lineage)
-        changed_df = labels.join(
-            prev.withColumnRenamed("component", "prev"), "vid", "inner"
-        ).filter(F.col("component") != F.col("prev"))
+        changed_df = labels.filter(F.col("_chg"))
         if _probe is not None:
             _probe(it, changed_df)
         changed = changed_df.count()
@@ -145,4 +150,4 @@ def connected_components(
         if changed == 0:
             break
 
-    return labels, metrics
+    return labels.select("vid", "component"), metrics

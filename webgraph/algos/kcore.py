@@ -188,19 +188,22 @@ def coreness(
             .groupBy("vid")
             .agg(F.max(F.least(F.col("rn").cast("long"), F.col("nc"))).alias("h"))
         )
+        # change flag rides the update projection (see components.py):
+        # the old value joins in with the state row, so the former
+        # new ⋈ old join per h-index round is a comparison instead
         new_state = truncate_lineage(
-            state.select("vid")
+            state.select("vid", F.col("c").alias("_prev"))
             .join(h, "vid", "left")
-            .select("vid", F.coalesce("h", F.lit(0)).cast("long").alias("c"))
+            .select(
+                "vid",
+                F.coalesce("h", F.lit(0)).cast("long").alias("c"),
+                (F.coalesce("h", F.lit(0)).cast("long") != F.col("_prev"))
+                .alias("_chg"),
+            )
         )
         run += 1
         if early_stop:
-            changed = (
-                new_state.alias("n")
-                .join(state.alias("p"), "vid")
-                .filter(F.col("n.c") != F.col("p.c"))
-                .count()
-            )
+            changed = new_state.filter(F.col("_chg")).count()
             state = new_state
             if changed == 0:
                 converged = True
@@ -208,4 +211,4 @@ def coreness(
         else:
             state = new_state
     sym.unpersist()
-    return state, run, converged
+    return state.select("vid", "c"), run, converged

@@ -64,7 +64,7 @@ def label_propagation(
     prev_changed = None
     for it in range(start_iter, max_iter):
         t0 = time.time()
-        lbl = labels.hint("shuffle_hash")
+        lbl = labels.select("vid", "label").hint("shuffle_hash")
         freq = (
             sym.join(lbl, sym.src == lbl["vid"], "inner")
             .groupBy(sym.dst.alias("vid"), F.col("label"))
@@ -74,19 +74,26 @@ def label_propagation(
         best = freq.groupBy("vid").agg(
             F.max_by("label", F.struct(F.col("n"), -F.col("label"))).alias("nbr_label")
         )
-        new_labels = labels.join(best.hint("shuffle_hash"), "vid", "left").select(
-            "vid", F.coalesce(F.col("nbr_label"), F.col("label")).alias("label")
+        # Change flag rides the update projection (see components.py):
+        # the old label is on the row, so the former labels ⋈ prev join —
+        # one extra V-sized shuffle per round — is a comparison instead.
+        new_labels = (
+            labels.select("vid", "label")
+            .join(best.hint("shuffle_hash"), "vid", "left")
+            .select(
+                "vid",
+                F.coalesce(F.col("nbr_label"), F.col("label")).alias("label"),
+                (F.coalesce(F.col("nbr_label"), F.col("label")) != F.col("label"))
+                .alias("_chg"),
+            )
         )
         # Materialize first, then count changes from the materialized frame
         # (see components.py — avoids executing each iteration twice).
-        prev = labels
         if ckpt:
             labels = ckpt.write_state(new_labels, it)
         else:
             labels = new_labels.transform(truncate_lineage)
-        changed_df = labels.join(
-            prev.withColumnRenamed("label", "prev"), "vid", "inner"
-        ).filter(F.col("label") != F.col("prev"))
+        changed_df = labels.filter(F.col("_chg"))
         if _probe is not None:
             _probe(it, changed_df)
         changed = changed_df.count()
@@ -104,7 +111,7 @@ def label_propagation(
             break
         prev_changed = changed
 
-    return labels, metrics
+    return labels.select("vid", "label"), metrics
 
 
 def seeded_label_spread(

@@ -87,32 +87,36 @@ def shortest_paths(
     for it in range(start_iter, max_iter):
         t0 = time.time()
         cand = (
-            edges.join(state.filter(F.col("dist").isNotNull()).hint("shuffle_hash"),
-                       edges.src == F.col("vid"), "inner")
+            edges.join(
+                state.select("vid", "dist")
+                .filter(F.col("dist").isNotNull())
+                .hint("shuffle_hash"),
+                edges.src == F.col("vid"), "inner")
             .groupBy(edges.dst.alias("vid"))
             .agg(F.min(F.col("dist") + F.col("w")).alias("nd"))
         )
-        new_state = verts.join(state.hint("shuffle_hash"), "vid", "left").join(
+        # NULL-safe change flag rides the update projection (round 6 —
+        # see components.py): the old dist is on the row, so the former
+        # state ⋈ prev join + aggregate per relax round is a comparison.
+        new_state = verts.join(
+            state.select("vid", "dist").hint("shuffle_hash"), "vid", "left"
+        ).join(
             cand.hint("shuffle_hash"), "vid", "left"
         ).select(
-            "vid", F.least(F.col("dist"), F.col("nd")).alias("dist")
+            "vid",
+            F.least(F.col("dist"), F.col("nd")).alias("dist"),
+            (~F.least(F.col("dist"), F.col("nd")).eqNullSafe(F.col("dist")))
+            .alias("_chg"),
         )
-        prev_state = state
         if ckpt:
             state = ckpt.write_state(new_state, it)
         else:
             state = new_state.transform(truncate_lineage)
         changed = None
         if early_stop:
-            # one agg over the materialized state; NULL-safe inequality so
-            # unreached->unreached rounds count as unchanged
+            # one agg over the materialized state
             changed = (
-                state.join(prev_state.withColumnRenamed("dist", "prev"), "vid")
-                .agg(
-                    F.sum(
-                        (~F.col("dist").eqNullSafe(F.col("prev"))).cast("long")
-                    ).alias("chg")
-                )
+                state.agg(F.sum(F.col("_chg").cast("long")).alias("chg"))
                 .collect()[0][0]
             )
         m = {"iteration": it, "wall_sec": round(time.time() - t0, 3),
@@ -126,4 +130,4 @@ def shortest_paths(
             break
 
     edges.unpersist()
-    return state, metrics
+    return state.select("vid", "dist"), metrics
