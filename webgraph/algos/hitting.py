@@ -116,39 +116,42 @@ def truncated_hitting_time(
             .groupBy(F.col("src").alias("vid"))
             .agg(F.sum("h").alias("hsum"), F.count("*").alias("deg"))
         )
+        # The state is verts-shaped (one row per vid, is_tgt carried), so
+        # it replaces `verts` as the left side and the old h rides the
+        # update row: the change flag becomes a comparison instead of the
+        # former state ⋈ prev join + aggregate per round (components.py).
+        new_h = (
+            F.when(F.col("is_tgt"), F.lit(0))
+            .when(
+                F.col("deg").isNotNull(),
+                F.least(
+                    F.lit(cap),
+                    F.lit(SCALE) + F.expr("hsum div deg"),
+                ),
+            )
+            .otherwise(F.lit(cap))
+            .cast("long")
+        )
         new_state = (
-            verts.join(nbr, "vid", "left")
+            state.select("vid", "is_tgt", F.col("h").alias("_old"))
+            .join(nbr, "vid", "left")
             .select(
                 "vid",
                 "is_tgt",
-                F.when(F.col("is_tgt"), F.lit(0))
-                .when(
-                    F.col("deg").isNotNull(),
-                    F.least(
-                        F.lit(cap),
-                        F.lit(SCALE) + F.expr("hsum div deg"),
-                    ),
-                )
-                .otherwise(F.lit(cap))
-                .cast("long")
-                .alias("h"),
+                new_h.alias("h"),
+                (new_h != F.col("_old")).alias("_chg"),
             )
         )
-        prev_state = state
         if ckpt:
             state = ckpt.write_state(new_state, it)
         else:
             state = new_state.transform(truncate_lineage)
         changed = None
         if early_stop:
-            changed = (
-                state.join(
-                    prev_state.select("vid", F.col("h").alias("prev")), "vid"
-                )
-                .agg(
-                    F.sum((F.col("h") != F.col("prev")).cast("long")).alias("chg")
-                )
-                .collect()[0][0]
+            changed = int(
+                state.agg(
+                    F.sum(F.col("_chg").cast("long")).alias("chg")
+                ).collect()[0][0] or 0
             )
         m = {"iteration": it, "wall_sec": round(time.time() - t0, 3),
              "messages": num_edges}

@@ -40,21 +40,20 @@ def _pointer_double(parent: DataFrame, max_jump: int = 40) -> DataFrame:
         hop = parent.select(
             F.col("vid").alias("root"), F.col("root").alias("root2")
         )
+        # the old root is on the join row, so the change flag rides the
+        # jump projection instead of a jumped ⋈ parent join per doubling
+        # step (see components.py)
         jumped = (
             parent.join(hop, "root", "left")
             .select(
-                "vid", F.coalesce("root2", F.col("root")).alias("root")
+                "vid",
+                F.coalesce("root2", F.col("root")).alias("root"),
+                (F.coalesce("root2", F.col("root")) != F.col("root")).alias("_chg"),
             )
             .transform(truncate_lineage)
         )
-        changed = (
-            jumped.join(
-                parent.withColumnRenamed("root", "prev"), "vid", "inner"
-            )
-            .filter(F.col("root") != F.col("prev"))
-            .count()
-        )
-        parent = jumped
+        changed = jumped.filter(F.col("_chg")).count()
+        parent = jumped.select("vid", "root")
         if changed == 0:
             return parent
     raise RuntimeError("_pointer_double: did not stabilize (cycle?)")
