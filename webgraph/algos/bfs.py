@@ -95,13 +95,19 @@ def bfs_depths(
             .join(visited.select("vid"), "vid", "left_anti")
             .select("vid", F.lit(level).alias("depth"))
         )
-        new_visited = visited.unionByName(nxt)
         if ckpt:
-            visited = ckpt.write_state(new_visited, level)
+            visited = ckpt.write_state(visited.unionByName(nxt), level)
+            n_new = visited.filter(F.col("depth") == level).count()
         else:
-            visited = new_visited.transform(truncate_lineage)
-        # count the MATERIALIZED frame — the join above ran exactly once
-        n_new = visited.filter(F.col("depth") == level).count()
+            # only the NEW level materializes (round 6): visited stays a
+            # union of already-materialized level frames — re-truncating
+            # the whole visited set every level rewrote O(V) rows x depth
+            # per sweep; a periodic re-truncation bounds plan width
+            nxt = truncate_lineage(nxt)
+            n_new = nxt.count()
+            visited = visited.unionByName(nxt)
+            if level % 32 == 0:
+                visited = truncate_lineage(visited)
         m = {
             "iteration": level,
             "wall_sec": round(time.time() - t0, 3),
@@ -191,9 +197,14 @@ def multi_path_counts(
         # materialized above — take(1) reads the checkpoint, no re-execution
         if not nxt.take(1):
             break
+        # visited stays a union of already-materialized level frames (see
+        # bfs_depths — no O(V·depth) rewrite); periodic re-truncation
+        # bounds plan width on deep graphs
         visited = visited.unionByName(
             nxt.select("root", "vid", F.lit(d).alias("depth"), "sigma")
-        ).transform(truncate_lineage)
+        )
+        if d % 32 == 0:
+            visited = truncate_lineage(visited)
         frontier = nxt
     if unpersist:
         edges.unpersist()

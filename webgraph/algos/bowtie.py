@@ -59,7 +59,7 @@ def reachable_from(
     e = cluster_for_loop(edges.select("src", "dst"), src, num_rows=edges.count())
     reached = truncate_lineage(seeds.select("vid").distinct())
     frontier = reached
-    for _ in range(max_depth):
+    for depth in range(max_depth):
         nxt = (
             e.join(
                 frontier.withColumnRenamed("vid", src).hint("shuffle_hash"),
@@ -74,7 +74,15 @@ def reachable_from(
         if nxt.isEmpty():
             e.unpersist()
             return reached
-        reached = truncate_lineage(reached.unionByName(nxt))
+        # `reached` stays a union of ALREADY-materialized frontiers
+        # (round 6): only the new frontier needs a materialization job per
+        # level — re-truncating the whole reached set every level rewrote
+        # O(V) rows x depth across the sweep. The union is over
+        # ExistingRDD scans (no recompute); a periodic re-truncation
+        # bounds plan width on pathological deep chains.
+        reached = reached.unionByName(nxt)
+        if (depth + 1) % 32 == 0:
+            reached = truncate_lineage(reached)
         frontier = nxt
     e.unpersist()
     raise RuntimeError(
