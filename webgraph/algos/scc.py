@@ -59,26 +59,27 @@ def _min_label_fixpoint(verts: DataFrame, edges: DataFrame, src: str, dst: str):
             .groupBy(F.col(dst).alias("vid"))
             .agg(F.min("label").alias("nbr_min"))
         )
+        # change flag rides the update projection (see components.py) —
+        # the former new ⋈ old join per min-label round was one extra
+        # V-sized shuffle in BOTH sweep directions of EVERY peel round
         new_labels = (
-            labels.join(incoming.hint("shuffle_hash"), "vid", "left")
+            labels.select("vid", "label")
+            .join(incoming.hint("shuffle_hash"), "vid", "left")
             .select(
                 "vid",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
+                (F.coalesce(F.col("nbr_min"), F.col("label")) < F.col("label"))
+                .alias("_chg"),
             )
             .transform(truncate_lineage)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("p"), "vid")
-            .filter(F.col("n.label") != F.col("p.label"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("_chg")).count()
         labels = new_labels
         if changed == 0:
             e.unpersist()
-            return labels, it
+            return labels.select("vid", "label"), it
 
 
 def strongly_connected_components(
@@ -103,6 +104,54 @@ def strongly_connected_components(
                 "partial labels are never returned silently"
             )
         t0 = time.time()
+        # Trim (Hong et al. 2013, "On fast parallel detection of strongly
+        # connected components"): a vertex with no in-edge or no out-edge
+        # WITHIN the remaining subgraph cannot lie on a cycle there, and
+        # because every earlier round settles whole SCCs the remaining
+        # subgraph is a union of intact SCCs — so such a vertex is a
+        # singleton SCC (scc = its own vid), settled without paying the
+        # two min-label fixpoints. Web graphs are mostly DAG fringe
+        # (tendrils, IN/OUT), so iterated trimming removes the bulk of
+        # the vertices in a few cheap anti-join rounds.
+        n_trimmed = 0
+        while True:
+            srcs = edges.select(F.col("src").alias("vid"))
+            dsts = edges.select(F.col("dst").alias("vid"))
+            trivial = (
+                verts.join(srcs, "vid", "left_anti")
+                .unionByName(verts.join(dsts, "vid", "left_anti"))
+                .distinct()
+                .transform(truncate_lineage)
+            )
+            n_triv = trivial.count()
+            if n_triv == 0:
+                break
+            n_trimmed += n_triv
+            settled_parts.append(
+                trivial.select("vid", F.col("vid").alias("scc"))
+            )
+            verts = (
+                verts.join(trivial, "vid", "left_anti")
+                .transform(truncate_lineage)
+            )
+            keep = verts.select("vid")
+            edges = (
+                edges.join(keep.withColumnRenamed("vid", "src"), "src", "left_semi")
+                .join(keep.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+                .transform(truncate_lineage)
+            )
+        n_remaining = verts.count()
+        if n_remaining == 0:
+            metrics.append(
+                {
+                    "iteration": rnd,
+                    "wall_sec": round(time.time() - t0, 3),
+                    "settled": n_trimmed,
+                    "remaining": 0,
+                    "trimmed": n_trimmed,
+                }
+            )
+            break
         fwd, fwd_iters = _min_label_fixpoint(verts, edges, "src", "dst")
         bwd, bwd_iters = _min_label_fixpoint(verts, edges, "dst", "src")
         paired = fwd.withColumnRenamed("label", "f").join(
@@ -130,8 +179,9 @@ def strongly_connected_components(
             {
                 "iteration": rnd,
                 "wall_sec": round(time.time() - t0, 3),
-                "settled": n_settled,
+                "settled": n_settled + n_trimmed,
                 "remaining": n_remaining,
+                "trimmed": n_trimmed,
                 "fwd_iters": fwd_iters,
                 "bwd_iters": bwd_iters,
             }
