@@ -492,11 +492,37 @@ def test_scc_raises_on_round_cap_instead_of_partial_labels(spark):
     from webgraph.algos import strongly_connected_components
     from webgraph.algos.common import from_int_edges
 
-    # a path of singleton SCCs settles ~1 SCC per round: cap must raise
-    path = [(i, i + 1) for i in range(12)]
-    eg = from_int_edges(spark.createDataFrame(path, "src long, dst long"))
+    # A path of singleton SCCs no longer exercises the cap: the round-6
+    # trim settles the whole DAG fringe without any fixpoint round. A
+    # CHAIN of 2-cycles C0 -> C1 -> ... is trim-proof (every vertex lies
+    # on a cycle) and settles exactly one SCC per peel round (only the
+    # chain head has fwd-min == bwd-min), so the cap must raise.
+    chain = []
+    for i in range(6):
+        a, b = 2 * i, 2 * i + 1
+        chain += [(a, b), (b, a)]
+        if i < 5:
+            chain.append((b, 2 * i + 2))
+    eg = from_int_edges(spark.createDataFrame(chain, "src long, dst long"))
     with pytest.raises(RuntimeError, match="max_rounds"):
         strongly_connected_components(eg, max_rounds=2)
+
+
+def test_scc_trim_settles_dag_fringe_without_fixpoint_rounds(spark):
+    """Round-6 trim pin: a pure path (all singleton SCCs) settles
+    entirely through the trim anti-joins — zero min-label fixpoints run,
+    labels are exact, and the round cap is never consulted."""
+    from webgraph.algos import strongly_connected_components
+    from webgraph.algos.common import from_int_edges
+
+    path = [(i, i + 1) for i in range(12)]
+    eg = from_int_edges(spark.createDataFrame(path, "src long, dst long"))
+    labels, metrics = strongly_connected_components(eg, max_rounds=2)
+    got = {(r["vid"], r["scc"]) for r in labels.collect()}
+    assert got == {(i, i) for i in range(13)}
+    assert len(metrics) == 1
+    assert metrics[0]["trimmed"] == 13
+    assert "fwd_iters" not in metrics[0]  # no fixpoint ever ran
 
 
 def test_coupling_matches_python_oracle(spark):
